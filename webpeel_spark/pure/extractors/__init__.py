@@ -1,0 +1,99 @@
+"""Domain-specific extractors — host-keyed rule registry.
+
+Port of the class-(a) extractors from /root/reference/src/ee/extractors/
+(pure functions of (html, url) — parse the *given* HTML).  Class-(b)
+extractors in the reference call site APIs at fetch time (hackernews,
+reddit, github, …); a batch engine over stored pages cannot make network
+calls from executors, so those hosts fall through to the generic
+readability pipeline — exactly what the reference does when an API
+extractor returns null (pipeline.ts:571-576, extractors/index.ts:266).
+
+Dispatch semantics preserved from extractors/index.ts:66-160,237-267:
+ordered first-match on hostname / URL pattern; results with
+``clean_content`` ≤ 20 chars rejected; extractor exceptions → None →
+generic path.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Callable, List, NamedTuple, Optional, Tuple
+from urllib.parse import urlsplit
+
+
+class DomainExtractResult(NamedTuple):
+    domain: str
+    type: str
+    structured: dict
+    clean_content: str
+
+
+from .amazon import amazon_extractor
+from .medium import medium_extractor
+from .wikipedia import wikipedia_extractor
+from .pdfurl import pdf_url_extractor
+
+Extractor = Callable[[str, str], Optional[DomainExtractResult]]
+
+# Hosts handled by network/API extractors in the reference — documented
+# fallthrough to the generic pipeline here (no executor-side network).
+NETWORK_ONLY_HOSTS = frozenset((
+    "twitter.com", "x.com", "reddit.com", "old.reddit.com", "github.com",
+    "news.ycombinator.com", "youtube.com", "youtu.be", "arxiv.org",
+    "stackoverflow.com", "npmjs.com", "bestbuy.com", "walmart.com",
+    "pypi.org", "dev.to", "open.spotify.com", "tiktok.com", "pinterest.com",
+    "twitch.tv", "soundcloud.com", "instagram.com", "producthunt.com",
+    "polymarket.com", "kalshi.com", "tradingview.com", "espn.com",
+    "semanticscholar.org", "pubmed.ncbi.nlm.nih.gov", "coingecko.com",
+    "weather.com", "accuweather.com", "yelp.com",
+))
+
+
+def _host_is(h: str, *names: str) -> bool:
+    return any(h == n or h == "www." + n for n in names)
+
+
+_PDF_URL_RE = re.compile(r"\.pdf(\?|$|#)", re.I)
+_PDF_PATH_RE = re.compile(r"/pdf/", re.I)
+
+# (match(host, url) -> bool, extractor) — registry order mirrors
+# extractors/index.ts:66-134; network-only entries omitted (fallthrough).
+REGISTRY: List[Tuple[Callable[[str, str], bool], Extractor]] = [
+    (lambda h, u: bool(re.match(r"\w+\.wikipedia\.org$", h)) or h == "www.wikipedia.org",
+     wikipedia_extractor),
+    (lambda h, u: _host_is(h, "amazon.com"), amazon_extractor),
+    (lambda h, u: _host_is(h, "medium.com") or h.endswith(".medium.com"),
+     medium_extractor),
+    (lambda h, u: bool(_PDF_URL_RE.search(u)) or bool(_PDF_PATH_RE.search(u)),
+     pdf_url_extractor),
+]
+
+
+def get_domain_extractor(url: str) -> Optional[Extractor]:
+    try:
+        host = (urlsplit(url).hostname or "").lower()
+    except ValueError:
+        return None
+    if not host:
+        return None
+    for match, extractor in REGISTRY:
+        try:
+            if match(host, url):
+                return extractor
+        except Exception:
+            continue
+    return None
+
+
+def extract_domain_data(html: str, url: str) -> Optional[DomainExtractResult]:
+    """First-match dispatch; <20-char results rejected (index.ts:255)."""
+    extractor = get_domain_extractor(url)
+    if extractor is None:
+        return None
+    try:
+        result = extractor(html, url)
+    except Exception:
+        return None
+    if result is not None and len(result.clean_content) > 20:
+        return result
+    return result if result is None else None

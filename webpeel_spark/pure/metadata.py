@@ -1,0 +1,427 @@
+"""Metadata extraction chains + JS-compatible date shims.
+
+Pure-Python reimplementation of /root/reference/src/core/metadata.ts:
+concatenated-title fix (:14-32), title/description/author chains
+(:38-99), publish-date chain with ``new Date().toISOString()``
+normalization (:105-145), language chain (:150-164), word count
+(:169-187), og:image/canonical (:220-244), link extraction (:250-282),
+image extraction (:292-402) and the head-only parse optimization
+(:409-421).
+
+The date shims reproduce the two JS behaviours embedded in the
+reference's output format: ``Date.prototype.toISOString`` and
+``toLocaleDateString('en-US', {year:'numeric', month:'long',
+day:'numeric'})`` (readability.ts:622).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from datetime import datetime, timezone, timedelta
+from typing import Dict, List, NamedTuple, Optional
+from urllib.parse import urljoin, urlsplit
+
+from ..dom import Node, parse_html, select, select_first
+
+# ── JS date shims ─────────────────────────────────────────────────────────
+
+_MONTHS = {
+    "january": 1, "february": 2, "march": 3, "april": 4, "may": 5, "june": 6,
+    "july": 7, "august": 8, "september": 9, "october": 10, "november": 11,
+    "december": 12,
+}
+_MONTH_ABBR = {k[:3]: v for k, v in _MONTHS.items()}
+_MONTH_NAMES = ["January", "February", "March", "April", "May", "June", "July",
+                "August", "September", "October", "November", "December"]
+
+_ISO_RE = re.compile(
+    r"^(\d{4})-(\d{2})(?:-(\d{2}))?"
+    r"(?:[T ](\d{2}):(\d{2})(?::(\d{2})(?:\.(\d{1,6}))?)?"
+    r"(Z|[+-]\d{2}:?\d{2})?)?$"
+)
+_US_DATE_RE = re.compile(r"^(\d{1,2})/(\d{1,2})/(\d{4})$")
+_WORDY_RE = re.compile(r"^([A-Za-z]+)\.?\s+(\d{1,2})(?:st|nd|rd|th)?,?\s+(\d{4})$")
+_WORDY2_RE = re.compile(r"^(\d{1,2})\s+([A-Za-z]+)\.?,?\s+(\d{4})$")
+
+
+def _parse_js_date(s: str) -> Optional[datetime]:
+    """Parse a date string the way ``new Date(s)`` does for common formats.
+
+    Date-only ISO strings are UTC; date-times without a zone are treated
+    as UTC (the reference runs in UTC containers).  Returns None when JS
+    would yield an Invalid Date (the callers catch & skip).
+    """
+    s = s.strip()
+    if not s:
+        return None
+    m = _ISO_RE.match(s)
+    if m:
+        year, month = int(m.group(1)), int(m.group(2))
+        day = int(m.group(3)) if m.group(3) else 1
+        hour = int(m.group(4)) if m.group(4) else 0
+        minute = int(m.group(5)) if m.group(5) else 0
+        sec = int(m.group(6)) if m.group(6) else 0
+        frac = m.group(7) or ""
+        micro = int((frac + "000000")[:6]) if frac else 0
+        tz = m.group(8)
+        try:
+            dt = datetime(year, month, day, hour, minute, sec, micro,
+                          tzinfo=timezone.utc)
+        except ValueError:
+            return None
+        if tz and tz != "Z":
+            sign = 1 if tz[0] == "+" else -1
+            tzs = tz[1:].replace(":", "")
+            offs = timedelta(hours=int(tzs[:2]), minutes=int(tzs[2:4] or 0))
+            dt = dt - sign * offs
+        return dt
+    m = _US_DATE_RE.match(s)
+    if m:
+        try:
+            return datetime(int(m.group(3)), int(m.group(1)), int(m.group(2)),
+                            tzinfo=timezone.utc)
+        except ValueError:
+            return None
+    m = _WORDY_RE.match(s)
+    if m:
+        mon = _MONTHS.get(m.group(1).lower()) or _MONTH_ABBR.get(m.group(1).lower()[:3])
+        if mon:
+            try:
+                return datetime(int(m.group(3)), mon, int(m.group(2)),
+                                tzinfo=timezone.utc)
+            except ValueError:
+                return None
+    m = _WORDY2_RE.match(s)
+    if m:
+        mon = _MONTHS.get(m.group(2).lower()) or _MONTH_ABBR.get(m.group(2).lower()[:3])
+        if mon:
+            try:
+                return datetime(int(m.group(3)), mon, int(m.group(1)),
+                                tzinfo=timezone.utc)
+            except ValueError:
+                return None
+    return None
+
+
+def js_to_iso(s: str) -> Optional[str]:
+    """``new Date(s).toISOString()`` — YYYY-MM-DDTHH:MM:SS.sssZ or None."""
+    dt = _parse_js_date(s)
+    if dt is None:
+        return None
+    ms = dt.microsecond // 1000
+    return dt.strftime("%Y-%m-%dT%H:%M:%S") + f".{ms:03d}Z"
+
+
+def js_date_to_locale_en_us(s: str) -> Optional[str]:
+    """``toLocaleDateString('en-US', {year,month:'long',day})`` shim."""
+    dt = _parse_js_date(s)
+    if dt is None:
+        return None
+    return f"{_MONTH_NAMES[dt.month - 1]} {dt.day}, {dt.year}"
+
+
+# ── title fix (metadata.ts:14-32) ─────────────────────────────────────────
+
+_CONCAT_TITLE_RE = re.compile(r"^(.+[a-z])([A-Z][a-z].+)$")
+
+
+def clean_concatenated_title(title: str) -> str:
+    if not title:
+        return title
+    m = _CONCAT_TITLE_RE.match(title)
+    if m:
+        part1, part2 = m.group(1), m.group(2)
+        if len(part1) > 10 and len(part2) > 10:
+            return part2
+    return title
+
+
+# ── extraction chains ─────────────────────────────────────────────────────
+
+def _meta(root: Node, selector: str) -> Optional[str]:
+    el = select_first(root, selector)
+    if el is None:
+        return None
+    return el.get("content")
+
+
+def extract_title(root: Node) -> str:
+    title = _meta(root, 'meta[property="og:title"]')
+    if title:
+        return title.strip()
+    title = _meta(root, 'meta[name="twitter:title"]')
+    if title:
+        return title.strip()
+    el = select_first(root, "title")
+    if el is not None and el.text():
+        return clean_concatenated_title(el.text().strip())
+    el = select_first(root, "h1")
+    if el is not None and el.text():
+        return el.text().strip()
+    return ""
+
+
+def extract_description(root: Node) -> Optional[str]:
+    for sel in ('meta[property="og:description"]', 'meta[name="twitter:description"]',
+                'meta[name="description"]'):
+        desc = _meta(root, sel)
+        if desc:
+            return desc.strip()
+    return None
+
+
+def extract_author(root: Node) -> Optional[str]:
+    for sel in ('meta[property="article:author"]', 'meta[property="og:article:author"]',
+                'meta[name="author"]', 'meta[name="twitter:creator"]'):
+        author = _meta(root, sel)
+        if author:
+            return author.strip()
+    return None
+
+
+def extract_publish_date(root: Node) -> Optional[str]:
+    for sel in ('meta[property="article:published_time"]', 'meta[name="date"]',
+                'meta[property="og:updated_time"]'):
+        v = _meta(root, sel)
+        if v:
+            iso = js_to_iso(v)
+            if iso:
+                return iso
+    time_el = select_first(root, "time[pubdate], time[datetime][pubdate]")
+    if time_el is not None:
+        dtv = time_el.get("datetime") or time_el.get("content")
+        if dtv:
+            iso = js_to_iso(dtv)
+            if iso:
+                return iso
+    for el in select(root, 'script[type="application/ld+json"]'):
+        try:
+            obj = json.loads(el.text() or "{}")
+        except Exception:
+            continue
+        date = None
+        if isinstance(obj, dict):
+            date = obj.get("datePublished") or obj.get("publishDate")
+            if not date and isinstance(obj.get("@graph"), list):
+                for n in obj["@graph"]:
+                    if isinstance(n, dict) and n.get("datePublished"):
+                        date = n["datePublished"]
+                        break
+        if date:
+            iso = js_to_iso(str(date))
+            if iso:
+                return iso
+    return None
+
+
+def extract_published(root: Node) -> Optional[str]:
+    for sel in ('meta[property="article:published_time"]',
+                'meta[itemprop="datePublished"]'):
+        v = _meta(root, sel)
+        if v:
+            iso = js_to_iso(v)
+            if iso:
+                return iso
+    return None
+
+
+def extract_language(root: Node) -> Optional[str]:
+    html_el = select_first(root, "html")
+    if html_el is not None and html_el.get("lang"):
+        return html_el.get("lang").strip()
+    cl = _meta(root, 'meta[http-equiv="Content-Language"]')
+    if cl:
+        return cl.strip()
+    og = _meta(root, 'meta[property="og:locale"]')
+    if og:
+        return og.strip().replace("_", "-", 1)
+    return None
+
+
+_SCRIPT_RE = re.compile(r"<script[^>]*>[\s\S]*?</script>", re.I)
+_STYLE_RE = re.compile(r"<style[^>]*>[\s\S]*?</style>", re.I)
+_TAG_RE = re.compile(r"<[^>]+>")
+
+
+def extract_word_count(html: str) -> int:
+    """Regex-level word count (metadata.ts:169-187) — tags stripped, 6 entities."""
+    stripped = _SCRIPT_RE.sub(" ", html)
+    stripped = _STYLE_RE.sub(" ", stripped)
+    stripped = _TAG_RE.sub(" ", stripped)
+    stripped = (stripped.replace("&amp;", "&").replace("&lt;", "<")
+                .replace("&gt;", ">").replace("&nbsp;", " ").replace("&quot;", '"'))
+    stripped = re.sub(r"\s+", " ", stripped).strip()
+    if not stripped:
+        return 0
+    return len([w for w in stripped.split(" ") if w])
+
+
+def extract_image(root: Node) -> Optional[str]:
+    img = _meta(root, 'meta[property="og:image"]')
+    if img:
+        return img.strip()
+    img = _meta(root, 'meta[name="twitter:image"]')
+    if img:
+        return img.strip()
+    return None
+
+
+def extract_canonical(root: Node) -> Optional[str]:
+    el = select_first(root, 'link[rel="canonical"]')
+    if el is not None and el.get("href"):
+        return el.get("href").strip()
+    og = _meta(root, 'meta[property="og:url"]')
+    if og:
+        return og.strip()
+    return None
+
+
+# ── links / images (metadata.ts:250-402) ─────────────────────────────────
+
+def _absolutize(href: str, base_url: str) -> Optional[str]:
+    try:
+        absolute = urljoin(base_url, href)
+        parts = urlsplit(absolute)
+    except ValueError:
+        return None
+    if parts.scheme not in ("http", "https"):
+        return None
+    return absolute
+
+
+def extract_links(html: str, base_url: str) -> List[str]:
+    """Absolute http(s) links, same-page anchors dropped, deduped, sorted."""
+    root = parse_html(html)
+    links: set = set()
+    try:
+        base = urlsplit(base_url)
+    except ValueError:
+        base = None
+    for a in select(root, "a[href]"):
+        href = a.get("href")
+        if not href:
+            continue
+        absolute = _absolutize(href, base_url)
+        if absolute is None:
+            continue
+        parts = urlsplit(absolute)
+        if (
+            base is not None
+            and parts.fragment
+            and (parts.scheme, parts.netloc) == (base.scheme, base.netloc)
+            and parts.path == base.path
+            and parts.query == base.query
+        ):
+            continue
+        links.add(absolute)
+    return sorted(links)
+
+
+class ImageInfo(NamedTuple):
+    src: str
+    alt: str
+    title: Optional[str]
+    width: Optional[int]
+    height: Optional[int]
+
+
+def _parse_int(v: Optional[str]) -> Optional[int]:
+    if not v:
+        return None
+    m = re.match(r"^\s*([+-]?\d+)", v)
+    return int(m.group(1)) if m else None
+
+
+def extract_images(html: str, base_url: str) -> List[ImageInfo]:
+    root = parse_html(html)
+    images: Dict[str, ImageInfo] = {}
+
+    for img in select(root, "img[src]"):
+        src = img.get("src")
+        if not src:
+            continue
+        absolute = _absolutize(src, base_url)
+        if absolute is None:
+            continue
+        images[absolute] = ImageInfo(
+            src=absolute,
+            alt=img.get("alt") or "",
+            title=img.get("title"),
+            width=_parse_int(img.get("width")),
+            height=_parse_int(img.get("height")),
+        )
+
+    for source in select(root, "picture source[srcset]"):
+        srcset = source.get("srcset")
+        if not srcset:
+            continue
+        for part in srcset.split(","):
+            url = part.strip().split()[0] if part.strip() else ""
+            if not url:
+                continue
+            absolute = _absolutize(url, base_url)
+            if absolute is None:
+                continue
+            picture = source.parent
+            alt = ""
+            if picture is not None:
+                img_el = next((e for e in picture.iter_elements() if e.tag == "img"), None)
+                if img_el is not None:
+                    alt = img_el.get("alt") or ""
+            images[absolute] = ImageInfo(absolute, alt, None, None, None)
+
+    for el in select(root, '[style*="background"]'):
+        style = el.get("style") or ""
+        for m in re.finditer(r"url\(['\"]?([^'\")\s]+)['\"]?\)", style):
+            absolute = _absolutize(m.group(1), base_url)
+            if absolute is None:
+                continue
+            images[absolute] = ImageInfo(absolute, "", None, None, None)
+
+    return list(images.values())
+
+
+# ── full metadata (metadata.ts:409-439) ──────────────────────────────────
+
+_HEAD_RE = re.compile(r"<head[\s>][\s\S]*?</head>", re.I)
+_H1_RE = re.compile(r"<h1[^>]*>([\s\S]*?)</h1>", re.I)
+
+
+class PageMetadata(NamedTuple):
+    description: Optional[str]
+    author: Optional[str]
+    published: Optional[str]
+    image: Optional[str]
+    canonical: Optional[str]
+    publish_date: Optional[str]
+    language: Optional[str]
+    word_count: int
+
+
+def extract_metadata(html: str, url: str = "") -> tuple:
+    """(title, PageMetadata) — head-only parse fast path preserved."""
+    head_html = html
+    head_match = _HEAD_RE.search(html)
+    if head_match:
+        h1 = _H1_RE.search(html)
+        head_html = (
+            "<html>" + head_match.group(0) + "<body>"
+            + (h1.group(0) if h1 else "") + "</body></html>"
+        )
+    root = parse_html(head_html)
+    title = extract_title(root)
+    publish_date = extract_publish_date(root)
+    language = extract_language(root)
+    word_count = extract_word_count(html)
+    meta = PageMetadata(
+        description=extract_description(root),
+        author=extract_author(root),
+        published=extract_published(root),
+        image=extract_image(root),
+        canonical=extract_canonical(root),
+        publish_date=publish_date,
+        language=language,
+        word_count=word_count,
+    )
+    return title, meta

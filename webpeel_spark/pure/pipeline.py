@@ -1,0 +1,334 @@
+"""Per-document extraction pipeline (batch form).
+
+The batch-engine equivalent of the reference's stage list
+(/root/reference/src/core/pipeline.ts): content-type routing (:805-835),
+parseContent decision tree (:845-1219) — JSON-LD first-class gate
+(:914-939), readable fast-path with <15% veto (:944-989), main-content
+detection, ≥20KB pruning (:1037-1045), markdown conversion + noise
+cleanup (:1074-1131), quality (:1133), JSON/XML/text branches
+(:1135-1194) — and the domain-extractor second pass (:1363-1387).
+
+Everything here is a pure function of (url, payload bytes, options):
+no network, no I/O — exactly what a vectorized Arrow UDF wants.
+Fetching/browser escalation (pipeline.ts:525-796) is out of scope: the
+input table already holds the page bytes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import re
+from typing import Any, Dict, List, NamedTuple, Optional
+
+from ..dom import parse_html, parse_xml, select, select_first, document_body
+from . import markdown as md
+from .chunker import chunk_content
+from .extractors import extract_domain_data, get_domain_extractor
+from .jsonld import extract_jsonld
+from .langdetect import detect_language_from_url, detect_language_ngram
+from .metadata import extract_links, extract_metadata
+from .pdfextract import is_pdf_bytes
+from .extractors.pdfurl import pdf_extract_result
+from .readability import extract_readable_content
+
+
+class ExtractOptions(NamedTuple):
+    fmt: str = "markdown"          # markdown | text | html | clean
+    readable: bool = False
+    raw: bool = False
+    prune: bool = True
+    max_tokens: int = 0
+    chunk: bool = True
+    chunk_max_tokens: int = 512
+    chunk_overlap: int = 50
+
+
+DEFAULT_OPTIONS = ExtractOptions()
+
+_XML_SNIFF_RE = re.compile(r"^\s*<\?xml|^\s*<(rss|feed)[\s>]", re.I)
+_URL_RE = re.compile(r"https?://[^\s\"'`,\]})]+")
+
+
+def detect_content_type(url: str, payload: bytes) -> str:
+    """Magic-byte/sniff routing (detectContentType without HTTP headers)."""
+    if is_pdf_bytes(payload):
+        return "document"
+    url_lower = url.lower()
+    if url_lower.endswith(".pdf") or url_lower.endswith(".docx"):
+        return "document"
+    if any(url_lower.endswith(ext) for ext in
+           (".png", ".jpg", ".jpeg", ".gif", ".webp", ".tiff", ".tif", ".bmp")):
+        return "image"
+    text = payload.decode("utf-8", errors="replace")
+    stripped = text.lstrip()
+    if _XML_SNIFF_RE.match(text):
+        return "xml"
+    if stripped.startswith("<"):
+        return "html"
+    if stripped[:1] in ("{", "["):
+        try:
+            json.loads(text)
+            return "json"
+        except Exception:
+            pass
+    return "text"
+
+
+def _sha256(text: str) -> str:
+    return hashlib.sha256(text.encode("utf-8")).hexdigest()
+
+
+def _empty_result(url: str) -> Dict[str, Any]:
+    return {
+        "url": url, "status": "ok", "error": None, "branch": "html",
+        "extractor": "", "title": "", "content": "", "description": None,
+        "author": None, "published": None, "language": None, "canonical": None,
+        "image": None, "word_count": 0, "token_estimate": 0, "quality": 0.0,
+        "links": [], "link_count": 0, "chunks": [], "fingerprint": _sha256(""),
+        "content_len": 0, "html_len": 0, "pruned_percent": 0, "method": "generic",
+    }
+
+
+def extract_page(url: str, payload: bytes,
+                 options: ExtractOptions = DEFAULT_OPTIONS) -> Dict[str, Any]:
+    """Extract one stored page.  Never raises — per-row error isolation
+    (peelBatch semantics, index.ts:277-313: errors become error rows)."""
+    try:
+        return _extract_page_inner(url, payload, options)
+    except Exception as e:  # noqa: BLE001 — isolate any row failure
+        result = _empty_result(url)
+        result["status"] = "error"
+        result["error"] = f"{type(e).__name__}: {e}"
+        return result
+
+
+def _extract_page_inner(url: str, payload: bytes,
+                        options: ExtractOptions) -> Dict[str, Any]:
+    result = _empty_result(url)
+    content_type = detect_content_type(url, payload)
+    result["html_len"] = len(payload)
+
+    if content_type == "document":
+        return _pdf_branch(url, payload, options, result)
+    if content_type == "image":
+        # OCR branch (pipeline.ts:862-877) — no OCR engine in this
+        # environment; emit the reference's "no text" shape.
+        result["branch"] = "image"
+        result["content"] = "# OCR Text Extraction\n\n*(No text detected in image)*"
+        result["quality"] = 0.1
+        return _finish(result, options)
+
+    text = payload.decode("utf-8", errors="replace")
+
+    if content_type == "json":
+        return _json_branch(url, text, options, result)
+    if content_type == "xml":
+        return _xml_branch(url, text, options, result)
+    if content_type == "text":
+        result["branch"] = "text"
+        result["content"] = text
+        result["title"] = url.split("/")[-1] or "Text Document"
+        result["links"] = list(dict.fromkeys(_URL_RE.findall(text)))
+        result["quality"] = 1.0
+        result["language"] = detect_language_ngram(text)
+        return _finish(result, options)
+
+    return _html_branch(url, text, options, result)
+
+
+def _pdf_branch(url: str, payload: bytes, options: ExtractOptions,
+                result: Dict[str, Any]) -> Dict[str, Any]:
+    result["branch"] = "pdf"
+    dd = pdf_extract_result(payload, url)
+    if dd is None:
+        result["status"] = "error"
+        result["error"] = "PDF parsing failed"
+        return result
+    result["content"] = dd.clean_content
+    result["title"] = str(dd.structured.get("title") or "")
+    result["author"] = dd.structured.get("author") or None
+    result["extractor"] = "pdf"
+    result["method"] = "pdf"
+    result["quality"] = 1.0  # documents are inherently structured (pipeline.ts:891)
+    result["language"] = detect_language_ngram(dd.clean_content)
+    return _finish(result, options)
+
+
+def _json_branch(url: str, text: str, options: ExtractOptions,
+                 result: Dict[str, Any]) -> Dict[str, Any]:
+    result["branch"] = "json"
+    try:
+        parsed = json.loads(text)
+        result["content"] = json.dumps(parsed, indent=2, ensure_ascii=False)
+        result["title"] = "JSON Response"
+        result["links"] = list(dict.fromkeys(_URL_RE.findall(result["content"])))
+    except Exception:
+        result["content"] = text
+        result["title"] = "JSON Response (malformed)"
+    result["quality"] = 1.0
+    return _finish(result, options)
+
+
+def _xml_branch(url: str, text: str, options: ExtractOptions,
+                result: Dict[str, Any]) -> Dict[str, Any]:
+    result["branch"] = "xml"
+    try:
+        root = parse_xml(text)
+        items = select(root, "item, entry")
+        if items:
+            title_el = select_first(root, "channel > title, feed > title")
+            result["title"] = (title_el.text().strip() if title_el is not None else "") or "RSS/Atom Feed"
+            feed_items: List[str] = []
+            links: List[str] = []
+            for el in items:
+                item_title_el = next((e for e in el.iter_elements() if e.tag == "title"), None)
+                item_title = item_title_el.text().strip() if item_title_el is not None else ""
+                link_el = next((e for e in el.iter_elements() if e.tag == "link"), None)
+                item_link = ""
+                if link_el is not None:
+                    item_link = link_el.text().strip() or (link_el.get("href") or "")
+                desc_el = next(
+                    (e for e in el.iter_elements() if e.tag in ("description", "summary", "content")),
+                    None,
+                )
+                item_desc = (desc_el.text().strip() if desc_el is not None else "")[:200]
+                feed_items.append(f"## {item_title}\n{item_link}\n{item_desc}")
+                if item_link:
+                    links.append(item_link)
+            result["content"] = f"# {result['title']}\n\n" + "\n\n---\n\n".join(feed_items)
+            result["links"] = links
+        else:
+            result["content"] = text
+            title_el = select_first(root, "title")
+            result["title"] = (title_el.text().strip() if title_el is not None else "") or "XML Document"
+    except Exception:
+        result["content"] = text
+        result["title"] = "XML Document"
+    result["quality"] = 0.9
+    return _finish(result, options)
+
+
+def _html_branch(url: str, html: str, options: ExtractOptions,
+                 result: Dict[str, Any]) -> Dict[str, Any]:
+    result["branch"] = "html"
+
+    # metadata + links always extracted from the original HTML
+    title, meta = extract_metadata(html, url)
+    html_for_links = html[:100000] if len(html) > 100000 else html
+    links = extract_links(html_for_links, url)
+    result["title"] = title
+    result["description"] = meta.description
+    result["author"] = meta.author
+    result["published"] = meta.publish_date or meta.published
+    result["language"] = meta.language or detect_language_from_url(url)
+    result["canonical"] = meta.canonical
+    result["image"] = meta.image
+    result["links"] = links
+
+    # Domain-extractor pass — extractor result wins (pipeline.ts:1363-1387)
+    dd = extract_domain_data(html, url)
+    if dd is not None and dd.type != "pdf":
+        result["content"] = dd.clean_content
+        result["extractor"] = dd.domain
+        result["method"] = "domain"
+        if dd.structured.get("title"):
+            result["title"] = str(dd.structured["title"])
+        result["quality"] = 0.9
+        if not result["language"]:
+            result["language"] = detect_language_ngram(dd.clean_content)
+        return _finish(result, options)
+
+    # JSON-LD first-class gate (pipeline.ts:914-939)
+    if not options.raw:
+        jl = extract_jsonld(html)
+        if jl is not None and jl.found and len(jl.content) > 100:
+            result["content"] = jl.content
+            result["title"] = jl.title or result["title"]
+            result["method"] = "jsonld:" + jl.type
+            result["quality"] = 0.95
+            if not result["language"]:
+                result["language"] = detect_language_ngram(jl.content)
+            return _finish(result, options)
+
+    # Readable fast-path (pipeline.ts:944-989) with <15%-of-body veto
+    if options.readable and not options.raw:
+        read = extract_readable_content(html, url)
+        html_text_len = len(re.sub(r"\s+", " ", re.sub(r"<[^>]+>", "", html)).strip())
+        readable_len = len(read.content or "")
+        failed = html_text_len > 2000 and readable_len > 0 and readable_len < html_text_len * 0.15
+        if not failed:
+            result["content"] = read.content
+            result["title"] = read.title or result["title"]
+            result["author"] = read.author or result["author"]
+            result["published"] = read.date or result["published"]
+            result["language"] = read.language or result["language"]
+            result["method"] = "readability"
+            result["quality"] = 0.95 if len(read.content) > 200 else 0.5
+            return _finish(result, options)
+
+    # Standard path: main-content detection → prune (≥20KB) → convert
+    content_html = html
+    detected = False
+    if not options.raw:
+        content_html, detected = md.detect_main_content(html)
+
+    pruned_percent = 0
+    if options.fmt == "markdown" and options.prune and len(content_html) >= 20000:
+        pr = md.prune_content(content_html, dynamic=True)
+        content_html = pr.html
+        if pr.nodes_removed > 0:
+            pruned_percent = pr.reduction_percent
+    result["pruned_percent"] = pruned_percent
+
+    if options.fmt == "html":
+        converted = content_html
+    elif options.fmt == "text":
+        converted = md.html_to_text(content_html)
+    elif options.fmt == "clean":
+        converted = md.clean_for_ai(md.html_to_markdown(content_html, raw=options.raw, prune=False))
+    else:
+        converted = md.html_to_markdown(content_html, raw=options.raw, prune=False)
+
+    if options.fmt == "markdown":
+        converted = md.clean_markdown_noise(converted)
+        from .pruner import prune_markdown
+        converted = prune_markdown(converted)
+
+    result["content"] = converted
+    result["method"] = "detected" if detected else "generic"
+    result["quality"] = md.calculate_quality(converted, html)
+    if not result["language"]:
+        result["language"] = detect_language_ngram(converted)
+    return _finish(result, options)
+
+
+def _finish(result: Dict[str, Any], options: ExtractOptions) -> Dict[str, Any]:
+    content = result["content"]
+    if options.max_tokens and options.max_tokens > 0:
+        content = md.truncate_to_token_budget(content, options.max_tokens)
+        result["content"] = content
+
+    plain = re.sub(r"\s+", " ", re.sub(r"[#*_`\[\]\(\)>|-]", " ", content)).strip()
+    result["word_count"] = len([w for w in plain.split() if w])
+    result["token_estimate"] = md.estimate_tokens(content)
+    result["link_count"] = len(result["links"])
+    result["content_len"] = len(content)
+    result["fingerprint"] = _sha256(content)
+
+    if options.chunk and content:
+        chunks = chunk_content(content, options.chunk_max_tokens, options.chunk_overlap)
+        result["chunks"] = [
+            {
+                "index": c.index,
+                "text": c.text,
+                "token_count": c.token_count,
+                "word_count": c.word_count,
+                "section": c.section,
+                "section_depth": c.section_depth,
+                "start_offset": c.start_offset,
+                "end_offset": c.end_offset,
+            }
+            for c in chunks
+        ]
+    return result
