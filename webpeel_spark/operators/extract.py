@@ -1,0 +1,130 @@
+"""The extraction operator — one Arrow-batched ``mapInPandas`` stage.
+
+North-rule core (BASELINE.json): a single vectorized pandas/Arrow UDF
+stage that takes ``(url, html:binary)`` rows and emits the full
+extraction envelope (cleaned main-content markdown, metadata chains,
+links, quality, spans).  The per-row logic is the pure layer
+(webpeel_spark.pure.pipeline.extract_page — reference parity cited
+there); this module is only Spark wiring:
+
+* column pruning — only ``url`` and ``html`` feed the UDF; Catalyst
+  prunes the parquet scan to those columns (check ``ReadSchema`` in
+  ``.explain``).
+* explicit ``repartition(n, xxhash64(url))`` — uniform spread of
+  documents over executors regardless of host skew (URL hash is
+  uniform even when hosts are Zipf-heavy).
+* per-row error isolation — a bad document yields a ``status='error'``
+  row, never a task failure (peelBatch semantics, index.ts:277-313).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType, DoubleType, IntegerType, LongType, StringType, StructField,
+    StructType,
+)
+
+CHUNK_SCHEMA = StructType([
+    StructField("index", IntegerType()),
+    StructField("text", StringType()),
+    StructField("token_count", IntegerType()),
+    StructField("word_count", IntegerType()),
+    StructField("section", StringType()),
+    StructField("section_depth", IntegerType()),
+    StructField("start_offset", LongType()),
+    StructField("end_offset", LongType()),
+])
+
+EXTRACT_SCHEMA = StructType([
+    StructField("url", StringType(), False),
+    StructField("status", StringType(), False),
+    StructField("error", StringType(), True),
+    StructField("branch", StringType(), False),
+    StructField("extractor", StringType(), False),
+    StructField("method", StringType(), False),
+    StructField("title", StringType(), True),
+    StructField("content", StringType(), True),
+    StructField("description", StringType(), True),
+    StructField("author", StringType(), True),
+    StructField("published", StringType(), True),
+    StructField("language", StringType(), True),
+    StructField("canonical", StringType(), True),
+    StructField("image", StringType(), True),
+    StructField("word_count", IntegerType(), False),
+    StructField("token_estimate", IntegerType(), False),
+    StructField("quality", DoubleType(), False),
+    StructField("links", ArrayType(StringType()), False),
+    StructField("link_count", IntegerType(), False),
+    StructField("chunks", ArrayType(CHUNK_SCHEMA), False),
+    StructField("fingerprint", StringType(), False),
+    StructField("content_len", LongType(), False),
+    StructField("html_len", LongType(), False),
+    StructField("pruned_percent", IntegerType(), False),
+])
+
+_COLUMNS = [f.name for f in EXTRACT_SCHEMA.fields]
+
+
+def _make_extract_fn(options_tuple):
+    """Build the batch function with options captured in the closure.
+
+    Imports happen inside so executors resolve webpeel_spark from
+    --py-files; module state (compiled regexes, selector cache) is
+    initialized once per worker and amortized over all Arrow batches
+    (the Spark analog of the reference's singleton TurndownService,
+    markdown.ts:538-578).
+    """
+
+    def extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from webpeel_spark.pure.pipeline import ExtractOptions, extract_page
+
+        options = ExtractOptions(*options_tuple)
+        for pdf in batches:
+            urls = pdf["url"].tolist()
+            payloads = pdf["html"].tolist()
+            rows = []
+            for url, payload in zip(urls, payloads):
+                if payload is None:
+                    payload = b""
+                elif isinstance(payload, memoryview):
+                    payload = payload.tobytes()
+                r = extract_page(url, payload, options)
+                rows.append(tuple(r[c] for c in _COLUMNS))
+            yield pd.DataFrame(rows, columns=_COLUMNS)
+
+    return extract_batches
+
+
+def extract_pages(df: DataFrame, options=None,
+                  num_partitions: Optional[int] = None) -> DataFrame:
+    """Run the extraction UDF stage over a pages DataFrame.
+
+    ``df`` must have ``url:string`` and ``html:binary`` columns; all
+    others are pruned before the UDF (keeps Arrow transfer minimal).
+    """
+    from webpeel_spark.pure.pipeline import DEFAULT_OPTIONS
+
+    if options is None:
+        options = DEFAULT_OPTIONS
+    pruned = df.select("url", "html")
+    if num_partitions:
+        pruned = pruned.repartition(num_partitions, F.xxhash64("url"))
+    return pruned.mapInPandas(_make_extract_fn(tuple(options)), EXTRACT_SCHEMA)
+
+
+def extraction_metrics(result: DataFrame) -> DataFrame:
+    """Job-level rollup (cleaning-stats analog, markdown.ts:59-157):
+    hash-agg with partial+final combine — all built-in Catalyst."""
+    return result.groupBy("branch", "status").agg(
+        F.count("*").alias("docs"),
+        F.sum("token_estimate").alias("tokens"),
+        F.avg("quality").alias("avg_quality"),
+        F.sum("content_len").alias("content_bytes"),
+        F.sum("html_len").alias("input_bytes"),
+        F.avg("pruned_percent").alias("avg_pruned_pct"),
+    )

@@ -1,0 +1,140 @@
+"""Checkpointed, resumable extraction runs with per-partition lineage.
+
+North-rule: "resumable from checkpoint with per-partition lineage +
+metrics … any run resumes idempotently via Iceberg MERGE".  Model is the
+reference's CrawlCheckpoint (crawl-checkpoint.ts:10-29: jobId, completed
+map, pending) re-expressed as a *progress table*:
+
+    progress(run_id, bucket, row_count, ok_count, error_count,
+             token_sum, completed_at_ts)
+
+Work is split into ``num_buckets`` url-hash buckets
+(``pmod(xxhash64(url), num_buckets)``) — the unit of resume.  A run:
+
+1. reads the progress table (if any) and LEFT ANTI-joins completed
+   buckets out of the input — the Spark equivalent of the reference's
+   "skip URLs in completed map" (crawl-checkpoint.ts:76-89);
+2. processes remaining buckets in groups, appending output parquet
+   partitioned by bucket + one progress row per bucket, so a crash
+   loses at most one bucket group;
+3. re-running with the same run_id is idempotent: completed buckets are
+   skipped, and output directories are overwritten per-bucket
+   (dynamic partition overwrite ≙ MERGE by partition key).
+
+On an Iceberg deployment the two appends become ``MERGE INTO`` on
+(run_id, bucket); parquet + dynamic-partition-overwrite gives the same
+idempotency contract in this sandbox (no Iceberg runtime jars here).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import List, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.extract import extract_pages
+
+PROGRESS_SCHEMA = (
+    "run_id string, bucket int, row_count long, ok_count long, "
+    "error_count long, token_sum long, completed_at_ts double"
+)
+
+
+def _progress_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "_progress")
+
+
+def read_progress(spark: SparkSession, out_dir: str) -> Optional[DataFrame]:
+    path = _progress_path(out_dir)
+    try:
+        return spark.read.schema(PROGRESS_SCHEMA).parquet(path)
+    except Exception:
+        return None
+
+
+def completed_buckets(spark: SparkSession, out_dir: str, run_id: str) -> List[int]:
+    progress = read_progress(spark, out_dir)
+    if progress is None:
+        return []
+    rows = (
+        progress.filter(F.col("run_id") == run_id)
+        .select("bucket").distinct().collect()
+    )
+    return sorted(r["bucket"] for r in rows)
+
+
+def run_extraction_checkpointed(
+    spark: SparkSession,
+    pages: DataFrame,
+    out_dir: str,
+    run_id: str,
+    num_buckets: int = 16,
+    buckets_per_commit: int = 4,
+    options=None,
+    num_partitions: Optional[int] = None,
+) -> dict:
+    """Run (or resume) a checkpointed extraction job.
+
+    Returns summary dict with buckets processed/skipped and row counts.
+    At cluster scale ``num_buckets`` is sized so one bucket ≈ minutes of
+    work (e.g. 4096 buckets for 10^12 rows); here it stays small.
+    """
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    out_data = os.path.join(out_dir, "data")
+    done = set(completed_buckets(spark, out_dir, run_id))
+    all_buckets = [b for b in range(num_buckets) if b not in done]
+
+    bucketed = pages.withColumn(
+        "bucket", F.pmod(F.xxhash64("url"), F.lit(num_buckets)).cast("int")
+    )
+
+    summary = {"run_id": run_id, "skipped_buckets": sorted(done),
+               "processed_buckets": [], "rows": 0, "errors": 0}
+
+    for start in range(0, len(all_buckets), buckets_per_commit):
+        group = all_buckets[start : start + buckets_per_commit]
+        subset = bucketed.filter(F.col("bucket").isin(group))
+        extracted = extract_pages(
+            subset.select("url", "html"), options=options,
+            num_partitions=num_partitions,
+        ).withColumn(
+            "bucket", F.pmod(F.xxhash64("url"), F.lit(num_buckets)).cast("int")
+        )
+        extracted = extracted.cache()
+        try:
+            # lineage metrics per bucket — one hash-agg
+            stats = (
+                extracted.groupBy("bucket").agg(
+                    F.count("*").alias("row_count"),
+                    F.sum(F.when(F.col("status") == "ok", 1).otherwise(0)).alias("ok_count"),
+                    F.sum(F.when(F.col("status") == "error", 1).otherwise(0)).alias("error_count"),
+                    F.sum("token_estimate").alias("token_sum"),
+                ).collect()
+            )
+            (
+                extracted.drop("chunks")  # keep the progress-run output slim
+                .write.mode("overwrite")
+                .partitionBy("bucket")
+                .parquet(out_data)
+            )
+            now = time.time()
+            progress_rows = [
+                (run_id, int(r["bucket"]), int(r["row_count"]), int(r["ok_count"]),
+                 int(r["error_count"]), int(r["token_sum"] or 0), now)
+                for r in stats
+            ]
+            if progress_rows:
+                spark.createDataFrame(progress_rows, PROGRESS_SCHEMA) \
+                    .coalesce(1).write.mode("append").parquet(_progress_path(out_dir))
+            for r in stats:
+                summary["processed_buckets"].append(int(r["bucket"]))
+                summary["rows"] += int(r["row_count"])
+                summary["errors"] += int(r["error_count"])
+        finally:
+            extracted.unpersist()
+
+    summary["processed_buckets"].sort()
+    return summary

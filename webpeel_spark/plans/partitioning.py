@@ -1,0 +1,102 @@
+"""Partitioning, skew and salting strategies.
+
+North-rule requirements: explicit repartitioning by hash(url) with
+salting for skewed hosts, AQE-managed shuffles.  At 10^12 documents a
+handful of hosts (wikipedia, amazon, …) dominate a Common-Crawl-style
+table; any *host-keyed* shuffle (per-host stats, host-keyed joins)
+hot-spots without salting.  Document-keyed work does NOT need salting —
+``xxhash64(url)`` is uniform — so the extraction stage itself
+repartitions by url hash only (operators/extract.py).
+
+This module provides the host-keyed machinery:
+
+* ``url_host`` — host from url via built-in ``parse_url`` (JVM-side).
+* ``find_hot_hosts`` — pre-pass hash-agg ``groupBy(host).count()``
+  returning hosts above a frequency threshold (a real partial+final
+  combine; the result is a tiny driver-side list → broadcast).
+* ``with_salted_host`` — composite key ``(host, salt)`` where salt is
+  ``pmod(xxhash64(url), k)`` for hot hosts and 0 otherwise.
+* ``salted_host_agg`` — two-stage aggregation: partial by (host, salt),
+  final by host.  Turns one k-times-skewed reducer into k uniform ones.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def url_host(col: str = "url"):
+    return F.lower(F.parse_url(F.col(col), F.lit("HOST")))
+
+
+def repartition_by_url(df: DataFrame, num_partitions: int) -> DataFrame:
+    """Explicit uniform repartition on xxhash64(url)."""
+    return df.repartition(num_partitions, F.xxhash64("url"))
+
+
+def find_hot_hosts(df: DataFrame, threshold_fraction: float = 0.01,
+                   url_col: str = "url") -> List[str]:
+    """Hosts holding more than ``threshold_fraction`` of all rows.
+
+    One shuffle (hash-agg w/ map-side combine); output is tiny.
+    """
+    total = df.count()
+    if total == 0:
+        return []
+    threshold = max(1, int(total * threshold_fraction))
+    rows = (
+        df.select(url_host(url_col).alias("host"))
+        .groupBy("host").count()
+        .filter(F.col("count") > threshold)
+        .collect()
+    )
+    return [r["host"] for r in rows if r["host"]]
+
+
+def with_salted_host(df: DataFrame, hot_hosts: Sequence[str], k: int = 16,
+                     url_col: str = "url") -> DataFrame:
+    """Add ``host`` and ``salt`` columns; salt spreads hot hosts over k keys.
+
+    ``hot_hosts`` is a small driver-side list — it reaches executors as a
+    literal array (broadcast-equivalent for a ≤thousands-entry dim).
+    """
+    host = url_host(url_col)
+    if hot_hosts:
+        is_hot = host.isin(list(hot_hosts))
+    else:
+        is_hot = F.lit(False)
+    salt = F.when(is_hot, F.pmod(F.xxhash64(F.col(url_col)), F.lit(k))).otherwise(F.lit(0))
+    return df.withColumn("host", host).withColumn("salt", salt.cast("int"))
+
+
+def salted_host_agg(df: DataFrame, agg_exprs: dict, hot_hosts: Sequence[str],
+                    k: int = 16, url_col: str = "url") -> DataFrame:
+    """Two-stage skew-safe per-host aggregation.
+
+    ``agg_exprs`` maps output column → ('sum'|'count'|'max'|'min', input col).
+    Stage 1 groups by (host, salt) — hot hosts split k ways; stage 2
+    combines partials by host.  avg = sum/count composed by the caller.
+    """
+    salted = with_salted_host(df, hot_hosts, k, url_col)
+    partial_aggs = []
+    final_aggs = []
+    for out, (fn, col) in agg_exprs.items():
+        if fn == "count":
+            partial_aggs.append(F.count(col if col != "*" else F.lit(1)).alias(out))
+            final_aggs.append(F.sum(out).alias(out))
+        elif fn == "sum":
+            partial_aggs.append(F.sum(col).alias(out))
+            final_aggs.append(F.sum(out).alias(out))
+        elif fn == "max":
+            partial_aggs.append(F.max(col).alias(out))
+            final_aggs.append(F.max(out).alias(out))
+        elif fn == "min":
+            partial_aggs.append(F.min(col).alias(out))
+            final_aggs.append(F.min(out).alias(out))
+        else:
+            raise ValueError(f"unsupported agg {fn}")
+    partial = salted.groupBy("host", "salt").agg(*partial_aggs)
+    return partial.groupBy("host").agg(*final_aggs)
