@@ -1,0 +1,117 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark at sf0.01 and, where an
+``oracle_sql()`` entry exists, the same SQL on DuckDB over the parquet
+tables; compares row count + order-insensitive value hash with columns
+sorted by name (floats normalized to 6 significant decimals).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+import __spark_entry__ as entrymod
+from webpeel_spark.session import get_spark
+
+SF_DIR = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
+TABLES = ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split()
+
+
+def _norm(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return str(v).lower()
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return f"{v:.6g}"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_norm(x) for x in v) + "]"
+    return str(v)
+
+
+def value_hash(rows, columns):
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    lines = sorted(
+        "\x1f".join(_norm(row[i]) for i in order) for row in rows
+    )
+    h = hashlib.sha256()
+    for line in lines:
+        h.update(line.encode("utf-8"))
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+def main() -> int:
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(SF_DIR, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+
+    spark = get_spark(cores=8)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = 0
+    only = sys.argv[1:] or None
+
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, SF_DIR)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            print(f"FAIL  {name}: spark error {type(e).__name__}: {e}")
+            failures += 1
+            continue
+        if name not in oracles:
+            print(f"rows  {name}: {len(srows)} rows (rows-only check)")
+            continue
+        try:
+            cur = con.execute(oracles[name])
+            ocols = [d[0] for d in cur.description]
+            orows = cur.fetchall()
+        except Exception as e:
+            print(f"FAIL  {name}: duckdb error {e}")
+            failures += 1
+            continue
+        ok_count = len(srows) == len(orows)
+        ok_schema = sorted(c.lower() for c in scols) == sorted(c.lower() for c in ocols)
+        sh = value_hash(srows, [c.lower() for c in scols])
+        oh = value_hash(orows, [c.lower() for c in ocols])
+        ok_hash = sh == oh
+        status = "OK   " if (ok_count and ok_schema and ok_hash) else "FAIL "
+        if status.startswith("FAIL"):
+            failures += 1
+        print(f"{status} {name}: rows {len(srows)}/{len(orows)} "
+              f"schema={'Y' if ok_schema else 'N'} hash={'Y' if ok_hash else 'N'}")
+        if not ok_hash and ok_count and ok_schema:
+            order = sorted(range(len(scols)), key=lambda i: scols[i].lower())
+            oorder = sorted(range(len(ocols)), key=lambda i: ocols[i].lower())
+            sset = sorted("\x1f".join(_norm(r[i]) for i in order) for r in srows)
+            oset = sorted("\x1f".join(_norm(r[i]) for i in oorder) for r in orows)
+            for a, b in zip(sset, oset):
+                if a != b:
+                    print(f"   spark : {a[:160]}")
+                    print(f"   oracle: {b[:160]}")
+                    break
+    spark.stop()
+    print("failures:", failures)
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
