@@ -1,0 +1,152 @@
+"""DOM parser + selector engine tests."""
+
+from webpeel_spark.dom import (
+    Node, parse_html, parse_fragment, parse_xml, select, select_first,
+    document_body,
+)
+
+
+class TestParser:
+    def test_basic_structure(self):
+        root = parse_html("<html><head><title>T</title></head><body><p>x</p></body></html>")
+        body = document_body(root)
+        assert body is not None
+        assert body.element_children()[0].tag == "p"
+
+    def test_structure_synthesized(self):
+        root = parse_html("<p>bare paragraph</p>")
+        body = document_body(root)
+        assert body is not None and "bare paragraph" in body.text()
+
+    def test_head_content_placed(self):
+        root = parse_html("<title>T</title><p>b</p>")
+        assert select_first(root, "head title") is not None
+        assert select_first(root, "body p") is not None
+
+    def test_void_tags(self):
+        root = parse_html("<body><img src='x.png'><br><p>after</p></body>")
+        body = document_body(root)
+        tags = [c.tag for c in body.element_children()]
+        assert tags == ["img", "br", "p"]
+
+    def test_p_autoclose(self):
+        root = parse_html("<body><p>one<p>two</body>")
+        ps = select(root, "p")
+        assert len(ps) == 2
+        assert ps[0].text() == "one"
+
+    def test_li_autoclose(self):
+        root = parse_html("<body><ul><li>a<li>b<li>c</ul></body>")
+        assert [li.text() for li in select(root, "li")] == ["a", "b", "c"]
+
+    def test_table_autoclose(self):
+        root = parse_html("<table><tr><td>a<td>b<tr><td>c</table>")
+        assert len(select(root, "tr")) == 2
+        assert len(select(root, "td")) == 3
+
+    def test_stray_end_tag_ignored(self):
+        root = parse_html("<body><p>x</p></div></body>")
+        assert select_first(root, "p").text() == "x"
+
+    def test_script_raw_text(self):
+        root = parse_html("<body><script>if (a < b) { x(); }</script></body>")
+        assert "a < b" in select_first(root, "script").text()
+
+    def test_entities_decoded(self):
+        root = parse_html("<body><p>a &amp; b &lt;c&gt;</p></body>")
+        assert select_first(root, "p").text() == "a & b <c>"
+
+    def test_serialization_roundtrip(self):
+        root = parse_html('<body><div class="x"><p>hi</p></div></body>')
+        assert '<div class="x"><p>hi</p></div>' in document_body(root).html()
+
+    def test_remove_and_replace(self):
+        root = parse_html("<body><div id='a'>x</div><div id='b'>y</div></body>")
+        select_first(root, "#a").remove()
+        assert select_first(root, "#a") is None
+        select_first(root, "#b").replace_with_html("<span>z</span>")
+        assert select_first(root, "span").text() == "z"
+
+    def test_clone_independent(self):
+        root = parse_html("<body><div><p>x</p></div></body>")
+        div = select_first(root, "div")
+        clone = div.clone()
+        clone.children.clear()
+        assert select_first(root, "p") is not None
+
+    def test_xml_mode_link_not_void(self):
+        root = parse_xml("<rss><item><link>https://a.com</link></item></rss>")
+        assert select_first(root, "link").text() == "https://a.com"
+
+
+class TestSelectors:
+    HTML = """
+    <body>
+      <nav role="navigation"><a href="/x">x</a></nav>
+      <div class="sidebar wide" id="side"><span>s</span></div>
+      <article role="main">
+        <p class="lead">first</p>
+        <p>second</p>
+        <a href="https://a.com" title="t">link</a>
+      </article>
+      <div class="ad-banner"></div>
+      <p></p>
+      <meta property="og:title" content="T">
+      <div class="author authority">bad</div>
+      <div class="author">good</div>
+    </body>
+    """
+
+    def setup_method(self):
+        self.root = parse_html(self.HTML)
+
+    def test_tag(self):
+        assert len(select(self.root, "p")) == 3
+
+    def test_class(self):
+        assert select_first(self.root, ".sidebar").get("id") == "side"
+
+    def test_compound_class(self):
+        assert select_first(self.root, "div.sidebar.wide") is not None
+        assert select_first(self.root, "div.sidebar.narrow") is None
+
+    def test_id(self):
+        assert select_first(self.root, "#side") is not None
+
+    def test_attr_presence(self):
+        assert select_first(self.root, "a[href]") is not None
+        assert select_first(self.root, "a[download]") is None
+
+    def test_attr_equals(self):
+        assert select_first(self.root, '[role="main"]').tag == "article"
+
+    def test_attr_contains(self):
+        assert select_first(self.root, '[class*="side"]') is not None
+        assert select_first(self.root, '[class*="ad-"]') is not None
+
+    def test_descendant(self):
+        assert select_first(self.root, "article p").text() == "first"
+
+    def test_child(self):
+        assert select_first(self.root, "article > p") is not None
+        assert select_first(self.root, "body > span") is None
+
+    def test_comma(self):
+        assert len(select(self.root, "nav, article")) == 2
+
+    def test_empty_pseudo(self):
+        empties = select(self.root, "p:empty, div:empty")
+        assert len(empties) == 2
+
+    def test_not_pseudo(self):
+        els = select(self.root, '.author:not([class*="authority"])')
+        assert len(els) == 1
+        assert els[0].text() == "good"
+
+    def test_meta_property(self):
+        el = select_first(self.root, 'meta[property="og:title"]')
+        assert el.get("content") == "T"
+
+    def test_document_order(self):
+        tags = [e.tag for e in select(self.root, "nav, .sidebar, article")]
+        assert tags == ["nav", "div", "article"]

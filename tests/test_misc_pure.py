@@ -1,0 +1,174 @@
+"""Chunker, PDF, language-detect and domain-extractor tests."""
+
+import pytest
+
+from webpeel_spark.pure.chunker import chunk_content
+from webpeel_spark.pure.langdetect import (
+    detect_language_from_url,
+    detect_language_ngram,
+)
+from webpeel_spark.pure.pdfextract import (
+    extract_pdf,
+    is_pdf_bytes,
+    make_pdf,
+    normalize_pdf_text,
+)
+from webpeel_spark.pure.extractors import (
+    extract_domain_data,
+    get_domain_extractor,
+)
+from webpeel_spark.pure.extractors.wikipedia import (
+    clean_wikipedia_content,
+    extract_wikitables,
+)
+
+
+class TestChunker:
+    def test_section_strategy(self):
+        md = "# A\n\n" + "text one. " * 30 + "\n\n## B\n\n" + "text two. " * 30
+        chunks = chunk_content(md)
+        assert len(chunks) == 2
+        assert chunks[0].section == "A" and chunks[0].section_depth == 1
+        assert chunks[1].section == "B" and chunks[1].section_depth == 2
+        assert chunks[0].index == 0 and chunks[1].index == 1
+
+    def test_large_section_split_with_overlap(self):
+        md = "# T\n\n" + "\n\n".join("para %d %s" % (i, "w " * 300) for i in range(6))
+        chunks = chunk_content(md, max_tokens=200, overlap=20)
+        assert len(chunks) > 1
+        assert all(c.section == "T" for c in chunks)
+
+    def test_fixed_strategy(self):
+        md = "x" * 5000
+        chunks = chunk_content(md, max_tokens=256, overlap=32, strategy="fixed")
+        assert len(chunks) >= 5
+        assert chunks[0].start_offset == 0
+
+    def test_paragraph_strategy_tracks_heading(self):
+        md = "## Sec\n\n" + "\n\n".join(f"p{i} " + "w " * 100 for i in range(5))
+        chunks = chunk_content(md, max_tokens=120, strategy="paragraph")
+        assert any(c.section == "Sec" for c in chunks)
+
+    def test_empty(self):
+        assert chunk_content("") == []
+
+
+class TestPdf:
+    def test_roundtrip(self):
+        pdf = make_pdf([["Line one.", "Line two."], ["Second page."]],
+                       title="Doc", author="Au")
+        assert is_pdf_bytes(pdf)
+        r = extract_pdf(pdf)
+        assert r.pages == 2
+        assert r.metadata["title"] == "Doc"
+        assert r.metadata["author"] == "Au"
+        assert "Line one." in r.text and "Second page." in r.text
+
+    def test_uncompressed_variant(self):
+        pdf = make_pdf([["Plain stream text."]], compress=False)
+        assert "Plain stream text." in extract_pdf(pdf).text
+
+    def test_escapes(self):
+        pdf = make_pdf([["Parens (here) and back\\slash."]])
+        assert "Parens (here) and back\\slash." in extract_pdf(pdf).text
+
+    def test_not_pdf_raises(self):
+        with pytest.raises(ValueError):
+            extract_pdf(b"<html>not a pdf</html>")
+
+    def test_normalize(self):
+        assert normalize_pdf_text("a\r\n\n\n\nb  \t c") == "a\n\nb c"
+
+
+class TestLangDetect:
+    def test_cctld(self):
+        assert detect_language_from_url("https://example.jp/x") == "ja"
+        assert detect_language_from_url("https://example.co.jp/x") == "ja"
+        assert detect_language_from_url("https://example.com/x") is None
+        assert detect_language_from_url("https://example.ar/x") == "es"  # Argentina quirk
+        assert detect_language_from_url("not a url") is None
+
+    def test_ngram_latin(self):
+        assert detect_language_ngram("the cat is on the mat and it is warm for now") == "en"
+        assert detect_language_ngram("el gato está en la casa de los vecinos por una hora") == "es"
+        assert detect_language_ngram("der Hund ist auf der Straße und das ist gut für ihn") == "de"
+
+    def test_ngram_scripts(self):
+        assert detect_language_ngram("这是一个中文句子，用来测试语言识别功能。") == "zh"
+        assert detect_language_ngram("これは日本語のテストです。ひらがなとカタカナ。") == "ja"
+        assert detect_language_ngram("Это русский текст для проверки определения языка.") == "ru"
+
+    def test_und(self):
+        assert detect_language_ngram("") == "und"
+        assert detect_language_ngram("12345 67890 !!!") == "und"
+
+
+class TestDomainExtractors:
+    def test_registry_dispatch(self):
+        assert get_domain_extractor("https://www.amazon.com/dp/B000000001") is not None
+        assert get_domain_extractor("https://medium.com/@u/post") is not None
+        assert get_domain_extractor("https://en.wikipedia.org/wiki/X") is not None
+        assert get_domain_extractor("https://example.com/a.pdf") is not None
+        assert get_domain_extractor("https://random.example.com/") is None
+
+    def test_amazon(self):
+        html = (
+            '<html><head><script type="application/ld+json">'
+            '{"@type":"Product","name":"Widget","description":"Nice widget here",'
+            '"aggregateRating":{"ratingValue":4.7,"reviewCount":321},'
+            '"offers":{"availability":"https://schema.org/InStock"}}'
+            '</script></head><body><span id="productTitle">Widget</span></body></html>'
+        )
+        r = extract_domain_data(html, "https://www.amazon.com/dp/B00TESTASIN")
+        assert r is not None and r.type == "product"
+        assert "# 🛒 Widget" in r.clean_content
+        assert "**Rating:** 4.7 (321 reviews)" in r.clean_content
+        assert r.structured["asin"] == "B00TESTASI"  # 10-char ASIN match
+
+    def test_medium(self):
+        html = (
+            '<html><head><script type="application/ld+json">'
+            '{"@type":"Article","headline":"Deep Dive","author":{"name":"Sam"},'
+            '"datePublished":"2024-03-10T12:00:00Z"}</script></head>'
+            "<body><article><p>First paragraph of the piece.</p>"
+            "<p>Second paragraph with more.</p></article></body></html>"
+        )
+        r = extract_domain_data(html, "https://medium.com/@sam/deep-dive")
+        assert r is not None and r.type == "article"
+        assert "# Deep Dive" in r.clean_content
+        assert "**Author:** Sam" in r.clean_content
+        assert "**Published:** 2024-03-10" in r.clean_content
+        assert "First paragraph of the piece." in r.clean_content
+
+    def test_short_results_rejected(self):
+        html = ('<html><head><script type="application/ld+json">'
+                '{"@type":"Product","name":"X"}</script></head><body></body></html>')
+        assert extract_domain_data(html, "https://www.amazon.com/dp/B000000001") is None
+
+
+class TestWikipedia:
+    TABLE_HTML = (
+        '<table class="wikitable"><caption>Data</caption>'
+        "<tr><th>Item</th><th>Year</th></tr>"
+        "<tr><td>alpha</td><td>1990</td></tr>"
+        "<tr><td>beta</td><td>2000</td></tr></table>"
+    )
+
+    def test_wikitable_to_markdown(self):
+        tables = extract_wikitables(f"<html><body>{self.TABLE_HTML}</body></html>")
+        assert len(tables) == 1
+        assert "**Data**" in tables[0]
+        assert "| Item | Year |" in tables[0]
+        assert "| alpha | 1990 |" in tables[0]
+
+    def test_navbox_skipped(self):
+        html = '<table class="wikitable navbox"><tr><th>A</th><th>B</th></tr><tr><td>1</td><td>2</td></tr></table>'
+        assert extract_wikitables(html) == []
+
+    def test_cleanup(self):
+        out = clean_wikipedia_content("Text[1] with[edit] noise[citation needed].")
+        assert out == "Text with noise."
+
+    def test_extractor_fallthrough_without_tables(self):
+        html = "<html><body><h1>T</h1><p>prose only</p></body></html>"
+        assert extract_domain_data(html, "https://en.wikipedia.org/wiki/T") is None

@@ -1,0 +1,209 @@
+"""Spark integration tests: distributed results == pure-layer results
+byte-for-byte, checkpoint/resume idempotency, operator determinism."""
+
+import os
+import shutil
+import tempfile
+
+import pytest
+
+from webpeel_spark.sources.corpus import generate_rows
+
+pyspark = pytest.importorskip("pyspark")
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from webpeel_spark.session import get_spark
+
+    s = get_spark("webpeel-tests", cores=4, shuffle_partitions=8)
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="module")
+def pages_df(spark):
+    rows = generate_rows(120, seed=42)
+    data = [(r["url"], r["warc_ts"], r["html"], r["text"], r["lang"]) for r in rows]
+    return spark.createDataFrame(
+        data, "url string, warc_ts timestamp, html binary, text string, lang string"
+    ).cache()
+
+
+class TestExtractOperator:
+    def test_distributed_equals_local(self, spark, pages_df):
+        """The mapInPandas stage must produce exactly what the pure layer
+        produces per row — the vectorization is transparent."""
+        from webpeel_spark.operators.extract import extract_pages
+        from webpeel_spark.pure.pipeline import extract_page
+
+        out = extract_pages(pages_df, num_partitions=4)
+        got = {r["url"]: (r["fingerprint"], r["status"], r["word_count"])
+               for r in out.collect()}
+
+        rows = generate_rows(120, seed=42)
+        assert len(got) == len(rows)
+        for row in rows:
+            local = extract_page(row["url"], row["html"])
+            assert got[row["url"]] == (
+                local["fingerprint"], local["status"], local["word_count"]
+            ), f"distributed != local for {row['url']}"
+
+    def test_schema_stable(self, spark, pages_df):
+        from webpeel_spark.operators.extract import EXTRACT_SCHEMA, extract_pages
+
+        out = extract_pages(pages_df.limit(5))
+        assert out.schema == EXTRACT_SCHEMA
+
+    def test_error_isolation(self, spark):
+        """A row that breaks mid-pipeline yields an error row, not a task
+        failure (truncated PDF magic → parse error)."""
+        from webpeel_spark.operators.extract import extract_pages
+
+        df = spark.createDataFrame(
+            [("https://x.com/broken.pdf", b"%PDF-1.4 garbage with no structure")],
+            "url string, html binary",
+        )
+        rows = extract_pages(df).collect()
+        assert len(rows) == 1
+        assert rows[0]["status"] in ("ok", "error")  # never raises
+
+
+class TestCheckpoint:
+    def test_resume_skips_completed(self, spark, pages_df):
+        from webpeel_spark.plans.checkpoint import (
+            completed_buckets, run_extraction_checkpointed,
+        )
+
+        out_dir = tempfile.mkdtemp(prefix="wp_ckpt_")
+        try:
+            s1 = run_extraction_checkpointed(
+                spark, pages_df, out_dir, run_id="r1",
+                num_buckets=4, buckets_per_commit=2,
+            )
+            assert sorted(s1["processed_buckets"]) == [0, 1, 2, 3]
+            assert s1["rows"] == 120
+            assert completed_buckets(spark, out_dir, "r1") == [0, 1, 2, 3]
+
+            # second run: everything already done → no work
+            s2 = run_extraction_checkpointed(
+                spark, pages_df, out_dir, run_id="r1",
+                num_buckets=4, buckets_per_commit=2,
+            )
+            assert s2["processed_buckets"] == []
+            assert s2["skipped_buckets"] == [0, 1, 2, 3]
+
+            # output parquet holds each url exactly once (idempotent)
+            data = spark.read.parquet(os.path.join(out_dir, "data"))
+            assert data.count() == 120
+            assert data.select("url").distinct().count() == 120
+        finally:
+            shutil.rmtree(out_dir, ignore_errors=True)
+
+
+class TestDedupOperators:
+    def test_exact_dedup_keeps_one(self, spark):
+        from webpeel_spark.operators.dedup import dedup_exact, exact_duplicate_groups
+
+        df = spark.createDataFrame(
+            [(1, "same text"), (2, "same text"), (3, "other text")],
+            "doc_id long, text string",
+        )
+        groups = exact_duplicate_groups(df).collect()
+        assert len(groups) == 1 and groups[0]["dup_count"] == 2
+        kept = dedup_exact(df, order_col="doc_id").collect()
+        assert sorted(r["doc_id"] for r in kept) == [1, 3]
+
+    def test_minhash_finds_planted_near_dup(self, spark):
+        from webpeel_spark.operators.dedup import minhash_near_duplicates
+
+        base = ("the quick brown fox jumps over the lazy dog while the sun "
+                "shines bright over the green hills and the river runs south")
+        near = base.replace("bright", "brightly")
+        far = "completely different words about spark partitions and shuffles here"
+        df = spark.createDataFrame(
+            [(1, base), (2, near), (3, far)], "doc_id long, text string"
+        )
+        pairs = minhash_near_duplicates(df, min_jaccard=0.5).collect()
+        assert any(p["id_a"] == 1 and p["id_b"] == 2 for p in pairs)
+        assert not any(3 in (p["id_a"], p["id_b"]) for p in pairs)
+
+    def test_simhash_deterministic(self, spark):
+        from webpeel_spark.operators.dedup import simhash_signatures
+
+        df = spark.createDataFrame([(1, "hello world text")], "doc_id long, text string")
+        a = simhash_signatures(df).collect()[0]["simhash"]
+        b = simhash_signatures(df).collect()[0]["simhash"]
+        assert a == b != 0
+
+
+class TestSimilarity:
+    def test_exact_topk_self_first(self, spark):
+        from webpeel_spark.operators.similarity import cosine_topk
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        q = emb.filter("vec_id = 0").first()["embedding"]
+        top = cosine_topk(emb, q, k=3).collect()
+        assert top[0]["vec_id"] == 0
+        assert top[0]["cosine"] == 1.0
+        assert top[0]["cosine"] >= top[1]["cosine"] >= top[2]["cosine"]
+
+    def test_lsh_contains_query(self, spark):
+        from webpeel_spark.operators.similarity import srp_lsh_topk
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        q = emb.filter("vec_id = 0").first()["embedding"]
+        top = srp_lsh_topk(emb, q, k=3, bits=6)
+        ids = [r["vec_id"] for r in top.collect()]
+        assert ids[0] == 0  # query's own bucket always contains it
+
+
+class TestSaltedAgg:
+    def test_salted_equals_plain(self, spark, pages_df):
+        """Skew-safe two-stage agg must equal the naive groupBy."""
+        from pyspark.sql import functions as F
+
+        from webpeel_spark.plans.partitioning import (
+            find_hot_hosts, salted_host_agg, url_host,
+        )
+
+        hot = find_hot_hosts(pages_df, threshold_fraction=0.05)
+        assert hot  # Zipf corpus has hot hosts
+        salted = {
+            (r["host"]): (r["docs"], r["bytes"])
+            for r in salted_host_agg(
+                pages_df,
+                {"docs": ("count", "*"), "bytes": ("sum", F.length("html"))},
+                hot,
+            ).collect()
+        }
+        plain = {
+            r["host"]: (r["docs"], r["bytes"])
+            for r in pages_df.groupBy(url_host().alias("host"))
+            .agg(F.count("*").alias("docs"), F.sum(F.length("html")).alias("bytes"))
+            .collect()
+        }
+        assert salted == plain
+
+
+class TestExplainPlans:
+    def test_column_pruning_reaches_scan(self, spark, tmp_path):
+        """Parquet scan under the extraction stage must read only url+html."""
+        import re
+
+        from webpeel_spark.operators.extract import extract_pages
+
+        rows = generate_rows(20, seed=1)
+        data = [(r["url"], r["warc_ts"], r["html"], r["text"], r["lang"]) for r in rows]
+        p = str(tmp_path / "pages.parquet")
+        spark.createDataFrame(
+            data, "url string, warc_ts timestamp, html binary, text string, lang string"
+        ).write.parquet(p)
+
+        df = spark.read.parquet(p)
+        plan = extract_pages(df)._jdf.queryExecution().executedPlan().toString()
+        m = re.search(r"ReadSchema: ([^\n]+)", plan)
+        assert m, plan
+        assert "url" in m.group(1) and "html" in m.group(1)
+        assert "warc_ts" not in m.group(1) and "lang" not in m.group(1)
