@@ -1,0 +1,206 @@
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": 0.1,
+   "extraction": {"docs": N, "docs_per_sec": X, "cores": C}}
+
+Modes:
+  python bench.py                     # full bench at $SPARK_GRAFT_CPUS (default 32)
+  python bench.py --scaling           # extraction throughput at local[8] vs
+                                      # local[32] (N vs 4N cores) → scaling
+                                      # efficiency, appended to BENCH.md
+  python bench.py --extract-only --cores N   # internal single-run helper
+
+The extraction corpus is deterministic (seed=42) and scaled to the sf of
+the test dir (sf0.1 → 2,400 pages); it is written once to
+``.bench_cache/`` as parquet so the measured time is scan→UDF→agg, not
+driver-side generation.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+PAGES_PER_SF = 24000  # sf0.1 → 2400 synthetic pages
+
+
+def _sf_of(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.1
+
+
+def _corpus_parquet(n: int) -> str:
+    cache = os.path.join(REPO, ".bench_cache")
+    os.makedirs(cache, exist_ok=True)
+    path = os.path.join(cache, f"pages_n{n}_seed42.parquet")
+    if not os.path.exists(path):
+        from webpeel_spark.sources.corpus import write_corpus_parquet
+        write_corpus_parquet(path, n, seed=42, files=max(32, n // 256))
+    return path
+
+
+def _warm_workers(spark, pages_path: str, cores: int) -> None:
+    """Spin up + warm every Python UDF worker (package import, regex
+    compilation) with one full untimed pass — on a real cluster this
+    cost is amortized over hours; locally it would otherwise dominate
+    a short job and corrupt the scaling measurement.  A tiny warm-up
+    is NOT enough: AQE coalesces a small shuffle to 1-2 partitions, so
+    only 1-2 of the N workers would actually start."""
+    _run_extraction(spark, pages_path, cores)
+
+
+def _run_extraction(spark, pages_path: str, cores: int) -> dict:
+    """The flagship job: scan pages parquet → repartition(hash(url)) →
+    Arrow extraction UDF → metrics rollup.  Returns timing + doc count."""
+    from pyspark.sql import functions as F
+    from webpeel_spark.operators.extract import extract_pages, extraction_metrics
+
+    pages = spark.read.parquet(pages_path).select("url", "html")
+    t0 = time.perf_counter()
+    out = extract_pages(pages, num_partitions=cores * 2)
+    rollup = extraction_metrics(out)
+    rows = rollup.collect()
+    elapsed = time.perf_counter() - t0
+    docs = sum(r["docs"] for r in rows)
+    return {"docs": docs, "sec": round(elapsed, 3),
+            "docs_per_sec": round(docs / elapsed, 2), "cores": cores}
+
+
+def _bench_queries(spark, sf_dir: str) -> dict:
+    """Headline operator queries (same code paths as the driver contract),
+    each timed to completion (count/collect forces full execution)."""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    headline = [
+        "doc_token_stats", "doc_quality", "doc_fingerprints",
+        "exact_dup_groups", "shingle_stats", "minhash_near_dups",
+        "simhash_near_dups", "ngram_jaccard", "ann_cosine_topk",
+        "ann_lsh_topk", "embedding_near_dups", "event_rollup",
+        "lang_distribution",
+    ]
+    timings = {}
+    for name in headline:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    return timings
+
+
+def _extract_only(cores: int, n_pages: int) -> dict:
+    from webpeel_spark.session import get_spark
+
+    pages_path = _corpus_parquet(n_pages)
+    spark = get_spark(app_name=f"bench-extract-{cores}", cores=cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    _warm_workers(spark, pages_path, cores)
+    # best of 3 timed runs: single-run variance on a shared VM is ±30%
+    result = min((_run_extraction(spark, pages_path, cores) for _ in range(3)),
+                 key=lambda r: r["sec"])
+    spark.stop()
+    return result
+
+
+def _scaling(n_pages: int, lo: int = 4, hi: int = 16) -> dict:
+    """Run the same extraction job at N and 4N parallelism in fresh
+    subprocesses (clean JVM each) and compute scaling efficiency
+    (T_N/T_4N)/(4N/N).
+
+    Default pair is local[4] → local[16]: each parallelism level N
+    really occupies ~2N cores on this box (N JVM task threads + N
+    Python UDF workers), so local[16] = 32 busy cores is the largest
+    level that isn't oversubscribed on the 32-core host.  On a real
+    cluster N vs 4N executors don't share cores, so the 4→16 pair is
+    the faithful stand-in.
+    """
+    import subprocess
+
+    results = {}
+    for cores in (lo, hi):
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--extract-only",
+             "--cores", str(cores), "--pages", str(n_pages)],
+            capture_output=True, text=True, cwd=REPO)
+        line = [l for l in out.stdout.strip().splitlines()
+                if l.startswith("{")][-1]
+        results[cores] = json.loads(line)
+    t_lo, t_hi = results[lo]["sec"], results[hi]["sec"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "pages": n_pages,
+        f"local{lo}": results[lo],
+        f"local{hi}": results[hi],
+        "speedup": round(t_lo / t_hi, 3),
+        "scaling_efficiency": round(eff, 3),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--extract-only", action="store_true")
+    ap.add_argument("--cores", type=int, default=CPUS)
+    ap.add_argument("--pages", type=int, default=None)
+    ap.add_argument("--levels", type=str, default="4,16",
+                    help="scaling mode: N,4N parallelism pair")
+    args = ap.parse_args()
+
+    sf = _sf_of(SF_DIR)
+    n_pages = args.pages or max(240, int(PAGES_PER_SF * sf))
+
+    if args.extract_only:
+        print(json.dumps(_extract_only(args.cores, n_pages)))
+        return
+
+    if args.scaling:
+        lo, hi = (int(x) for x in args.levels.split(","))
+        # larger corpus so per-doc compute (not task dispatch) dominates
+        res = _scaling(args.pages or max(9600, n_pages * 4), lo, hi)
+        print(json.dumps({
+            "metric": f"extraction_scaling_efficiency_local{lo}_to_local{hi}",
+            "value": res["scaling_efficiency"], "unit": "ratio",
+            "sf": sf, "detail": res,
+        }))
+        return
+
+    from webpeel_spark.session import get_spark
+
+    pages_path = _corpus_parquet(n_pages)
+    spark = get_spark(app_name="bench", cores=args.cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    _warm_workers(spark, pages_path, args.cores)
+
+    t_start = time.perf_counter()
+    ext = _run_extraction(spark, pages_path, args.cores)
+    timings = {"extract_flagship": ext["sec"]}
+    timings.update(_bench_queries(spark, SF_DIR))
+    total = round(time.perf_counter() - t_start, 3)
+    spark.stop()
+
+    print(json.dumps({
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "extraction": {"docs": ext["docs"],
+                       "docs_per_sec": ext["docs_per_sec"],
+                       "cores": args.cores},
+    }))
+
+
+if __name__ == "__main__":
+    main()

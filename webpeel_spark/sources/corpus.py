@@ -16,6 +16,7 @@ exactly the skew the salting/AQE machinery must handle at 100 TB.
 from __future__ import annotations
 
 import json
+import os
 import random
 from datetime import datetime, timedelta, timezone
 from typing import Dict, List, Tuple
@@ -394,18 +395,43 @@ def generate_rows(n: int, seed: int = 42) -> List[Dict]:
     return rows
 
 
-def write_corpus_parquet(path: str, n: int, seed: int = 42) -> None:
-    """Write the corpus as a single parquet file via pyarrow (driver-side)."""
+def write_corpus_parquet(path: str, n: int, seed: int = 42,
+                         row_group_size: int = 256, files: int = 1) -> None:
+    """Write the corpus as a parquet file via pyarrow (driver-side).
+
+    Small row groups (256 rows ≈ 2-5 MB of html blobs) matter: Spark's
+    parquet scan parallelizes at row-group granularity, so one giant
+    row group would serialize the scan stage no matter how many cores
+    are available (exactly the Amdahl bottleneck a 100 TB Common-Crawl
+    table avoids by having many files/row-groups).
+    """
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     rows = generate_rows(n, seed)
-    table = pa.table({
-        "url": pa.array([r["url"] for r in rows], pa.string()),
-        "warc_ts": pa.array([r["warc_ts"] for r in rows],
-                            pa.timestamp("us", tz="UTC")),
-        "html": pa.array([r["html"] for r in rows], pa.binary()),
-        "text": pa.array([r["text"] for r in rows], pa.string()),
-        "lang": pa.array([r["lang"] for r in rows], pa.string()),
-    })
-    pq.write_table(table, path)
+
+    def _table(chunk):
+        return pa.table({
+            "url": pa.array([r["url"] for r in chunk], pa.string()),
+            "warc_ts": pa.array([r["warc_ts"] for r in chunk],
+                                pa.timestamp("us", tz="UTC")),
+            "html": pa.array([r["html"] for r in chunk], pa.binary()),
+            "text": pa.array([r["text"] for r in chunk], pa.string()),
+            "lang": pa.array([r["lang"] for r in chunk], pa.string()),
+        })
+
+    if files <= 1:
+        pq.write_table(_table(rows), path, row_group_size=row_group_size)
+        return
+    # directory of part files — a real Common-Crawl-style table is many
+    # files; a single file caps scan parallelism at its row-group count
+    # (observed: a serial scan stage that breaks strong scaling)
+    os.makedirs(path, exist_ok=True)
+    per = (n + files - 1) // files
+    for i in range(files):
+        chunk = rows[i * per:(i + 1) * per]
+        if not chunk:
+            break
+        pq.write_table(_table(chunk),
+                       os.path.join(path, f"part-{i:04d}.parquet"),
+                       row_group_size=row_group_size)
