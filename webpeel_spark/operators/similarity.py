@@ -133,10 +133,13 @@ def cosine_near_duplicate_pairs(df: DataFrame, threshold: float = 0.95,
         return df.sparkSession.createDataFrame(
             [], f"id_a long, id_b long, cosine double"
         )
+    from ..plans.partitioning import fan_out
+
     dim = len(first[0])
-    bucketed = df.select(
+    bucketed = fan_out(df.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v")
-    ).withColumn("__bucket", srp_bucket_udf(dim, bits, seed)(F.col("v")))
+    )).withColumn("__bucket", srp_bucket_udf(dim, bits, seed)(F.col("v"))
+    ).persist()  # self-joined below — avoid running the bucket UDF twice
 
     a = bucketed.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"), "__bucket")
     b = bucketed.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"), "__bucket")

@@ -32,6 +32,24 @@ def url_host(col: str = "url"):
     return F.lower(F.parse_url(F.col(col), F.lit("HOST")))
 
 
+def fan_out(df: DataFrame, partitions: Optional[int] = None) -> DataFrame:
+    """Ensure enough partitions ahead of a CPU-heavy narrow stage.
+
+    A small single-file parquet scans as ONE split (one task — observed:
+    a 5k-doc minhash running 55 s single-threaded).  On a real many-file
+    100 TB table the scan is already wide and this is a no-op; the
+    explicit round-robin repartition is also the correct cluster
+    pattern when a cheap scan feeds an expensive per-row stage (shuffle
+    cost ≪ stage cost).  Explicit numPartitions is NOT coalesced by AQE.
+    """
+    spark = df.sparkSession
+    if partitions is None:
+        partitions = spark.sparkContext.defaultParallelism * 2
+    if df.rdd.getNumPartitions() >= partitions:
+        return df
+    return df.repartition(partitions)
+
+
 def repartition_by_url(df: DataFrame, num_partitions: int) -> DataFrame:
     """Explicit uniform repartition on xxhash64(url)."""
     return df.repartition(num_partitions, F.xxhash64("url"))
