@@ -10,7 +10,7 @@ from .core import (
     document_html_el,
     VOID_TAGS,
 )
-from .selector import select, select_first, matches, compile_selector
+from .selector import select, select_first, matches, compile_selector, BulkMatcher, PriorityMatcher
 
 __all__ = [
     "Node",
@@ -21,6 +21,8 @@ __all__ = [
     "document_head",
     "document_html_el",
     "VOID_TAGS",
+    "BulkMatcher",
+    "PriorityMatcher",
     "select",
     "select_first",
     "matches",

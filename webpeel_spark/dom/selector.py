@@ -249,3 +249,161 @@ def matches(node: Node, selector: str) -> bool:
     except ValueError:
         return False
     return any(_chain_matches(chain, node) for chain in chains)
+
+
+class BulkMatcher:
+    """Match a node against MANY selectors in near-constant time.
+
+    The junk-selector sweep (markdown.ts:10-55 → pure/markdown.py
+    JUNK_SELECTORS) ran one full tree walk per selector — 60+ walks per
+    document, the #1 hot spot in the extraction profile.  This compiles
+    the selector list once into dispatch buckets (tag set, exact-class
+    set, one alternation regex over the class attribute, id buckets,
+    role set) so a single walk with one ``matches(node)`` call per node
+    covers the whole list.  Selectors that don't fit a fast bucket fall
+    back to the generic chain matcher — semantics are the exact union
+    of the individual selectors.
+    """
+
+    __slots__ = ("tags", "exact_classes", "ids", "roles",
+                 "class_re", "id_re", "general")
+
+    def __init__(self, selectors):
+        self.tags = set()
+        self.exact_classes = set()
+        self.ids = set()
+        self.roles = set()
+        class_substr = []
+        id_substr = []
+        self.general = []
+        for sel in selectors:
+            for chain in compile_selector(sel):
+                s = chain[0][1] if len(chain) == 1 else None
+                if s is None or s.pseudos:
+                    self.general.append(chain)
+                    continue
+                n_feats = ((s.tag is not None) + len(s.classes)
+                           + len(s.ids) + len(s.attrs))
+                if n_feats != 1:
+                    self.general.append(chain)
+                elif s.tag is not None and s.tag != "*":
+                    self.tags.add(s.tag)
+                elif len(s.classes) == 1:
+                    self.exact_classes.add(s.classes[0])
+                elif len(s.ids) == 1:
+                    self.ids.add(s.ids[0])
+                elif len(s.attrs) == 1:
+                    name, op, val = s.attrs[0]
+                    if name == "class" and op == "*=":
+                        class_substr.append(val)
+                    elif name == "id" and op == "*=":
+                        id_substr.append(val)
+                    elif name == "role" and op == "=":
+                        self.roles.add(val)
+                    else:
+                        self.general.append(chain)
+                else:
+                    self.general.append(chain)
+        self.class_re = (re.compile("|".join(map(re.escape, class_substr)))
+                         if class_substr else None)
+        self.id_re = (re.compile("|".join(map(re.escape, id_substr)))
+                      if id_substr else None)
+
+    def matches(self, node: Node) -> bool:
+        if node.tag in self.tags:
+            return True
+        attrs = node.attrs
+        cls = attrs.get("class")
+        if cls:
+            if self.class_re is not None and self.class_re.search(cls):
+                return True
+            if self.exact_classes and not self.exact_classes.isdisjoint(cls.split()):
+                return True
+        nid = attrs.get("id")
+        if nid:
+            if nid in self.ids:
+                return True
+            if self.id_re is not None and self.id_re.search(nid):
+                return True
+        if self.roles and attrs.get("role") in self.roles:
+            return True
+        for chain in self.general:
+            if _chain_matches(chain, node):
+                return True
+        return False
+
+    def select(self, root: Node) -> List[Node]:
+        return [n for n in root.iter_elements() if self.matches(n)]
+
+
+class PriorityMatcher:
+    """First document-order match for EACH selector of an ordered list,
+    found in a single tree walk.
+
+    Replaces N sequential ``select_first`` calls (N full walks) for
+    priority lists like the 30-entry main-content selector chain
+    (markdown.ts:416-493).  Chains are bucketed by their rightmost
+    discriminator (tag / class token / id / attr name); each node only
+    verifies the chains its features could match, so per-node cost is
+    near-constant.  Result per index is identical to
+    ``select_first(root, selectors[i])``.
+    """
+
+    __slots__ = ("n", "by_tag", "by_class", "by_id", "by_attr", "universal")
+
+    def __init__(self, selectors):
+        self.n = len(selectors)
+        self.by_tag = {}
+        self.by_class = {}
+        self.by_id = {}
+        self.by_attr = {}
+        self.universal = []
+        for idx, sel in enumerate(selectors):
+            for chain in compile_selector(sel):
+                s = chain[-1][1]
+                entry = (idx, chain)
+                if s.tag is not None and s.tag != "*":
+                    self.by_tag.setdefault(s.tag, []).append(entry)
+                elif s.classes:
+                    self.by_class.setdefault(s.classes[0], []).append(entry)
+                elif s.ids:
+                    self.by_id.setdefault(s.ids[0], []).append(entry)
+                elif s.attrs:
+                    self.by_attr.setdefault(s.attrs[0][0], []).append(entry)
+                else:
+                    self.universal.append(entry)
+
+    def first_matches(self, root: Node) -> dict:
+        """{selector_index: first matching node in document order}."""
+        found: dict = {}
+        remaining = self.n
+        for node in root.iter_elements():
+            cands = []
+            bucket = self.by_tag.get(node.tag)
+            if bucket:
+                cands.extend(bucket)
+            attrs = node.attrs
+            if self.by_class and attrs.get("class"):
+                for tok in node.classes:
+                    bucket = self.by_class.get(tok)
+                    if bucket:
+                        cands.extend(bucket)
+            if self.by_id:
+                nid = attrs.get("id")
+                if nid:
+                    bucket = self.by_id.get(nid)
+                    if bucket:
+                        cands.extend(bucket)
+            if self.by_attr:
+                for name in self.by_attr:
+                    if name in attrs:
+                        cands.extend(self.by_attr[name])
+            if self.universal:
+                cands.extend(self.universal)
+            for idx, chain in cands:
+                if idx not in found and _chain_matches(chain, node):
+                    found[idx] = node
+                    remaining -= 1
+            if remaining <= 0:
+                break
+        return found

@@ -115,7 +115,11 @@ def parse_availability(availability: str) -> str:
 
 
 def extract_jsonld(html: str) -> Optional[JsonLdResult]:
-    root = parse_html(html)
+    return extract_jsonld_dom(parse_html(html))
+
+
+def extract_jsonld_dom(root) -> Optional[JsonLdResult]:
+    """DOM form of extract_jsonld (reuses an existing parse)."""
     scripts: List[Any] = []
     for el in select(root, 'script[type="application/ld+json"]'):
         raw = el.text()

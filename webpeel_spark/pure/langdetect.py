@@ -71,6 +71,32 @@ _SCRIPT_RANGES = [
 _WORD_RE = re.compile(r"[a-zàâäçèéêëîïôöùûüñáíóúãõßа-яα-ω]+", re.I)
 
 
+# inverted stopword index: word → tuple of candidate languages
+_STOPWORD_LANGS: dict = {}
+for _lang, _sw in _STOPWORDS.items():
+    for _w in _sw:
+        _STOPWORD_LANGS.setdefault(_w, []).append(_lang)
+
+_LANG_ORDER = list(_STOPWORDS)  # preserves original max() tie-break order
+
+
+def _stopword_vote(sample: str) -> str:
+    words = _WORD_RE.findall(sample.lower())
+    if not words:
+        return "und"
+    votes = {lang: 0 for lang in _LANG_ORDER}
+    get = _STOPWORD_LANGS.get
+    for w in words:
+        langs = get(w)
+        if langs:
+            for lang in langs:
+                votes[lang] += 1
+    best = max(votes, key=lambda k: votes[k])
+    if votes[best] == 0:
+        return "und"
+    return best
+
+
 def detect_language_ngram(text: str, sample_chars: int = 2000) -> str:
     """Cheap deterministic language ID: script ranges, then stopword votes.
 
@@ -79,6 +105,12 @@ def detect_language_ngram(text: str, sample_chars: int = 2000) -> str:
     if not text:
         return "und"
     sample = text[:sample_chars]
+
+    # ASCII fast path: no non-Latin codepoints possible, the script
+    # histogram is all zeros by construction — identical outcome to the
+    # slow path, minus the per-char scan
+    if sample.isascii():
+        return _stopword_vote(sample)
 
     # 1) non-Latin scripts by codepoint histogram
     counts = {s: 0 for s, _, _ in _SCRIPT_RANGES}
@@ -105,15 +137,4 @@ def detect_language_ngram(text: str, sample_chars: int = 2000) -> str:
         return best_script
 
     # 2) Latin languages by stopword voting
-    words = _WORD_RE.findall(sample.lower())
-    if not words:
-        return "und"
-    votes = {lang: 0 for lang in _STOPWORDS}
-    for w in words:
-        for lang, sw in _STOPWORDS.items():
-            if w in sw:
-                votes[lang] += 1
-    best = max(votes, key=lambda k: votes[k])
-    if votes[best] == 0:
-        return "und"
-    return best
+    return _stopword_vote(sample)

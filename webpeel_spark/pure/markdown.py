@@ -18,7 +18,8 @@ import re
 from html import escape as _esc
 from typing import Dict, List, Optional, Tuple
 
-from ..dom import Node, parse_html, parse_fragment, select, select_first, document_body
+from ..dom import (Node, parse_html, parse_fragment, select, select_first,
+                   document_body, BulkMatcher, PriorityMatcher)
 from .mdemit import node_to_markdown
 from .pruner import prune_content
 
@@ -150,25 +151,35 @@ def select_content(html: str, selector: str,
 
 # ── cleanHTML (markdown.ts:231-409) ──────────────────────────────────────
 
-def _clean_dom(root: Node) -> None:
-    for sel in JUNK_SELECTORS:
-        for el in select(root, sel):
-            el.remove()
+_JUNK_MATCHER = BulkMatcher(JUNK_SELECTORS)
 
-    # conditional header/footer keep (>200 chars of text)
-    for sel in ('header, [role="banner"]', 'footer, [role="contentinfo"]'):
-        for el in select(root, sel):
+
+def _clean_dom(root: Node) -> None:
+    # junk sweep: one walk for all 60+ selectors (union semantics —
+    # identical node set to the per-selector sweep, ~60× fewer walks)
+    for el in _JUNK_MATCHER.select(root):
+        el.remove()
+
+    # conditional header/footer keep (>200 chars of text) + aside sweep,
+    # evaluated on the post-junk tree exactly like the sequential selects
+    for el in list(root.iter_elements()):
+        tag = el.tag
+        role = el.attrs.get("role")
+        if tag == "header" or role == "banner" or tag == "footer" or role == "contentinfo":
             if len(el.text().strip()) < 200:
                 el.remove()
-
-    for el in select(root, 'aside.sidebar, aside[role="complementary"], aside[class*="sidebar"]'):
-        el.remove()
+        elif tag == "aside" and (role == "complementary"
+                                 or "sidebar" in (el.attrs.get("class") or "")):
+            el.remove()
 
     _convert_layout_tables(root)
     _convert_complex_tables(root)
 
-    for el in select(root, "p:empty, div:empty"):
-        el.remove()
+    # p:empty / div:empty (no children at all — empty text nodes are
+    # never stored, so "no children" is exactly the :empty pseudo here)
+    for el in list(root.iter_elements()):
+        if el.tag in ("p", "div") and not el.children:
+            el.remove()
 
     # remove whitespace-only leaf elements
     for el in list(root.iter_elements()):
@@ -342,6 +353,9 @@ MAIN_CONTENT_SELECTORS = [
 ]
 
 
+_MAIN_MATCHER = PriorityMatcher(MAIN_CONTENT_SELECTORS)
+
+
 def _visible_text_length(el: Node) -> int:
     total = 0
     stack = list(reversed(el.children))
@@ -357,21 +371,31 @@ def _visible_text_length(el: Node) -> int:
 def detect_main_content(html: str) -> Tuple[str, bool]:
     """Returns (content_html, detected)."""
     root = parse_html(html)
+    el, detected = detect_main_content_dom(root)
+    if not detected or el is None:
+        return html, False
+    return el.html(), True
+
+
+def detect_main_content_dom(root: Node) -> Tuple[Optional[Node], bool]:
+    """DOM form of detect_main_content: (matched node | None, detected).
+    Lets the caller reuse an existing parse instead of re-parsing."""
     total_text_len = len(
         "".join(
             _collect_visible(root)
         ).strip()
     )
 
-    for selector in MAIN_CONTENT_SELECTORS:
-        el = select_first(root, selector)
+    first = _MAIN_MATCHER.first_matches(root)
+    for i, selector in enumerate(MAIN_CONTENT_SELECTORS):
+        el = first.get(i)
         if el is not None:
             text = el.text().strip()
             if len(text) >= 100:
                 candidate_len = len("".join(_collect_visible(el)).strip())
                 if total_text_len > 0 and candidate_len / total_text_len < 0.5:
-                    return html, False
-                return el.html(), True
+                    return None, False
+                return el, True
 
     best_el: Optional[Node] = None
     best_len = 0
@@ -387,9 +411,9 @@ def detect_main_content(html: str) -> Tuple[str, bool]:
                 best_len = len(text)
     if best_el is not None and best_len > 300:
         if total_text_len > 0 and best_len / total_text_len < 0.5:
-            return html, False
-        return best_el.html(), True
-    return html, False
+            return None, False
+        return best_el, True
+    return None, False
 
 
 def _collect_visible(el: Node) -> List[str]:
@@ -520,8 +544,33 @@ def _collapse_blank_runs(markdown: str) -> str:
     return acc
 
 
-def html_to_markdown(html: str, raw: bool = False, prune: bool = True) -> str:
-    """Full conversion pipeline: clean → prune → emit → post-clean."""
+def html_to_markdown(html, raw: bool = False, prune: bool = True) -> str:
+    """Full conversion pipeline: clean → prune → emit → post-clean.
+
+    Accepts an HTML string or an already-parsed document ``Node`` (the
+    pipeline parses each page once and passes the DOM through; the
+    string form serializes/re-parses exactly as before).  The Node is
+    MUTATED (cleaned in place).
+    """
+    if isinstance(html, Node):
+        root = html
+        _clean_dom(root)
+        if prune:
+            # the pruner's regex pre-pass is defined on the serialized
+            # string (content-pruner.ts:323-333) — keep the string path
+            cleaned = _serialize_doc(root)
+            cleaned = prune_content(cleaned, dynamic=True).html
+            body = _body_of(cleaned)
+        else:
+            body = document_body(root) or root
+        try:
+            markdown = node_to_markdown(body)
+        except Exception:
+            for el in select(root, "script, style, noscript, svg, iframe"):
+                el.remove()
+            markdown = re.sub(r"\s+", " ", root.text()).strip()
+        return _post_markdown(markdown)
+
     cleaned = clean_html(html)
     if prune:
         cleaned = prune_content(cleaned, dynamic=True).html
@@ -534,6 +583,10 @@ def html_to_markdown(html: str, raw: bool = False, prune: bool = True) -> str:
             el.remove()
         markdown = re.sub(r"\s+", " ", root.text()).strip()
 
+    return _post_markdown(markdown)
+
+
+def _post_markdown(markdown: str) -> str:
     if len(markdown) > MAX_MARKDOWN_BYTES:
         markdown = markdown[:MAX_MARKDOWN_BYTES]
 
@@ -554,6 +607,14 @@ def html_to_markdown(html: str, raw: bool = False, prune: bool = True) -> str:
 def _body_of(html: str) -> Node:
     root = parse_html(html)
     return document_body(root) or root
+
+
+def _serialize_doc(root: Node) -> str:
+    """Serialize like clean_html: the <html> element's outer HTML."""
+    if root.tag != "#root":
+        return root.html()
+    html_el = next((c for c in root.children if isinstance(c, Node)), None)
+    return html_el.html() if html_el is not None else ""
 
 
 def raw_html_to_markdown(html: str) -> str:

@@ -292,7 +292,11 @@ def _absolutize(href: str, base_url: str) -> Optional[str]:
 
 def extract_links(html: str, base_url: str) -> List[str]:
     """Absolute http(s) links, same-page anchors dropped, deduped, sorted."""
-    root = parse_html(html)
+    return extract_links_dom(parse_html(html), base_url)
+
+
+def extract_links_dom(root: Node, base_url: str) -> List[str]:
+    """DOM form of extract_links (reuses an existing parse)."""
     links: set = set()
     try:
         base = urlsplit(base_url)

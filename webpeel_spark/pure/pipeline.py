@@ -25,9 +25,9 @@ from ..dom import parse_html, parse_xml, select, select_first, document_body
 from . import markdown as md
 from .chunker import chunk_content
 from .extractors import extract_domain_data, get_domain_extractor
-from .jsonld import extract_jsonld
+from .jsonld import extract_jsonld_dom
 from .langdetect import detect_language_from_url, detect_language_ngram
-from .metadata import extract_links, extract_metadata
+from .metadata import extract_links, extract_links_dom, extract_metadata
 from .pdfextract import is_pdf_bytes
 from .extractors.pdfurl import pdf_extract_result
 from .readability import extract_readable_content
@@ -209,14 +209,42 @@ def _xml_branch(url: str, text: str, options: ExtractOptions,
     return _finish(result, options)
 
 
+def _wrap_fragment_dom(node):
+    """Detach a detected main-content node and rebuild the document
+    structure a re-parse of its serialized HTML would produce
+    (#root > html > (head, body > node)) — sparing the serialize→parse
+    round trip on the hot path."""
+    from ..dom import Node
+
+    node.remove()
+    root = Node("#root")
+    html_el = Node("html")
+    head = Node("head")
+    body = Node("body")
+    root.append_child(html_el)
+    html_el.append_child(head)
+    html_el.append_child(body)
+    body.append_child(node)
+    return root
+
+
 def _html_branch(url: str, html: str, options: ExtractOptions,
                  result: Dict[str, Any]) -> Dict[str, Any]:
     result["branch"] = "html"
 
+    # ONE full-document parse, shared by links / JSON-LD / main-content
+    # detection / conversion (the reference re-loads cheerio per stage;
+    # per-row batch extraction can't afford 5 parses per page)
+    root = parse_html(html)
+
     # metadata + links always extracted from the original HTML
-    title, meta = extract_metadata(html, url)
-    html_for_links = html[:100000] if len(html) > 100000 else html
-    links = extract_links(html_for_links, url)
+    title, meta = extract_metadata(html, url)  # head-slice parse (cheap)
+    if len(html) > 100000:
+        # link-extraction input cap (pipeline.ts:931-933) — the capped
+        # string is a different document; parse it separately
+        links = extract_links(html[:100000], url)
+    else:
+        links = extract_links_dom(root, url)
     result["title"] = title
     result["description"] = meta.description
     result["author"] = meta.author
@@ -241,7 +269,7 @@ def _html_branch(url: str, html: str, options: ExtractOptions,
 
     # JSON-LD first-class gate (pipeline.ts:914-939)
     if not options.raw:
-        jl = extract_jsonld(html)
+        jl = extract_jsonld_dom(root)
         if jl is not None and jl.found and len(jl.content) > 100:
             result["content"] = jl.content
             result["title"] = jl.title or result["title"]
@@ -267,16 +295,27 @@ def _html_branch(url: str, html: str, options: ExtractOptions,
             result["quality"] = 0.95 if len(read.content) > 200 else 0.5
             return _finish(result, options)
 
-    # Standard path: main-content detection → prune (≥20KB) → convert
+    # Standard path: main-content detection → prune (≥20KB) → convert.
+    # content is the original string, a detected fragment (serialized —
+    # the 20KB gate and pruner regex pre-pass are defined on the string),
+    # or the shared parsed DOM for the common undetected-markdown case.
     content_html = html
+    content_dom = root  # parsed DOM matching content_html
     detected = False
     if not options.raw:
-        content_html, detected = md.detect_main_content(html)
+        node, detected = md.detect_main_content_dom(root)
+        if detected and node is not None:
+            # serialized length feeds the 20KB prune gate; the wrapped
+            # DOM (#root>html>body>fragment — the exact shape re-parsing
+            # the serialized fragment yields) feeds the converter
+            content_html = node.html()
+            content_dom = _wrap_fragment_dom(node)
 
     pruned_percent = 0
     if options.fmt == "markdown" and options.prune and len(content_html) >= 20000:
         pr = md.prune_content(content_html, dynamic=True)
         content_html = pr.html
+        content_dom = None
         if pr.nodes_removed > 0:
             pruned_percent = pr.reduction_percent
     result["pruned_percent"] = pruned_percent
@@ -288,7 +327,11 @@ def _html_branch(url: str, html: str, options: ExtractOptions,
     elif options.fmt == "clean":
         converted = md.clean_for_ai(md.html_to_markdown(content_html, raw=options.raw, prune=False))
     else:
-        converted = md.html_to_markdown(content_html, raw=options.raw, prune=False)
+        # >10MB pages must keep the string path so the clean_html size
+        # cap raises exactly as before (markdown.ts:233)
+        use_dom = content_dom is not None and len(html) <= md.MAX_HTML_BYTES
+        source = content_dom if use_dom else content_html
+        converted = md.html_to_markdown(source, raw=options.raw, prune=False)
 
     if options.fmt == "markdown":
         converted = md.clean_markdown_noise(converted)
