@@ -136,6 +136,35 @@ def _q_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM25_QUERY = "data quality pipeline checkpoint"
+
+
+def _q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from webpeel_spark.operators.bm25 import bm25_rank
+
+    return bm25_rank(_docs(spark, sf_dir), _BM25_QUERY, top_k=20)
+
+
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from webpeel_spark.operators.text_analysis import lang_id_stopword
+
+    return lang_id_stopword(_docs(spark, sf_dir))
+
+
+def _q_salted_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from webpeel_spark.plans.partitioning import find_hot_keys, salted_key_agg
+
+    ev = _events(spark, sf_dir)
+    hot = find_hot_keys(ev, "user_id", threshold_fraction=0.005)
+    return salted_key_agg(
+        ev, "user_id",
+        {"n_events": ("count", "*"), "total_value": ("sum", F.col("value"))},
+        hot,
+    ).select(
+        "user_id", "n_events", F.round("total_value", 2).alias("total_value")
+    ).orderBy("user_id")
+
+
 def _q_length_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from webpeel_spark.operators.text_analysis import length_filter
 
@@ -234,6 +263,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _q_ann_cosine_topk,
         "event_rollup": _q_event_rollup,
         "length_filter": _q_length_filter,
+        "bm25_rank": _q_bm25_rank,
+        "lang_id": _q_lang_id,
+        "salted_event_rollup": _q_salted_event_rollup,
         # rows-only: extraction pipeline + LSH approximations
         "extract_flagship": _q_extract_flagship,
         "extract_rollup": _q_extract_rollup,
@@ -349,7 +381,27 @@ def oracle_sql() -> dict[str, str]:
             WHERE length(text) >= 200 AND length(text) <= 450
             ORDER BY doc_id
         """,
+        "bm25_rank": _bm25_oracle(),
+        "lang_id": _lang_id_oracle(),
+        "salted_event_rollup": """
+            SELECT user_id,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS total_value
+            FROM events GROUP BY user_id ORDER BY user_id
+        """,
     }
+
+
+def _bm25_oracle() -> str:
+    from webpeel_spark.operators.bm25 import bm25_oracle_sql
+
+    return bm25_oracle_sql(_BM25_QUERY, top_k=20)
+
+
+def _lang_id_oracle() -> str:
+    from webpeel_spark.operators.text_analysis import lang_id_oracle_sql
+
+    return lang_id_oracle_sql()
 
 
 if __name__ == "__main__":

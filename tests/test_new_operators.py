@@ -1,0 +1,108 @@
+"""BM25 / salted agg / JVM-side language-ID operators.
+
+Each new operator is checked against an independent implementation:
+BM25 against a from-scratch Python scorer, salted_key_agg against a
+plain groupBy, lang_id_stopword against pure/langdetect._stopword_vote.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from webpeel_spark.pure.langdetect import _stopword_vote
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from webpeel_spark.session import get_spark
+
+    s = get_spark(app_name="test-new-ops", cores=4)
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+
+
+DOCS = [
+    (0, "the data pipeline runs nightly and checks data quality"),
+    (1, "a quality checkpoint for every pipeline stage"),
+    (2, "unrelated text about cooking rice and beans"),
+    (3, "data data data pipeline pipeline quality"),
+    (4, ""),
+    (5, "el contenido de la pagina es muy bueno y esta en la red"),
+]
+
+
+def _py_bm25(docs, query, k1=1.5, b=0.75):
+    import re
+
+    tok = lambda s: re.findall(r"[a-z0-9]+", s.lower())
+    terms = list(dict.fromkeys(tok(query)))
+    words = {i: tok(t) for i, t in docs}
+    n = len(docs)
+    avgdl = sum(len(w) for w in words.values()) / n or 1.0
+    scores = {}
+    for i, _ in docs:
+        w = words[i]
+        s = 0.0
+        for t in terms:
+            tf = w.count(t)
+            df = sum(1 for ww in words.values() if t in ww)
+            idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+            s += idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * len(w) / avgdl))
+        if round(s, 4) > 0:
+            scores[i] = round(s, 4)
+    return scores
+
+
+def test_bm25_matches_independent_python(spark):
+    from webpeel_spark.operators.bm25 import bm25_rank
+
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    got = {r["doc_id"]: r["bm25"]
+           for r in bm25_rank(df, "data pipeline quality", top_k=10).collect()}
+    expected = _py_bm25(DOCS, "data pipeline quality")
+    assert got == pytest.approx(expected)
+    # doc 3 (heaviest term repetition) must rank above doc 2 (no terms)
+    assert 3 in got and 2 not in got
+
+
+def test_bm25_empty_query(spark):
+    from webpeel_spark.operators.bm25 import bm25_rank
+
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    assert bm25_rank(df, "???", top_k=5).count() == 0
+
+
+def test_salted_key_agg_equals_plain_groupby(spark):
+    from pyspark.sql import functions as F
+    from webpeel_spark.plans.partitioning import find_hot_keys, salted_key_agg
+
+    rows = [(i % 7, float(i)) for i in range(1000)] + [(0, 1.0)] * 500
+    df = spark.createDataFrame(rows, "k int, v double")
+    hot = find_hot_keys(df, "k", threshold_fraction=0.2)
+    assert 0 in hot  # key 0 holds ~43% of rows
+    salted = {
+        (r["k"]): (r["n"], round(r["s"], 6))
+        for r in salted_key_agg(
+            df, "k", {"n": ("count", "*"), "s": ("sum", F.col("v"))}, hot
+        ).collect()
+    }
+    plain = {
+        (r["k"]): (r["n"], round(r["s"], 6))
+        for r in df.groupBy("k")
+        .agg(F.count("*").alias("n"), F.sum("v").alias("s"))
+        .collect()
+    }
+    assert salted == plain
+
+
+def test_lang_id_matches_pure_stopword_vote(spark):
+    from webpeel_spark.operators.text_analysis import lang_id_stopword
+
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    got = {r["doc_id"]: r["lang_guess"] for r in lang_id_stopword(df).collect()}
+    for i, text in DOCS:
+        assert got[i] == _stopword_vote(text[:2000]), f"doc {i}"
+    assert got[5] == "es"
+    assert got[4] == "und"

@@ -80,3 +80,77 @@ def length_filter(df: DataFrame, min_chars: int = 100,
     return df.filter(
         (F.length("text") >= min_chars) & (F.length("text") <= max_chars)
     )
+
+
+# ── language ID (stopword vote), fully JVM-side ─────────────────────────
+
+_LANG_SAMPLE_CHARS = 2000  # pure/langdetect.py sample_chars
+
+
+def _lang_votes(words_col):
+    """One vote-count column per language, in _STOPWORDS order."""
+    from ..pure.langdetect import _STOPWORDS
+
+    return [
+        F.size(F.filter(words_col, lambda w: w.isin(list(sw)))).alias(f"v_{lang}")
+        for lang, sw in _STOPWORDS.items()
+    ]
+
+
+def lang_id_stopword(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Stopword-vote language ID as pure Catalyst expressions.
+
+    The JVM-side twin of pure/langdetect._stopword_vote (identical
+    output on Latin-script text; the full detector adds a codepoint
+    histogram for CJK etc. and runs inside the extraction UDF).
+    Tie-break = first language in _STOPWORDS order with the max vote,
+    matching Python dict-order max().
+    """
+    from ..pure.langdetect import _STOPWORDS, _WORD_RE
+
+    langs = list(_STOPWORDS)
+    sample = F.substring(F.col(text_col), 1, _LANG_SAMPLE_CHARS)
+    words = F.regexp_extract_all(F.lower(sample), F.lit(_WORD_RE.pattern), 0)
+    base = df.select(F.col(id_col), words.alias("__w")).select(
+        id_col, F.size("__w").alias("__nw"), *_lang_votes(F.col("__w"))
+    )
+    maxv = F.greatest(*[F.col(f"v_{lang}") for lang in langs])
+    guess = F.when((F.col("__nw") == 0) | (maxv == 0), F.lit("und"))
+    for lang in langs:
+        guess = guess.when(F.col(f"v_{lang}") == maxv, F.lit(lang))
+    return base.select(
+        id_col, guess.alias("lang_guess")
+    ).orderBy(id_col)
+
+
+def lang_id_oracle_sql() -> str:
+    """DuckDB SQL mirroring lang_id_stopword over the documents view."""
+    from ..pure.langdetect import _STOPWORDS, _WORD_RE
+
+    langs = list(_STOPWORDS)
+    vote_cols = ",\n                 ".join(
+        "len(list_filter(w, x -> list_contains(["
+        + ",".join(f"'{s}'" for s in sorted(_STOPWORDS[lang]))
+        + f"], x))) AS v_{lang}"
+        for lang in langs
+    )
+    maxv = "greatest(" + ", ".join(f"v_{lang}" for lang in langs) + ")"
+    case = "CASE WHEN len(w) = 0 OR " + maxv + " = 0 THEN 'und' "
+    case += " ".join(
+        f"WHEN v_{lang} = {maxv} THEN '{lang}'" for lang in langs
+    ) + " END"
+    return f"""
+        WITH tok AS (
+          SELECT doc_id,
+                 regexp_extract_all(lower(substring(text, 1, {_LANG_SAMPLE_CHARS})),
+                                    '{_WORD_RE.pattern}') AS w
+          FROM documents
+        ), v AS (
+          SELECT doc_id, w,
+                 {vote_cols}
+          FROM tok
+        )
+        SELECT doc_id, {case} AS lang_guess
+        FROM v ORDER BY doc_id
+    """

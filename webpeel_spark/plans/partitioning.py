@@ -90,15 +90,41 @@ def with_salted_host(df: DataFrame, hot_hosts: Sequence[str], k: int = 16,
     return df.withColumn("host", host).withColumn("salt", salt.cast("int"))
 
 
-def salted_host_agg(df: DataFrame, agg_exprs: dict, hot_hosts: Sequence[str],
-                    k: int = 16, url_col: str = "url") -> DataFrame:
-    """Two-stage skew-safe per-host aggregation.
+def find_hot_keys(df: DataFrame, key_col: str,
+                  threshold_fraction: float = 0.01) -> List:
+    """Generic hot-key pre-pass: keys holding more than the threshold
+    fraction of rows (hash-agg with map-side combine, tiny output)."""
+    total = df.count()
+    if total == 0:
+        return []
+    threshold = max(1, int(total * threshold_fraction))
+    rows = (df.groupBy(key_col).count()
+            .filter(F.col("count") > threshold).collect())
+    return [r[key_col] for r in rows if r[key_col] is not None]
 
-    ``agg_exprs`` maps output column → ('sum'|'count'|'max'|'min', input col).
-    Stage 1 groups by (host, salt) — hot hosts split k ways; stage 2
-    combines partials by host.  avg = sum/count composed by the caller.
+
+def salted_key_agg(df: DataFrame, key_col: str, agg_exprs: dict,
+                   hot_keys: Sequence, k: int = 16) -> DataFrame:
+    """Two-stage skew-safe aggregation on an arbitrary key column.
+
+    Same shape as salted_host_agg: hot keys get a salt derived from a
+    uniform row hash so one k-times-skewed reducer becomes k uniform
+    ones; stage 2 combines partials by key.  ``agg_exprs`` maps output
+    column → ('sum'|'count'|'max'|'min', input col).
     """
-    salted = with_salted_host(df, hot_hosts, k, url_col)
+    if hot_keys:
+        is_hot = F.col(key_col).isin(list(hot_keys))
+    else:
+        is_hot = F.lit(False)
+    salt = F.when(is_hot,
+                  F.pmod(F.xxhash64(*df.columns), F.lit(k))).otherwise(F.lit(0))
+    salted = df.withColumn("__salt", salt.cast("int"))
+    partial_aggs, final_aggs = _two_stage_aggs(agg_exprs)
+    partial = salted.groupBy(key_col, "__salt").agg(*partial_aggs)
+    return partial.groupBy(key_col).agg(*final_aggs)
+
+
+def _two_stage_aggs(agg_exprs: dict):
     partial_aggs = []
     final_aggs = []
     for out, (fn, col) in agg_exprs.items():
@@ -116,5 +142,18 @@ def salted_host_agg(df: DataFrame, agg_exprs: dict, hot_hosts: Sequence[str],
             final_aggs.append(F.min(out).alias(out))
         else:
             raise ValueError(f"unsupported agg {fn}")
+    return partial_aggs, final_aggs
+
+
+def salted_host_agg(df: DataFrame, agg_exprs: dict, hot_hosts: Sequence[str],
+                    k: int = 16, url_col: str = "url") -> DataFrame:
+    """Two-stage skew-safe per-host aggregation.
+
+    ``agg_exprs`` maps output column → ('sum'|'count'|'max'|'min', input col).
+    Stage 1 groups by (host, salt) — hot hosts split k ways; stage 2
+    combines partials by host.  avg = sum/count composed by the caller.
+    """
+    salted = with_salted_host(df, hot_hosts, k, url_col)
+    partial_aggs, final_aggs = _two_stage_aggs(agg_exprs)
     partial = salted.groupBy("host", "salt").agg(*partial_aggs)
     return partial.groupBy("host").agg(*final_aggs)
