@@ -29,7 +29,7 @@ _CORPUS_N = 240  # deterministic synthetic pages per run (seed=42)
 def _pages_df(spark: SparkSession, n: int = _CORPUS_N) -> DataFrame:
     from webpeel_spark.sources.corpus import generate_rows
 
-    rows = generate_rows(n, seed=42)
+    rows = generate_rows(n, seed=42, docx_fraction=0.02)
     data = [(r["url"], r["warc_ts"], r["html"], r["text"], r["lang"]) for r in rows]
     return spark.createDataFrame(
         data, "url string, warc_ts timestamp, html binary, text string, lang string"

@@ -46,7 +46,8 @@ def _corpus_parquet(n: int) -> str:
     path = os.path.join(cache, f"pages_n{n}_seed42.parquet")
     if not os.path.exists(path):
         from webpeel_spark.sources.corpus import write_corpus_parquet
-        write_corpus_parquet(path, n, seed=42, files=max(32, n // 256))
+        write_corpus_parquet(path, n, seed=42, files=max(32, n // 256),
+                             docx_fraction=0.02)
     return path
 
 

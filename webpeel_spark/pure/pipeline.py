@@ -28,6 +28,7 @@ from .extractors import extract_domain_data, get_domain_extractor
 from .jsonld import extract_jsonld_dom
 from .langdetect import detect_language_from_url, detect_language_ngram
 from .metadata import extract_links, extract_links_dom, extract_metadata
+from .docx import is_docx_bytes
 from .pdfextract import is_pdf_bytes
 from .extractors.pdfurl import pdf_extract_result
 from .readability import extract_readable_content
@@ -56,6 +57,8 @@ def detect_content_type(url: str, payload: bytes) -> str:
         return "document"
     url_lower = url.lower()
     if url_lower.endswith(".pdf") or url_lower.endswith(".docx"):
+        return "document"
+    if payload.startswith(b"PK\x03\x04") and is_docx_bytes(payload):
         return "document"
     if any(url_lower.endswith(ext) for ext in
            (".png", ".jpg", ".jpeg", ".gif", ".webp", ".tiff", ".tif", ".bmp")):
@@ -139,6 +142,8 @@ def _extract_page_inner(url: str, payload: bytes,
 
 def _pdf_branch(url: str, payload: bytes, options: ExtractOptions,
                 result: Dict[str, Any]) -> Dict[str, Any]:
+    if not is_pdf_bytes(payload) and is_docx_bytes(payload):
+        return _docx_branch(url, payload, options, result)
     result["branch"] = "pdf"
     dd = pdf_extract_result(payload, url)
     if dd is None:
@@ -152,6 +157,30 @@ def _pdf_branch(url: str, payload: bytes, options: ExtractOptions,
     result["method"] = "pdf"
     result["quality"] = 1.0  # documents are inherently structured (pipeline.ts:891)
     result["language"] = detect_language_ngram(dd.clean_content)
+    return _finish(result, options)
+
+
+def _docx_branch(url: str, payload: bytes, options: ExtractOptions,
+                 result: Dict[str, Any]) -> Dict[str, Any]:
+    """DOCX → semantic HTML → markdown (documents.ts:124-157: mammoth
+    HTML feeds htmlToMarkdown; title = url basename sans extension,
+    'Word Document' fallback)."""
+    from .docx import docx_to_html
+
+    result["branch"] = "docx"
+    html = docx_to_html(payload)
+    if html is None:
+        result["status"] = "error"
+        result["error"] = "DOCX parsing failed"
+        return result
+    basename = url.rstrip("/").split("/")[-1]
+    title = basename.rsplit(".", 1)[0] if "." in basename else basename
+    result["title"] = title or "Word Document"
+    result["content"] = md.html_to_markdown(html, prune=False)
+    result["extractor"] = "docx"
+    result["method"] = "docx"
+    result["quality"] = 1.0  # documents are inherently structured
+    result["language"] = detect_language_ngram(result["content"])
     return _finish(result, options)
 
 

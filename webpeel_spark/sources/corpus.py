@@ -325,8 +325,15 @@ TEMPLATES = [
 ]
 
 
-def generate_rows(n: int, seed: int = 42) -> List[Dict]:
-    """Generate n deterministic corpus rows (list of dicts, input_hint shape)."""
+def generate_rows(n: int, seed: int = 42,
+                  docx_fraction: float = 0.0) -> List[Dict]:
+    """Generate n deterministic corpus rows (list of dicts, input_hint shape).
+
+    ``docx_fraction`` > 0 APPENDS int(n*fraction) .docx payload rows
+    with an independent rng — appended, not interleaved, so the first
+    n rows stay byte-identical to docx_fraction=0 (the golden fixtures
+    pin them).
+    """
     rng = random.Random(seed)
     names = [t for t, _ in TEMPLATES]
     weights = [w for _, w in TEMPLATES]
@@ -392,11 +399,34 @@ def generate_rows(n: int, seed: int = 42) -> List[Dict]:
             "text": text,
             "lang": lang if template == "article" else "",
         })
+
+    n_docx = int(n * docx_fraction)
+    if n_docx:
+        from ..pure.docx import make_docx
+
+        drng = random.Random(seed + 7919)
+        for j in range(n_docx):
+            payload = make_docx(
+                f"Quarterly Report {j}",
+                [_paragraph(drng) for _ in range(drng.randint(2, 5))],
+                bullets=[_sentence(drng, 6) for _ in range(3)],
+                table_rows=[["Metric", "Value"]]
+                + [[drng.choice(_WORDS), str(drng.randint(1, 999))]
+                   for _ in range(3)],
+            )
+            rows.append({
+                "url": f"https://files.example.net/docs/report-{j}.docx",
+                "warc_ts": _EPOCH + timedelta(seconds=(n + j) * 17),
+                "html": payload,
+                "text": "",
+                "lang": "",
+            })
     return rows
 
 
 def write_corpus_parquet(path: str, n: int, seed: int = 42,
-                         row_group_size: int = 256, files: int = 1) -> None:
+                         row_group_size: int = 256, files: int = 1,
+                         docx_fraction: float = 0.0) -> None:
     """Write the corpus as a parquet file via pyarrow (driver-side).
 
     Small row groups (256 rows ≈ 2-5 MB of html blobs) matter: Spark's
@@ -408,7 +438,7 @@ def write_corpus_parquet(path: str, n: int, seed: int = 42,
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    rows = generate_rows(n, seed)
+    rows = generate_rows(n, seed, docx_fraction=docx_fraction)
 
     def _table(chunk):
         return pa.table({
