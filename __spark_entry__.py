@@ -29,7 +29,7 @@ _CORPUS_N = 240  # deterministic synthetic pages per run (seed=42)
 def _pages_df(spark: SparkSession, n: int = _CORPUS_N) -> DataFrame:
     from webpeel_spark.sources.corpus import generate_rows
 
-    rows = generate_rows(n, seed=42, docx_fraction=0.02)
+    rows = generate_rows(n, seed=42, docx_fraction=0.02, listing_fraction=0.02)
     data = [(r["url"], r["warc_ts"], r["html"], r["text"], r["lang"]) for r in rows]
     return spark.createDataFrame(
         data, "url string, warc_ts timestamp, html binary, text string, lang string"
@@ -232,6 +232,23 @@ def _q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
                                        threshold=0.8, bits=4)
 
 
+def _q_extract_listings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from webpeel_spark.operators.extract import extract_listings_pages
+
+    return extract_listings_pages(_pages_df(spark).select("url", "html"),
+                                  num_partitions=8)
+
+
+def _q_budget_distill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from webpeel_spark.operators.extract import extract_pages
+    from webpeel_spark.pure.pipeline import ExtractOptions
+
+    opts = ExtractOptions(budget_tokens=150, chunk=False)
+    out = extract_pages(_pages_df(spark).select("url", "html"),
+                        options=opts, num_partitions=8)
+    return out.select("url", "token_estimate", "content_len", "quality")
+
+
 def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from webpeel_spark.operators.multimodal import (
         extract_features, synthetic_multimodal_df,
@@ -275,6 +292,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": _q_ngram_jaccard,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "embedding_near_dups": _q_embedding_near_dups,
+        "extract_listings": _q_extract_listings,
+        "budget_distill": _q_budget_distill,
         "multimodal_features": _q_multimodal_features,
         "host_stats_salted": _q_host_stats_salted,
     }

@@ -117,6 +117,52 @@ def extract_pages(df: DataFrame, options=None,
     return pruned.mapInPandas(_make_extract_fn(tuple(options)), EXTRACT_SCHEMA)
 
 
+LISTING_SCHEMA = StructType([
+    StructField("url", StringType(), False),
+    StructField("item_index", IntegerType(), False),
+    StructField("title", StringType(), True),
+    StructField("price", StringType(), True),
+    StructField("image", StringType(), True),
+    StructField("link", StringType(), True),
+    StructField("rating", StringType(), True),
+    StructField("description", StringType(), True),
+])
+
+
+def extract_listings_pages(df: DataFrame,
+                           num_partitions: Optional[int] = None) -> DataFrame:
+    """UDTF-shaped listing auto-extraction: one input page row → N output
+    item rows (extract-listings.ts:483-500 semantics via the pure port).
+    Pages with no detectable listing pattern produce zero rows."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from webpeel_spark.pure.listings import extract_listings
+
+        cols = [f.name for f in LISTING_SCHEMA.fields]
+        for pdf in it:
+            out = []
+            for url, payload in zip(pdf["url"], pdf["html"]):
+                if payload is None:
+                    continue
+                if isinstance(payload, memoryview):
+                    payload = payload.tobytes()
+                try:
+                    html = payload.decode("utf-8", errors="replace")
+                    items = extract_listings(html, url)
+                except Exception:
+                    continue  # per-row isolation: bad page → no rows
+                for i, item in enumerate(items):
+                    out.append((url, i, item.get("title"), item.get("price"),
+                                item.get("image"), item.get("link"),
+                                item.get("rating"), item.get("description")))
+            yield pd.DataFrame(out, columns=cols)
+
+    pruned = df.select("url", "html")
+    if num_partitions:
+        pruned = pruned.repartition(num_partitions, F.xxhash64("url"))
+    return pruned.mapInPandas(batches, LISTING_SCHEMA)
+
+
 def extraction_metrics(result: DataFrame) -> DataFrame:
     """Job-level rollup (cleaning-stats analog, markdown.ts:59-157):
     hash-agg with partial+final combine — all built-in Catalyst."""

@@ -43,6 +43,7 @@ class ExtractOptions(NamedTuple):
     chunk: bool = True
     chunk_max_tokens: int = 512
     chunk_overlap: int = 50
+    budget_tokens: int = 0         # distillToBudget target (0 = off)
 
 
 DEFAULT_OPTIONS = ExtractOptions()
@@ -379,6 +380,14 @@ def _finish(result: Dict[str, Any], options: ExtractOptions) -> Dict[str, Any]:
     content = result["content"]
     if options.max_tokens and options.max_tokens > 0:
         content = md.truncate_to_token_budget(content, options.max_tokens)
+        result["content"] = content
+
+    # budget distillation AFTER maxTokens (pipeline.ts:1319 then :1327-1359)
+    if options.budget_tokens and options.budget_tokens > 0:
+        from .budget import distill_to_budget
+
+        fmt = "json" if result["branch"] == "json" else "markdown"
+        content = distill_to_budget(content, options.budget_tokens, fmt)
         result["content"] = content
 
     plain = re.sub(r"\s+", " ", re.sub(r"[#*_`\[\]\(\)>|-]", " ", content)).strip()

@@ -325,8 +325,25 @@ TEMPLATES = [
 ]
 
 
+def _listing_page(rng: random.Random, n_items: int) -> str:
+    items = "".join(
+        f'<li class="product-card">'
+        f'<img src="/img/p{i}.jpg" alt="product {i}">'
+        f'<h3 class="product-title"><a href="/item/{i}">'
+        f'{_sentence(rng, 5)[:-1]}</a></h3>'
+        f'<span class="price">${rng.randint(5, 500)}.{rng.randint(0, 99):02d}</span>'
+        f'<span class="rating" aria-label="{rng.randint(30, 50) / 10} out of 5 stars"></span>'
+        f'<p class="desc">{_sentence(rng, 10)}</p></li>'
+        for i in range(n_items)
+    )
+    return (f'<html lang="en"><head><title>Shop results</title></head><body>'
+            f'{_nav(rng)}<h1>Results</h1><ul class="results-grid">{items}</ul>'
+            f"{_noise_blocks(rng)}</body></html>")
+
+
 def generate_rows(n: int, seed: int = 42,
-                  docx_fraction: float = 0.0) -> List[Dict]:
+                  docx_fraction: float = 0.0,
+                  listing_fraction: float = 0.0) -> List[Dict]:
     """Generate n deterministic corpus rows (list of dicts, input_hint shape).
 
     ``docx_fraction`` > 0 APPENDS int(n*fraction) .docx payload rows
@@ -418,6 +435,19 @@ def generate_rows(n: int, seed: int = 42,
                 "url": f"https://files.example.net/docs/report-{j}.docx",
                 "warc_ts": _EPOCH + timedelta(seconds=(n + j) * 17),
                 "html": payload,
+                "text": "",
+                "lang": "",
+            })
+
+    n_listing = int(n * listing_fraction)
+    if n_listing:
+        lrng = random.Random(seed + 104729)
+        for j in range(n_listing):
+            html = _listing_page(lrng, lrng.randint(5, 12))
+            rows.append({
+                "url": f"https://shop.example.io/search?page={j}",
+                "warc_ts": _EPOCH + timedelta(seconds=(n + n_docx + j) * 17),
+                "html": html.encode("utf-8"),
                 "text": "",
                 "lang": "",
             })
