@@ -1,0 +1,209 @@
+"""ebay / craigslist / substack / news extractor tests — inline-HTML
+fixtures with behavioral assertions (reference style:
+src/tests/domain-extractors.test.ts)."""
+
+import json
+
+from webpeel_spark.pure.extractors import extract_domain_data, get_domain_extractor
+from webpeel_spark.pure.extractors.craigslist import craigslist_extractor
+from webpeel_spark.pure.extractors.ebay import ebay_extractor
+from webpeel_spark.pure.extractors.news import extract_news_article
+from webpeel_spark.pure.extractors.substack import substack_extractor
+
+
+# ── registry dispatch ────────────────────────────────────────────────────
+
+def test_registry_dispatch():
+    assert get_domain_extractor("https://www.ebay.com/itm/123") is not None
+    assert get_domain_extractor("https://sfbay.craigslist.org/abc/d/thing/1234567890.html") is not None
+    assert get_domain_extractor("https://writer.substack.com/p/post") is not None
+    assert get_domain_extractor("https://www.nytimes.com/2024/01/01/tech/a.html") is not None
+    assert get_domain_extractor("https://www.bbc.co.uk/news/x") is not None
+    assert get_domain_extractor("https://unknown-site.example") is None
+
+
+# ── eBay ─────────────────────────────────────────────────────────────────
+
+EBAY_ITEM = """<html><body>
+<h1>Vintage Film Camera 35mm</h1>
+<div class="x-price-primary">US $129.99</div>
+<div class="x-item-condition-text">Pre-Owned</div>
+<div class="shipping-price">$5.00 shipping</div>
+</body></html>"""
+
+
+def test_ebay_item_page():
+    r = ebay_extractor(EBAY_ITEM, "https://www.ebay.com/itm/1234567890")
+    assert r.type == "listing"
+    assert r.structured["title"] == "Vintage Film Camera 35mm"
+    assert r.structured["price"] == "US $129.99"
+    assert r.structured["condition"] == "Pre-Owned"
+    assert "# 🛍 Vintage Film Camera 35mm" in r.clean_content
+
+
+def test_ebay_price_skips_shipping_class():
+    html = """<html><body><h1>Item</h1>
+    <span class="shipping-price">$9.99</span>
+    <span class="display-price">$42.00</span></body></html>"""
+    r = ebay_extractor(html, "https://www.ebay.com/itm/1")
+    assert r.structured["price"] == "$42.00"
+
+
+EBAY_SEARCH = """<html><body><ul>""" + "".join(
+    f'<li data-listingid="{100 + i}">'
+    f'<div class="s-card__title">New Listing Camera Lens {i}Opens in a new window or tab</div>'
+    f'<span class="s-card__price">${20 + i}.00</span>'
+    f'<span class="s-card__subtitle">PhotoShopBrand New</span>'
+    f'<a href="https://www.ebay.com/itm/{100 + i}?hash=xyz&tracking=1">link</a></li>'
+    for i in range(4)
+) + """</ul></body></html>"""
+
+
+def test_ebay_search_page():
+    r = ebay_extractor(EBAY_SEARCH, "https://www.ebay.com/sch/i.html?_nkw=camera+lens&_udhi=50")
+    assert r.type == "search"
+    assert r.structured["keyword"] == "camera lens"
+    assert r.structured["count"] == 4
+    first = r.structured["listings"][0]
+    assert first["title"] == "Camera Lens 0"           # prefixes/suffixes stripped
+    assert first["condition"] == "Brand New"            # keyword from merged subtitle
+    assert first["url"] == "https://www.ebay.com/itm/100"  # tracking params stripped
+    assert "**Search:** camera lens" in r.clean_content
+
+
+def test_ebay_search_no_listings_returns_none():
+    assert ebay_extractor("<html><body><p>x</p></body></html>",
+                          "https://www.ebay.com/sch/i.html?_nkw=x") is None
+
+
+# ── craigslist ───────────────────────────────────────────────────────────
+
+CL_POST = """<html><body>
+<h2 class="postingtitle"><span class="postingtitletext">
+<span id="titletextonly">Mountain bike - large frame</span>
+<span class="price">$450</span> <small> (mission district)</small></span></h2>
+<p class="postinginfo">posted: <time datetime="2024-03-01T10:00:00-0800">mar 1</time></p>
+<section id="postingbody">
+<div class="print-information">print</div>
+QR Code Link to This Post
+Great condition bike, barely used. Size L.
+</section>
+<div class="attrgroup"><span>condition: excellent</span><span>make / manufacturer: Trek</span></div>
+<img class="slide" src="https://images.craigslist.org/a.jpg">
+<img class="slide" src="https://images.craigslist.org/b.jpg">
+</body></html>"""
+
+
+def test_craigslist_post():
+    r = craigslist_extractor(CL_POST, "https://sfbay.craigslist.org/sfc/bik/d/mountain-bike/1234567890.html")
+    assert r.type == "listing"
+    s = r.structured
+    assert s["title"] == "Mountain bike - large frame"
+    assert s["price"] == "$450"
+    assert s["location"] == "mission district"
+    assert s["postDate"].startswith("2024-03-01")
+    assert "Great condition bike" in s["bodyText"]
+    assert "QR Code Link" not in s["bodyText"]
+    assert s["attributes"]["condition"] == "excellent"
+    assert len(s["images"]) == 2
+    assert "## Details" in r.clean_content
+    assert "📷 2 images" in r.clean_content
+
+
+CL_SEARCH = """<html><head><title>sf bikes - craigslist</title></head><body>
+<ul>
+<li class="cl-static-search-result">
+ <a class="titlestring" href="https://sfbay.craigslist.org/1.html">Road bike</a>
+ <span class="result-price">$300</span><span class="result-hood">(soma)</span></li>
+<li class="cl-static-search-result">
+ <a class="titlestring" href="https://sfbay.craigslist.org/2.html">BMX</a>
+ <span class="result-price">$150</span></li>
+</ul></body></html>"""
+
+
+def test_craigslist_search():
+    r = craigslist_extractor(CL_SEARCH, "https://sfbay.craigslist.org/search/bik")
+    assert r.type == "search"
+    assert len(r.structured["listings"]) == 2
+    assert r.structured["listings"][0]["title"] == "Road bike"
+    assert "**Road bike** — $300 (soma)" in r.clean_content
+
+
+# ── substack ─────────────────────────────────────────────────────────────
+
+def _substack_html(paywalled=False):
+    jl = {"@type": "NewsArticle", "headline": "On Distributed Extraction",
+          "author": {"name": "Ada Writer"}, "datePublished": "2024-05-01T09:00:00Z",
+          "description": "A short preview of the post."}
+    body = "" if paywalled else (
+        '<div class="body markup"><h2>Part One</h2>'
+        "<p>Paragraph one about pipelines and scale in production systems.</p>"
+        "<pre>x = 1</pre>"
+        '<div class="subscribe-widget">Subscribe!</div>'
+        "<blockquote>A quote.</blockquote></div>")
+    return f"""<html><head>
+<script type="application/ld+json">{json.dumps(jl)}</script>
+<meta property="og:site_name" content="Ada's Letters">
+</head><body><article>{body}</article></body></html>"""
+
+
+def test_substack_post():
+    r = substack_extractor(_substack_html(), "https://ada.substack.com/p/on-distributed")
+    assert r.type == "post"
+    s = r.structured
+    assert s["title"] == "On Distributed Extraction"
+    assert s["author"] == "Ada Writer"
+    assert s["publication"] == "Ada's Letters"
+    assert s["paywalled"] is False
+    assert "## Part One" in r.clean_content
+    assert "```\nx = 1\n```" in r.clean_content
+    assert "> A quote." in r.clean_content
+    assert "Subscribe!" not in r.clean_content
+
+
+def test_substack_paywall_detection():
+    r = substack_extractor(_substack_html(paywalled=True),
+                           "https://ada.substack.com/p/on-distributed")
+    assert r.structured["paywalled"] is True
+    assert "behind a paywall" in r.clean_content
+
+
+# ── news ─────────────────────────────────────────────────────────────────
+
+NEWS_HTML = """<html><head>
+<script type="application/ld+json">{"@context":"https://schema.org","@graph":[
+ {"@type":"Organization","name":"Example News"},
+ {"@type":"NewsArticle","headline":"Markets Rally on Data",
+  "author":[{"name":"Sam Reporter"}],"datePublished":"2024-06-02T12:00:00Z",
+  "articleSection":"Business","keywords":["markets","economy"],
+  "description":"Stocks rose."}]}</script>
+</head><body>
+<article>
+<h1>Markets Rally on Data</h1>
+<p>Stocks rose sharply on Tuesday as new data emerged from the markets.</p>
+<h2>The Numbers</h2>
+<p>The index gained four percent in heavy trading across all sectors today.</p>
+<blockquote>We are optimistic, analysts said about the outlook.</blockquote>
+<aside class="ad-unit">buy things</aside>
+<p>Additional reporting contributed to this developing market story today.</p>
+</article></body></html>"""
+
+
+def test_news_article_graph_jsonld():
+    r = extract_news_article(NEWS_HTML, "https://www.nytimes.com/2024/06/02/business/markets.html",
+                             "nytimes.com")
+    s = r.structured
+    assert s["title"] == "Markets Rally on Data"
+    assert s["author"] == "Sam Reporter"
+    assert s["section"] == "Business"
+    assert s["keywords"] == ["markets", "economy"]
+    assert "**Published:** 2024-06-02" in r.clean_content
+    assert "## The Numbers" in r.clean_content
+    assert "> We are optimistic" in r.clean_content
+    assert "buy things" not in r.clean_content
+
+
+def test_news_short_result_rejected_via_dispatch():
+    # <20-char cleanContent is rejected by extract_domain_data (index.ts:255)
+    html = "<html><body><p>no title here</p></body></html>"
+    assert extract_domain_data(html, "https://www.bbc.com/news/x") is None

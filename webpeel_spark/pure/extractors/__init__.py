@@ -29,9 +29,13 @@ class DomainExtractResult(NamedTuple):
 
 
 from .amazon import amazon_extractor
+from .craigslist import craigslist_extractor
+from .ebay import ebay_extractor
 from .medium import medium_extractor
-from .wikipedia import wikipedia_extractor
+from .news import bbc_extractor, cnn_extractor, nytimes_extractor
 from .pdfurl import pdf_url_extractor
+from .substack import substack_extractor
+from .wikipedia import wikipedia_extractor
 
 Extractor = Callable[[str, str], Optional[DomainExtractResult]]
 
@@ -64,6 +68,14 @@ REGISTRY: List[Tuple[Callable[[str, str], bool], Extractor]] = [
     (lambda h, u: _host_is(h, "amazon.com"), amazon_extractor),
     (lambda h, u: _host_is(h, "medium.com") or h.endswith(".medium.com"),
      medium_extractor),
+    # registry order mirrors extractors/index.ts:83-96
+    (lambda h, u: h.endswith(".substack.com"), substack_extractor),
+    (lambda h, u: _host_is(h, "craigslist.org") or h.endswith(".craigslist.org"),
+     craigslist_extractor),
+    (lambda h, u: _host_is(h, "ebay.com"), ebay_extractor),
+    (lambda h, u: _host_is(h, "nytimes.com"), nytimes_extractor),
+    (lambda h, u: _host_is(h, "bbc.com", "bbc.co.uk"), bbc_extractor),
+    (lambda h, u: _host_is(h, "cnn.com"), cnn_extractor),
     (lambda h, u: bool(_PDF_URL_RE.search(u)) or bool(_PDF_PATH_RE.search(u)),
      pdf_url_extractor),
 ]
