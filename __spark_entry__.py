@@ -257,6 +257,44 @@ def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(synthetic_multimodal_df(spark, 64)).drop("features")
 
 
+def _q_streaming_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming extraction (availableNow) — rows-only: the
+    stream output is read back and must match batch extraction."""
+    import tempfile
+
+    from webpeel_spark.sources.corpus import write_corpus_parquet
+    from webpeel_spark.streaming.extract_stream import stream_extraction
+
+    tmp = tempfile.mkdtemp(prefix="wp_stream_")
+    inp = os.path.join(tmp, "in")
+    os.makedirs(inp)
+    write_corpus_parquet(os.path.join(inp, "b0.parquet"), 60, seed=9)
+    q = stream_extraction(spark, inp, os.path.join(tmp, "out"),
+                          os.path.join(tmp, "ck"))
+    q.awaitTermination(300)
+    return spark.read.parquet(os.path.join(tmp, "out")).select(
+        "url", "status", "branch", "token_estimate").orderBy("url")
+
+
+def _q_checkpoint_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpointed run's progress table — rows-only: per-bucket lineage
+    (input snapshot id, url-hash range, counts, metrics)."""
+    import tempfile
+
+    from webpeel_spark.plans.checkpoint import (
+        read_progress, run_extraction_checkpointed,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="wp_ckpt_")
+    pages = _pages_df(spark, 80)
+    run_extraction_checkpointed(spark, pages, tmp, run_id="contract-run",
+                                num_buckets=8, buckets_per_commit=4,
+                                num_partitions=8)
+    return read_progress(spark, tmp).select(
+        "run_id", "bucket", "row_count", "ok_count", "error_count",
+        "token_sum", "avg_quality").orderBy("bucket")
+
+
 def _q_host_stats_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from webpeel_spark.plans.partitioning import find_hot_hosts, salted_host_agg
 
@@ -296,6 +334,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "budget_distill": _q_budget_distill,
         "multimodal_features": _q_multimodal_features,
         "host_stats_salted": _q_host_stats_salted,
+        "streaming_extract": _q_streaming_extract,
+        "checkpoint_lineage": _q_checkpoint_lineage,
     }
 
 

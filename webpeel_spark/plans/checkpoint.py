@@ -38,8 +38,10 @@ from pyspark.sql import functions as F
 from ..operators.extract import extract_pages
 
 PROGRESS_SCHEMA = (
-    "run_id string, bucket int, row_count long, ok_count long, "
-    "error_count long, token_sum long, completed_at_ts double"
+    "run_id string, input_snapshot_id string, bucket int, "
+    "url_hash_min long, url_hash_max long, row_count long, ok_count long, "
+    "error_count long, token_sum long, content_bytes long, "
+    "avg_quality double, completed_at_ts double"
 )
 
 
@@ -75,13 +77,24 @@ def run_extraction_checkpointed(
     buckets_per_commit: int = 4,
     options=None,
     num_partitions: Optional[int] = None,
+    input_snapshot_id: Optional[str] = None,
 ) -> dict:
     """Run (or resume) a checkpointed extraction job.
 
     Returns summary dict with buckets processed/skipped and row counts.
     At cluster scale ``num_buckets`` is sized so one bucket ≈ minutes of
     work (e.g. 4096 buckets for 10^12 rows); here it stays small.
+
+    ``input_snapshot_id`` pins the lineage to the input the run read —
+    on Iceberg pass the table's snapshot id; defaults to a fingerprint
+    of the input plan so a changed input is visible in the progress
+    table either way.
     """
+    if input_snapshot_id is None:
+        import hashlib
+        # deterministic fingerprint of the (analyzed) input plan
+        plan = pages._jdf.queryExecution().analyzed().toString()
+        input_snapshot_id = hashlib.sha256(plan.encode()).hexdigest()[:16]
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     out_data = os.path.join(out_dir, "data")
     done = set(completed_buckets(spark, out_dir, run_id))
@@ -91,7 +104,8 @@ def run_extraction_checkpointed(
         "bucket", F.pmod(F.xxhash64("url"), F.lit(num_buckets)).cast("int")
     )
 
-    summary = {"run_id": run_id, "skipped_buckets": sorted(done),
+    summary = {"run_id": run_id, "input_snapshot_id": input_snapshot_id,
+               "skipped_buckets": sorted(done),
                "processed_buckets": [], "rows": 0, "errors": 0}
 
     for start in range(0, len(all_buckets), buckets_per_commit):
@@ -112,6 +126,10 @@ def run_extraction_checkpointed(
                     F.sum(F.when(F.col("status") == "ok", 1).otherwise(0)).alias("ok_count"),
                     F.sum(F.when(F.col("status") == "error", 1).otherwise(0)).alias("error_count"),
                     F.sum("token_estimate").alias("token_sum"),
+                    F.sum("content_len").alias("content_bytes"),
+                    F.round(F.avg("quality"), 4).alias("avg_quality"),
+                    F.min(F.xxhash64("url")).alias("url_hash_min"),
+                    F.max(F.xxhash64("url")).alias("url_hash_max"),
                 ).collect()
             )
             (
@@ -122,8 +140,12 @@ def run_extraction_checkpointed(
             )
             now = time.time()
             progress_rows = [
-                (run_id, int(r["bucket"]), int(r["row_count"]), int(r["ok_count"]),
-                 int(r["error_count"]), int(r["token_sum"] or 0), now)
+                (run_id, input_snapshot_id, int(r["bucket"]),
+                 int(r["url_hash_min"]), int(r["url_hash_max"]),
+                 int(r["row_count"]), int(r["ok_count"]),
+                 int(r["error_count"]), int(r["token_sum"] or 0),
+                 int(r["content_bytes"] or 0), float(r["avg_quality"] or 0.0),
+                 now)
                 for r in stats
             ]
             if progress_rows:
