@@ -249,6 +249,51 @@ def _q_budget_distill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("url", "token_estimate", "content_len", "quality")
 
 
+def _q_quick_answers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from webpeel_spark.operators.text_analysis import quick_answers
+
+    return quick_answers(_docs(spark, sf_dir).limit(100),
+                         "How many documents describe the pipeline?")
+
+
+def _q_bm25_relevance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from webpeel_spark.operators.text_analysis import relevance_scores
+
+    return relevance_scores(_docs(spark, sf_dir), _BM25_QUERY).limit(50)
+
+
+def _q_schema_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSS-selector/schema extraction over the synthetic pages corpus
+    (extract.ts:68-151 port) — one mapInPandas stage, exploded fields."""
+    import pandas as pd
+
+    pages = _pages_df(spark, 120).select("url", "html")
+
+    def batches(it):
+        from webpeel_spark.pure.schema_extract import extract_structured
+
+        for pdf in it:
+            out = []
+            for url, payload in zip(pdf["url"], pdf["html"]):
+                html = bytes(payload or b"").decode("utf-8", errors="replace")
+                r = extract_structured(
+                    html,
+                    selectors={"title": "title", "h1": "h1",
+                               "canonical": 'link[rel="canonical"]@href'},
+                    schema={"properties": {"author": {"type": "string"},
+                                           "description": {"type": "string"}}},
+                )
+                out.append((url, r["title"] if isinstance(r["title"], str) else None,
+                            r["h1"] if isinstance(r["h1"], str) else None,
+                            r["author"], r["description"]))
+            yield pd.DataFrame(
+                out, columns=["url", "title", "h1", "author", "description"])
+
+    return pages.mapInPandas(
+        batches, "url string, title string, h1 string, author string, "
+                 "description string")
+
+
 def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from webpeel_spark.operators.multimodal import (
         extract_features, synthetic_multimodal_df,
@@ -332,6 +377,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": _q_embedding_near_dups,
         "extract_listings": _q_extract_listings,
         "budget_distill": _q_budget_distill,
+        "quick_answers": _q_quick_answers,
+        "bm25_relevance": _q_bm25_relevance,
+        "schema_extract": _q_schema_extract,
         "multimodal_features": _q_multimodal_features,
         "host_stats_salted": _q_host_stats_salted,
         "streaming_extract": _q_streaming_extract,

@@ -82,6 +82,53 @@ def length_filter(df: DataFrame, min_chars: int = 100,
     )
 
 
+# ── question answering / relevance (Arrow-batched Python stages) ────────
+
+def quick_answers(df: DataFrame, question: str, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Per-document LLM-free QA (pure/quick_answer port) as one
+    mapInPandas stage → (id, answer, confidence)."""
+    import pandas as pd
+
+    from ..plans.partitioning import fan_out
+
+    def batches(it):
+        from ..pure.quick_answer import quick_answer
+
+        for pdf in it:
+            out = []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                r = quick_answer(question, t or "")
+                out.append((i, r["answer"], r["confidence"]))
+            yield pd.DataFrame(out, columns=[id_col, "answer", "confidence"])
+
+    return fan_out(df.select(id_col, text_col)).mapInPandas(
+        batches, f"{id_col} long, answer string, confidence double")
+
+
+def relevance_scores(df: DataFrame, query: str, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Document-level BM25 relevance (0-1 sigmoid, pure/bm25_filter port)
+    — the ranking signal the reference uses for search results."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from ..plans.partitioning import fan_out
+
+    def _rel(texts):
+        from ..pure.bm25_filter import compute_relevance_score
+
+        return texts.map(lambda t: round(compute_relevance_score(t or "", query), 4))
+
+    # explicit returnType form — `from __future__ import annotations`
+    # stringifies hints, which pandas_udf's hint inference can't resolve
+    rel = pandas_udf(_rel, "double")
+
+    return (fan_out(df.select(id_col, text_col))
+            .select(id_col, rel(F.col(text_col)).alias("relevance"))
+            .orderBy(F.desc("relevance"), F.asc(id_col)))
+
+
 # ── language ID (stopword vote), fully JVM-side ─────────────────────────
 
 _LANG_SAMPLE_CHARS = 2000  # pure/langdetect.py sample_chars
