@@ -25,8 +25,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
-    ArrayType, DoubleType, IntegerType, LongType, StringType, StructField,
-    StructType,
+    ArrayType, BooleanType, DoubleType, IntegerType, LongType, StringType,
+    StructField, StructType,
 )
 
 CHUNK_SCHEMA = StructType([
@@ -65,6 +65,8 @@ EXTRACT_SCHEMA = StructType([
     StructField("content_len", LongType(), False),
     StructField("html_len", LongType(), False),
     StructField("pruned_percent", IntegerType(), False),
+    StructField("auth_required", BooleanType(), False),
+    StructField("injection_detected", BooleanType(), False),
 ])
 
 _COLUMNS = [f.name for f in EXTRACT_SCHEMA.fields]

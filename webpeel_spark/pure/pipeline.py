@@ -91,6 +91,7 @@ def _empty_result(url: str) -> Dict[str, Any]:
         "image": None, "word_count": 0, "token_estimate": 0, "quality": 0.0,
         "links": [], "link_count": 0, "chunks": [], "fingerprint": _sha256(""),
         "content_len": 0, "html_len": 0, "pruned_percent": 0, "method": "generic",
+        "auth_required": False, "injection_detected": False,
     }
 
 
@@ -373,10 +374,27 @@ def _html_branch(url: str, html: str, options: ExtractOptions,
     result["quality"] = md.calculate_quality(converted, html)
     if not result["language"]:
         result["language"] = detect_language_ngram(converted)
+
+    # auth-wall check on sparse results (pipeline.ts:1196-1218)
+    if len(converted) < 800 or result["quality"] < 0.3:
+        from .auth_detection import detect_auth_wall
+
+        if detect_auth_wall(html, url)["is_auth_wall"]:
+            result["auth_required"] = True
+
     return _finish(result, options)
 
 
 def _finish(result: Dict[str, Any], options: ExtractOptions) -> Dict[str, Any]:
+    # prompt-injection scan on final content (buildResult,
+    # pipeline.ts:1651-1656): content replaced only when detected
+    from .prompt_guard import sanitize_for_llm
+
+    guard = sanitize_for_llm(result["content"] or "")
+    if guard["injection_detected"]:
+        result["content"] = guard["content"]
+        result["injection_detected"] = True
+
     content = result["content"]
     if options.max_tokens and options.max_tokens > 0:
         content = md.truncate_to_token_budget(content, options.max_tokens)
