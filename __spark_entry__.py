@@ -182,6 +182,19 @@ def _q_extract_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
                          num_partitions=8).drop("chunks", "links")
 
 
+def _q_extract_readable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Readability fast-path variant (readable=True) — exercises the
+    candidate-scoring engine (readability.ts) through the Spark stage."""
+    from webpeel_spark.operators.extract import extract_pages
+    from webpeel_spark.pure.pipeline import ExtractOptions
+
+    out = extract_pages(_pages_df(spark).select("url", "html"),
+                        options=ExtractOptions(readable=True, chunk=False),
+                        num_partitions=8)
+    return out.select("url", "status", "method", "title", "word_count",
+                      "quality", "fingerprint")
+
+
 def _q_extract_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from webpeel_spark.operators.extract import extract_pages, extraction_metrics
 
@@ -368,6 +381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_event_rollup": _q_salted_event_rollup,
         # rows-only: extraction pipeline + LSH approximations
         "extract_flagship": _q_extract_flagship,
+        "extract_readable": _q_extract_readable,
         "extract_rollup": _q_extract_rollup,
         "extract_chunks": _q_extract_chunks,
         "minhash_near_dups": _q_minhash_near_dups,

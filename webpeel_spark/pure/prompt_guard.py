@@ -37,29 +37,65 @@ ZERO_WIDTH_RE = re.compile(
     "|\U000E0000|\U000E0001|[\U000E0020-\U000E007F]")
 
 
+# Pattern gating for the clean-content fast path. Each entry:
+# (pattern, name, required_substring_of_lowercased_content_or_None).
+# The gate substring is a REQUIRED literal of the pattern (single word,
+# no internal whitespace — immune to \s+ flexibility), so gating never
+# changes the result; None means always scan.
+_NOUN_GATE = ("instruction", "rule", "prompt", "guideline", "role",
+              "persona", "identity")
+_NAME_GATES = {
+    "markdown-exfil": ("![",),
+    "html-comment-injection": ("<!--",),
+    "hidden-element": ("display",),
+    "fake-xml-tag": ("<",),
+    "role-hijack": ("you",),    # `you\s+are\s+now` requires the word
+    "fake-role-tag": (":",),    # trailing colon is a required literal
+    "fake-delimiter": ("end",),
+}
+_GATED_PATTERNS = []
+for _p, _n in INJECTION_PATTERNS:
+    if _n in _NAME_GATES:
+        _gate = _NAME_GATES[_n]
+    else:
+        # instruction-override / disregard / forget / override-system /
+        # new-instructions / prompt-extraction / prompt-query all
+        # require one of these nouns
+        _gate = _NOUN_GATE
+    _GATED_PATTERNS.append((_p, _n, _gate))
+
+
 def sanitize_for_llm(content: str) -> Dict:
     """prompt-guard.ts:53-97 — returns content / injection_detected /
-    detected_patterns / stripped_chars."""
+    detected_patterns / stripped_chars.  Output identical to the
+    ungated form; the substring gates only skip no-op regex passes."""
     detected: List[str] = []
     sanitized = content
     stripped = 0
 
-    zw = ZERO_WIDTH_RE.findall(sanitized)
-    if zw:
+    if ZERO_WIDTH_RE.search(sanitized):
+        zw = ZERO_WIDTH_RE.findall(sanitized)
         stripped += len(zw)
         sanitized = ZERO_WIDTH_RE.sub("", sanitized)
 
-    sanitized = re.sub(r"<!--[\s\S]*?-->", "", sanitized)
-    sanitized = re.sub(r"<[^>]*style\s*=\s*\"[^\"]*display\s*:\s*none[^\"]*\"[^>]*>[\s\S]*?</[^>]+>",
-                       "", sanitized, flags=re.I)
-    sanitized = re.sub(r"<[^>]*hidden[^>]*>[\s\S]*?</[^>]+>", "", sanitized,
-                       flags=re.I)
+    if "<!--" in sanitized:
+        sanitized = re.sub(r"<!--[\s\S]*?-->", "", sanitized)
+    if "<" in sanitized:
+        sanitized = re.sub(
+            r"<[^>]*style\s*=\s*\"[^\"]*display\s*:\s*none[^\"]*\"[^>]*>[\s\S]*?</[^>]+>",
+            "", sanitized, flags=re.I)
+        sanitized = re.sub(r"<[^>]*hidden[^>]*>[\s\S]*?</[^>]+>", "",
+                           sanitized, flags=re.I)
 
-    for pattern, name in INJECTION_PATTERNS:
+    lower = sanitized.lower()
+    for pattern, name, gate in _GATED_PATTERNS:
+        if gate is not None and not any(g in lower for g in gate):
+            continue
         if pattern.search(sanitized):
             detected.append(name)
 
-    sanitized = re.sub(r"\n{5,}", "\n\n\n", sanitized)
+    if "\n\n\n\n\n" in sanitized:
+        sanitized = re.sub(r"\n{5,}", "\n\n\n", sanitized)
 
     return {"content": sanitized, "injection_detected": bool(detected),
             "detected_patterns": detected, "stripped_chars": stripped}
