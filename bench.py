@@ -98,6 +98,10 @@ def _bench_queries(spark, sf_dir: str) -> dict:
         df = fn(spark, sf_dir)
         df.count()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # operators persist intermediates (signatures, buckets) for
+        # their own multi-consumer plans; drop them between queries so
+        # accumulated cache doesn't GC-throttle later measurements
+        spark.catalog.clearCache()
     return timings
 
 
