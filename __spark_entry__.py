@@ -211,6 +211,38 @@ def _q_extract_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_extract_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from webpeel_spark.operators.extract import extract_images_pages
+
+    return extract_images_pages(_pages_df(spark).select("url", "html"),
+                                num_partitions=8)
+
+
+def _q_change_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two extraction snapshots diffed by fingerprint (watch.ts /
+    change-tracking.ts analog): ~10% urls removed, ~10% added, a third
+    of the overlap content-modified."""
+    from webpeel_spark.operators.extract import change_detection, extract_pages
+
+    pages = _pages_df(spark, 160).select("url", "html")
+    b = F.pmod(F.xxhash64("url"), F.lit(10))
+    old_pages = pages.filter(b < 9)
+    # edit must land INSIDE the main content (an appended tail paragraph
+    # sits outside the detected <article> and never reaches the
+    # extracted text) — rewrite a common body word instead
+    is_doc = F.col("url").endswith(".pdf") | F.col("url").endswith(".docx")
+    new_pages = pages.filter(b > 0).withColumn(
+        "html",
+        F.when((F.pmod(F.xxhash64("url"), F.lit(3)) == 0) & ~is_doc,
+               F.encode(F.regexp_replace(F.decode("html", "utf-8"),
+                                         "content", "content-v2"), "utf-8"))
+        .otherwise(F.col("html")),
+    )
+    old_ext = extract_pages(old_pages, num_partitions=8)
+    new_ext = extract_pages(new_pages, num_partitions=8)
+    return change_detection(old_ext, new_ext).select("url", "change").orderBy("url")
+
+
 def _q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from webpeel_spark.operators.dedup import minhash_near_duplicates
 
@@ -390,6 +422,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh_topk,
         "embedding_near_dups": _q_embedding_near_dups,
         "extract_listings": _q_extract_listings,
+        "extract_images": _q_extract_images,
+        "change_tracking": _q_change_tracking,
         "budget_distill": _q_budget_distill,
         "quick_answers": _q_quick_answers,
         "bm25_relevance": _q_bm25_relevance,

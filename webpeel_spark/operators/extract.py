@@ -165,6 +165,71 @@ def extract_listings_pages(df: DataFrame,
     return pruned.mapInPandas(batches, LISTING_SCHEMA)
 
 
+IMAGE_SCHEMA = StructType([
+    StructField("url", StringType(), False),
+    StructField("src", StringType(), False),
+    StructField("alt", StringType(), True),
+    StructField("title", StringType(), True),
+    StructField("width", IntegerType(), True),
+    StructField("height", IntegerType(), True),
+])
+
+
+def extract_images_pages(df: DataFrame,
+                         num_partitions: Optional[int] = None) -> DataFrame:
+    """Image inventory per page (metadata.ts:292-402 semantics via the
+    pure port): img[src] + picture>source[srcset] + CSS background
+    url(), absolutized, deduped by src — exploded to one row per image."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from webpeel_spark.pure.metadata import extract_images
+
+        cols = [f.name for f in IMAGE_SCHEMA.fields]
+        for pdf in it:
+            out = []
+            for url, payload in zip(pdf["url"], pdf["html"]):
+                if payload is None:
+                    continue
+                if isinstance(payload, memoryview):
+                    payload = payload.tobytes()
+                try:
+                    html = payload.decode("utf-8", errors="replace")
+                    images = extract_images(html, url)
+                except Exception:
+                    continue
+                for im in images:
+                    out.append((url, im.src, im.alt, im.title,
+                                im.width, im.height))
+            yield pd.DataFrame(out, columns=cols)
+
+    pruned = df.select("url", "html")
+    if num_partitions:
+        pruned = pruned.repartition(num_partitions, F.xxhash64("url"))
+    return pruned.mapInPandas(batches, IMAGE_SCHEMA)
+
+
+def change_detection(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Batch change tracking — the engine-scale analog of watch.ts +
+    change-tracking.ts (sha256 fingerprint diff, pipeline.ts:1608-1616):
+    full-outer join of two extraction snapshots on url, classifying
+    each url as added / removed / changed / unchanged.  One shuffle on
+    url (both sides usually already hash-partitioned by url)."""
+    o = old.select(F.col("url"), F.col("fingerprint").alias("__fp_old"))
+    n = new.select(F.col("url"), F.col("fingerprint").alias("__fp_new"))
+    joined = o.join(n, "url", "full_outer")
+    status = (
+        F.when(F.col("__fp_old").isNull(), F.lit("added"))
+        .when(F.col("__fp_new").isNull(), F.lit("removed"))
+        .when(F.col("__fp_old") != F.col("__fp_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return joined.select(
+        "url", status.alias("change"),
+        F.col("__fp_old").alias("fingerprint_old"),
+        F.col("__fp_new").alias("fingerprint_new"),
+    )
+
+
 def extraction_metrics(result: DataFrame) -> DataFrame:
     """Job-level rollup (cleaning-stats analog, markdown.ts:59-157):
     hash-agg with partial+final combine — all built-in Catalyst."""
