@@ -256,31 +256,46 @@ def ngram_jaccard_pairs(
 
 def _make_simhash_udf():
     """64-bit SimHash pandas_udf — created lazily so the module imports
-    cleanly on executors (no DDL parsing at import time)."""
-    from pyspark.sql.types import LongType
+    cleanly on executors (no DDL parsing at import time).
+
+    Token hashing is md5-truncated-to-64-bits (C speed, deterministic
+    across processes — Python's hash() is per-run salted; two crc32
+    passes are NOT independent: CRC is affine, so the high word would
+    be a deterministic function of the low word and SimHash quality
+    collapses — measured as a 3× near-dup-pair explosion).  Weighted
+    votes come from token COUNTS so each distinct token hashes once."""
 
     def simhash(texts: pd.Series) -> pd.Series:
+        from collections import Counter
+        from hashlib import md5
+
         import numpy as np
 
         out = np.zeros(len(texts), dtype=np.int64)
         for row_i, t in enumerate(texts):
             if not t:
                 continue
-            tokens = t.lower().split()
-            if not tokens:
+            counts = Counter(t.lower().split())
+            if not counts:
                 continue
+            n_tok = sum(counts.values())
+            uniq = list(counts)
             hashes = np.fromiter(
-                (hash_token(tok) for tok in tokens), dtype=np.uint64, count=len(tokens)
+                (int.from_bytes(md5(tok.encode("utf-8")).digest()[:8], "little")
+                 for tok in uniq),
+                dtype=np.uint64, count=len(uniq),
             )
-            bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int32)
-            votes = bits.sum(axis=0) * 2 - len(tokens)
+            weights = np.fromiter((counts[tok] for tok in uniq),
+                                  dtype=np.int64, count=len(uniq))
+            bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
+            votes = (bits * weights[:, None]).sum(axis=0) * 2 - n_tok
             sig = np.uint64(0)
             for bit_idx in np.nonzero(votes > 0)[0]:
                 sig |= np.uint64(1) << np.uint64(bit_idx)
             out[row_i] = np.int64(sig)
         return pd.Series(out)
 
-    return pandas_udf(simhash, LongType())
+    return pandas_udf(simhash, "long")
 
 
 def hash_token(token: str) -> int:
