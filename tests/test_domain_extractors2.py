@@ -207,3 +207,75 @@ def test_news_short_result_rejected_via_dispatch():
     # <20-char cleanContent is rejected by extract_domain_data (index.ts:255)
     html = "<html><body><p>no title here</p></body></html>"
     assert extract_domain_data(html, "https://www.bbc.com/news/x") is None
+
+
+# ── allrecipes / imdb ────────────────────────────────────────────────────
+
+def test_allrecipes_graph_recipe():
+    from webpeel_spark.pure.extractors.allrecipes import allrecipes_extractor
+
+    recipe = {"@context": "https://schema.org", "@graph": [{
+        "@type": "Recipe", "name": "Garlic Pasta",
+        "description": "Simple weeknight pasta.",
+        "recipeIngredient": ["2 cloves garlic", "200g pasta"],
+        "recipeInstructions": [
+            {"@type": "HowToStep", "text": "Boil pasta."},
+            {"@type": "HowToSection", "itemListElement": [{"text": "Fry garlic."}]},
+        ],
+        "prepTime": "PT10M", "cookTime": "PT1H20M", "recipeYield": "4",
+        "aggregateRating": {"ratingValue": 4.8, "reviewCount": 321}}]}
+    html = (f'<html><head><script type="application/ld+json">'
+            f"{json.dumps(recipe)}</script></head><body></body></html>")
+    r = allrecipes_extractor(html, "https://www.allrecipes.com/recipe/1")
+    assert r.type == "recipe"
+    assert r.structured["prepTime"] == "10m"
+    assert r.structured["cookTime"] == "1h 20m"
+    assert r.structured["instructions"] == ["Boil pasta.", "Fry garlic."]
+    assert "Rating: 4.8 (321 reviews)" in r.clean_content
+    assert "- 2 cloves garlic" in r.clean_content
+    assert "2. Fry garlic." in r.clean_content
+
+
+def test_allrecipes_html_fallback():
+    from webpeel_spark.pure.extractors.allrecipes import allrecipes_extractor
+
+    html = """<html><body><h1>Fallback Soup</h1>
+    <li class="ingredient-item">1 onion</li>
+    <div class="instruction-list"><li>Chop onion and simmer it well.</li></div>
+    </body></html>"""
+    r = allrecipes_extractor(html, "https://allrecipes.com/r/2")
+    assert r.structured["title"] == "Fallback Soup"
+    assert "1 onion" in r.structured["ingredients"]
+
+
+def test_imdb_movie_jsonld():
+    from webpeel_spark.pure.extractors.imdb import imdb_extractor
+
+    movie = {"@type": "Movie", "name": "The Shuffle",
+             "description": "A data engineer's story.",
+             "datePublished": "2021-06-01", "genre": ["Drama", "Tech"],
+             "duration": "PT2H15M", "director": {"name": "Ana Lee"},
+             "actor": [{"name": "Sam Actor"}, {"name": "Kim Star"}],
+             "aggregateRating": {"ratingValue": 8.1, "ratingCount": 12345},
+             "contentRating": "PG-13", "creator": [{"name": "Wri Ter"}],
+             "keywords": "spark, shuffle, drama"}
+    html = (f'<html><head><script type="application/ld+json">'
+            f"{json.dumps(movie)}</script></head><body></body></html>")
+    r = imdb_extractor(html, "https://www.imdb.com/title/tt1234567/")
+    assert r.type == "movie"
+    assert r.structured["runtime"] == "2h 15m"
+    assert r.structured["director"] == "Ana Lee"
+    assert r.structured["year"] == "2021"
+    assert "⭐ 8.1/10 (12,345 votes)" in r.clean_content
+    assert "**Cast:** Sam Actor, Kim Star" in r.clean_content
+
+
+def test_imdb_tvseries_type():
+    from webpeel_spark.pure.extractors.imdb import imdb_extractor
+
+    show = {"@type": "TVSeries", "name": "Cluster Tales",
+            "description": "x" * 30}
+    html = (f'<html><head><script type="application/ld+json">'
+            f"{json.dumps(show)}</script></head><body></body></html>")
+    r = imdb_extractor(html, "https://www.imdb.com/title/tt999/")
+    assert r.type == "tv_show"
