@@ -337,23 +337,42 @@ class _TreeBuilder(HTMLParser):
 
 
 def parse_html(html: str) -> Node:
-    """Parse an HTML document; always yields #root > html > (head, body)."""
+    """Parse an HTML document; always yields #root > html > (head, body).
+
+    Tokenization is the single-regex fast path (dom/fastparse.py) —
+    event-equivalent to ``html.parser`` with convert_charrefs, ~1.5×
+    faster; equivalence pinned over the full corpus in
+    tests/test_fastparse.py."""
+    from .fastparse import fast_feed
+
     builder = _TreeBuilder(fragment=False)
     try:
-        builder.feed(html)
-        builder.close()
+        fast_feed(builder, html)
     except Exception:
         pass  # keep whatever tree was built — per-row error isolation
     builder._ensure_structure()
     return builder.root
 
 
-def parse_fragment(html: str) -> Node:
-    """Parse an HTML fragment; returns a #root whose children are the nodes."""
-    builder = _TreeBuilder(fragment=True)
+def parse_html_stdlib(html: str) -> Node:
+    """stdlib-HTMLParser tokenization path (equivalence reference)."""
+    builder = _TreeBuilder(fragment=False)
     try:
         builder.feed(html)
         builder.close()
+    except Exception:
+        pass
+    builder._ensure_structure()
+    return builder.root
+
+
+def parse_fragment(html: str) -> Node:
+    """Parse an HTML fragment; returns a #root whose children are the nodes."""
+    from .fastparse import fast_feed
+
+    builder = _TreeBuilder(fragment=True)
+    try:
+        fast_feed(builder, html)
     except Exception:
         pass
     return builder.root
@@ -361,10 +380,11 @@ def parse_fragment(html: str) -> Node:
 
 def parse_xml(xml: str) -> Node:
     """Parse XML (RSS/Atom): no void tags, no HTML structure synthesis."""
+    from .fastparse import fast_feed
+
     builder = _TreeBuilder(fragment=True, xml=True)
     try:
-        builder.feed(xml)
-        builder.close()
+        fast_feed(builder, xml, xml=True)
     except Exception:
         pass
     return builder.root
