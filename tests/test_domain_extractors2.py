@@ -279,3 +279,71 @@ def test_imdb_tvseries_type():
             f"{json.dumps(show)}</script></head><body></body></html>")
     r = imdb_extractor(html, "https://www.imdb.com/title/tt999/")
     assert r.type == "tv_show"
+
+
+# ── cars.com / linkedin ──────────────────────────────────────────────────
+
+def test_carscom_search_embedded_json():
+    from webpeel_spark.pure.extractors.carscom import carscom_extractor
+
+    cards = "".join(
+        '<fuse-card data-vehicle-details=\'' + json.dumps({
+            "listingId": f"L{i}", "stockType": "Used", "year": 2020 + i,
+            "make": "Honda", "model": "Civic", "trim": "EX",
+            "price": 18500 + i * 1000, "mileage": 42000 - i * 1000,
+            "bodyStyle": "Sedan", "seller": {"zip": "07657"},
+        }) + '\'><card-gallery card-link="/vehicledetail/L' + str(i) + '/">'
+        '</card-gallery></fuse-card>'
+        for i in range(3)
+    )
+    html = f"<html><body>{cards}</body></html>"
+    r = carscom_extractor(
+        html, "https://www.cars.com/shopping/results/?keyword=civic&zip=07657&list_price_max=25000")
+    assert r.type == "search"
+    assert r.structured["count"] == 3
+    first = r.structured["listings"][0]
+    assert first["title"] == "Used 2020 Honda Civic EX"
+    assert first["price"] == "$18,500"
+    assert first["mileage"] == "42,000 mi"
+    assert "**Search:** civic" in r.clean_content
+    assert "[View listing](https://www.cars.com/vehicledetail/L0/)" in r.clean_content
+
+
+def test_carscom_detail_page():
+    from webpeel_spark.pure.extractors.carscom import carscom_extractor
+
+    html = """<html><body><h1>2019 Toyota Camry SE</h1>
+    <span class="primary-price">$21,998</span>
+    <div class="listing-mileage">38,202 mi.</div></body></html>"""
+    r = carscom_extractor(html, "https://www.cars.com/vehicledetail/abc123/")
+    assert r.type == "listing"
+    assert r.structured["title"] == "2019 Toyota Camry SE"
+    assert r.structured["price"] == "$21,998"
+
+
+def test_linkedin_profile_jsonld():
+    from webpeel_spark.pure.extractors.linkedin import linkedin_extractor
+
+    jl = {"@type": "Person", "name": "Dana Dev", "jobTitle": "Data Engineer",
+          "description": "Builds pipelines.",
+          "address": {"addressLocality": "Berlin"}}
+    html = (f'<html><head><script type="application/ld+json">{json.dumps(jl)}'
+            f"</script></head><body></body></html>")
+    r = linkedin_extractor(html, "https://www.linkedin.com/in/dana-dev/")
+    assert r.type == "profile"
+    assert r.structured["name"] == "Dana Dev"
+    assert r.structured["headline"] == "Data Engineer"
+    assert "👤 Dana Dev — LinkedIn" in r.clean_content
+    assert "require authentication" in r.clean_content
+
+
+def test_linkedin_authwall_discards_meta():
+    from webpeel_spark.pure.extractors.linkedin import linkedin_extractor
+
+    html = """<html><head>
+    <meta property="og:title" content="Sign Up | LinkedIn">
+    <meta property="og:description" content="500 million+ members">
+    </head><body>authwall Join LinkedIn</body></html>"""
+    r = linkedin_extractor(html, "https://www.linkedin.com/in/someone/")
+    # authwall page with no JSON-LD and junk og:title yields no name → None
+    assert r is None or r.structured["description"] == ""

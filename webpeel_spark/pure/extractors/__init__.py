@@ -29,10 +29,12 @@ class DomainExtractResult(NamedTuple):
 
 
 from .allrecipes import allrecipes_extractor
+from .carscom import carscom_extractor
 from .amazon import amazon_extractor
 from .craigslist import craigslist_extractor
 from .ebay import ebay_extractor
 from .imdb import imdb_extractor
+from .linkedin import linkedin_extractor
 from .medium import medium_extractor
 from .news import bbc_extractor, cnn_extractor, nytimes_extractor
 from .pdfurl import pdf_url_extractor
@@ -73,6 +75,8 @@ REGISTRY: List[Tuple[Callable[[str, str], bool], Extractor]] = [
     # registry order mirrors extractors/index.ts:83-96
     (lambda h, u: h.endswith(".substack.com"), substack_extractor),
     (lambda h, u: _host_is(h, "allrecipes.com"), allrecipes_extractor),
+    (lambda h, u: _host_is(h, "linkedin.com"), linkedin_extractor),
+    (lambda h, u: _host_is(h, "cars.com"), carscom_extractor),
     (lambda h, u: _host_is(h, "imdb.com"), imdb_extractor),
     (lambda h, u: _host_is(h, "craigslist.org") or h.endswith(".craigslist.org"),
      craigslist_extractor),
