@@ -347,3 +347,65 @@ def test_linkedin_authwall_discards_meta():
     r = linkedin_extractor(html, "https://www.linkedin.com/in/someone/")
     # authwall page with no JSON-LD and junk og:title yields no name → None
     assert r is None or r.structured["description"] == ""
+
+
+# ── twitter ──────────────────────────────────────────────────────────────
+
+def test_twitter_next_data_tweet():
+    from webpeel_spark.pure.extractors.twitter import twitter_extractor
+
+    nd = {"props": {"pageProps": {"x": {"tweet_results": {"result": {
+        "legacy": {"full_text": "Shipping the extraction engine today!",
+                   "favorite_count": 42, "retweet_count": 7, "reply_count": 3,
+                   "created_at": "Wed Oct 10 20:19:24 +0000 2018",
+                   "entities": {"media": [
+                       {"media_url_https": "https://pbs.twimg.com/a.jpg"}]}},
+        "views": {"count": "900"},
+        "core": {"user_results": {"result": {
+            "is_blue_verified": True,
+            "legacy": {"name": "Data Dev", "screen_name": "datadev"}}}}}}}}}}
+    html = (f'<html><body><script id="__NEXT_DATA__" type="application/json">'
+            f"{json.dumps(nd)}</script></body></html>")
+    r = twitter_extractor(html, "https://twitter.com/datadev/status/123456")
+    assert r.type == "tweet"
+    s = r.structured
+    assert s["author"] == {"name": "Data Dev", "handle": "@datadev", "verified": True}
+    assert s["timestamp"] == "2018-10-10T20:19:24.000Z"
+    assert s["metrics"]["views"] == 900
+    assert "💬 3  🔁 7  ❤️ 42  👁 900" in r.clean_content
+    assert "📷 Media: https://pbs.twimg.com/a.jpg" in r.clean_content
+
+
+def test_twitter_profile_next_data():
+    from webpeel_spark.pure.extractors.twitter import twitter_extractor
+
+    nd = {"data": {"user_results": {"result": {
+        "is_blue_verified": False,
+        "legacy": {"name": "Data Dev", "screen_name": "datadev",
+                   "description": "pipelines", "followers_count": 1234,
+                   "friends_count": 56, "statuses_count": 789,
+                   "location": "Berlin"}}}}}
+    html = (f'<html><body><script id="__NEXT_DATA__" type="application/json">'
+            f"{json.dumps(nd)}</script></body></html>")
+    r = twitter_extractor(html, "https://x.com/datadev")
+    assert r.type == "profile"
+    assert r.structured["followers"] == 1234
+    assert "👥 1,234 followers" in r.clean_content
+
+
+def test_twitter_og_fallback():
+    from webpeel_spark.pure.extractors.twitter import twitter_extractor
+
+    html = ('<html><head><meta property="og:title" content="Data Dev on X">'
+            '<meta property="og:description" content="A tweet&#39;s text"></head>'
+            "<body></body></html>")
+    r = twitter_extractor(html, "https://x.com/datadev/status/99")
+    assert r.structured["author"]["name"] == "Data Dev"
+    assert "A tweet's text" in r.structured["text"]
+
+
+def test_twitter_no_data_returns_none():
+    from webpeel_spark.pure.extractors.twitter import twitter_extractor
+
+    assert twitter_extractor("<html><body>login wall</body></html>",
+                             "https://twitter.com/someone/status/1") is None

@@ -39,6 +39,7 @@ from .medium import medium_extractor
 from .news import bbc_extractor, cnn_extractor, nytimes_extractor
 from .pdfurl import pdf_url_extractor
 from .substack import substack_extractor
+from .twitter import twitter_extractor
 from .wikipedia import wikipedia_extractor
 
 Extractor = Callable[[str, str], Optional[DomainExtractResult]]
@@ -67,6 +68,8 @@ _PDF_PATH_RE = re.compile(r"/pdf/", re.I)
 # (match(host, url) -> bool, extractor) — registry order mirrors
 # extractors/index.ts:66-134; network-only entries omitted (fallthrough).
 REGISTRY: List[Tuple[Callable[[str, str], bool], Extractor]] = [
+    (lambda h, u: _host_is(h, "twitter.com", "x.com") or h == "mobile.twitter.com",
+     twitter_extractor),
     (lambda h, u: bool(re.match(r"\w+\.wikipedia\.org$", h)) or h == "www.wikipedia.org",
      wikipedia_extractor),
     (lambda h, u: _host_is(h, "amazon.com"), amazon_extractor),

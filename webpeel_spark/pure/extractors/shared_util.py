@@ -1,0 +1,33 @@
+"""Shared extractor helpers (ee/extractors/shared.ts port)."""
+
+from __future__ import annotations
+
+import json
+import re
+from datetime import datetime, timezone
+
+_TAG_RE = re.compile(r"<[^>]+>")
+
+
+def strip_html(text: str) -> str:
+    """shared.ts:14-16 — tag strip + 6 entity decodes + trim."""
+    if not text:
+        return ""
+    return (_TAG_RE.sub("", text)
+            .replace("&amp;", "&").replace("&lt;", "<").replace("&gt;", ">")
+            .replace("&quot;", '"').replace("&#39;", "'")
+            .replace("&nbsp;", " ").strip())
+
+
+def try_parse_json(text: str):
+    """shared.ts:5-11 — JSON.parse or null."""
+    try:
+        return json.loads(text)
+    except Exception:
+        return None
+
+
+def unix_to_iso(sec: float) -> str:
+    """shared.ts:19-21 — Unix seconds → JS toISOString format."""
+    dt = datetime.fromtimestamp(sec, tz=timezone.utc)
+    return dt.strftime("%Y-%m-%dT%H:%M:%S.") + f"{dt.microsecond // 1000:03d}Z"

@@ -45,6 +45,11 @@ _WORDY_RE = re.compile(r"^([A-Za-z]+)\.?\s+(\d{1,2})(?:st|nd|rd|th)?,?\s+(\d{4})
 _WORDY2_RE = re.compile(r"^(\d{1,2})\s+([A-Za-z]+)\.?,?\s+(\d{4})$")
 
 
+_TWITTER_DATE_RE = re.compile(
+    r"^[A-Za-z]{3}\s+([A-Za-z]{3})\s+(\d{1,2})\s+(\d{2}):(\d{2}):(\d{2})"
+    r"\s+([+-]\d{4})\s+(\d{4})$")
+
+
 def _parse_js_date(s: str) -> Optional[datetime]:
     """Parse a date string the way ``new Date(s)`` does for common formats.
 
@@ -101,6 +106,22 @@ def _parse_js_date(s: str) -> Optional[datetime]:
                                 tzinfo=timezone.utc)
             except ValueError:
                 return None
+    m = _TWITTER_DATE_RE.match(s)
+    if m:
+        # "Wed Oct 10 20:19:24 +0000 2018" (Twitter legacy created_at;
+        # JS Date parses it natively)
+        mon = _MONTH_ABBR.get(m.group(1).lower())
+        if mon:
+            try:
+                dt = datetime(int(m.group(7)), mon, int(m.group(2)),
+                              int(m.group(3)), int(m.group(4)),
+                              int(m.group(5)), tzinfo=timezone.utc)
+            except ValueError:
+                return None
+            tz = m.group(6)
+            sign = 1 if tz[0] == "+" else -1
+            offs = timedelta(hours=int(tz[1:3]), minutes=int(tz[3:5]))
+            return dt - sign * offs
     return None
 
 
