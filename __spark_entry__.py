@@ -453,8 +453,10 @@ def oracle_sql() -> dict[str, str]:
         "lang_distribution": """
             SELECT lang,
                    count(*) AS docs,
-                   round(avg(length(text)), 2) AS avg_chars,
-                   sum(CAST(ceil(length(text) / 4.0) AS INT)) AS total_tokens
+                   CAST(CAST(sum(length(text)) AS DOUBLE) / count(*)
+                        AS DECIMAL(18,2)) AS avg_chars,
+                   CAST(sum(CAST(ceil(length(text) / 4.0) AS INT)) AS BIGINT)
+                     AS total_tokens
             FROM documents GROUP BY lang ORDER BY lang
         """,
         "source_stats": f"""

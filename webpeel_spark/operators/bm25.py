@@ -69,16 +69,21 @@ def bm25_rank(df: DataFrame, query: str, text_col: str = "text",
         .persist()  # two passes below share the tokenization
     )
 
+    # avgdl from an EXACT integer sum + one IEEE-exact division: a double
+    # avg() accumulates in partition order, so its last ulp differs
+    # between Spark and any oracle engine and can flip round(score, 4)
+    # at the top-k boundary.  sum(long)/count is bit-reproducible.
     stats = base.agg(
         F.count("*").alias("n"),
-        F.avg("__dl").alias("avgdl"),
+        F.sum("__dl").alias("sdl"),
         *[F.sum((_tf(F.col("__w"), t) > 0).cast("long")).alias(f"df_{i}")
           for i, t in enumerate(terms)],
     ).first()
     n = stats["n"] or 0
     if n == 0:
         return df.sparkSession.createDataFrame([], f"{id_col} long, bm25 double")
-    avgdl = float(stats["avgdl"] or 0.0) or 1.0
+    sdl = stats["sdl"] or 0
+    avgdl = (float(sdl) / float(n)) if sdl else 1.0
 
     score: Column = F.lit(0.0)
     for i, t in enumerate(terms):
@@ -121,13 +126,16 @@ def bm25_oracle_sql(query: str, top_k: int = 20,
           FROM documents
         ), t AS (
           SELECT doc_id,
+                 CAST(len(w) AS BIGINT) AS dli,
                  CAST(len(w) AS DOUBLE) AS dl,
                  {tf_cols}
           FROM tok
         ), s AS (
+          -- exact-integer sum + one division == Spark's sum(long)/count
+          -- (a double avg() is summation-order dependent in the last ulp)
           SELECT count(*) AS n,
-                 CASE WHEN avg(dl) = 0 OR avg(dl) IS NULL THEN 1.0
-                      ELSE avg(dl) END AS avgdl,
+                 CASE WHEN sum(dli) = 0 OR sum(dli) IS NULL THEN 1.0
+                      ELSE CAST(sum(dli) AS DOUBLE) / count(*) END AS avgdl,
                {df_cols}
           FROM t
         )

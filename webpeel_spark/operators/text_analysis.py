@@ -34,12 +34,24 @@ def doc_token_stats(df: DataFrame) -> DataFrame:
 
 
 def language_distribution(df: DataFrame) -> DataFrame:
+    """Per-language doc counts + char/token totals.
+
+    ``avg_chars`` is computed as an exact integer sum divided once
+    (IEEE-exact division) and cast to DECIMAL(18,2) — NOT
+    ``round(avg(...), 2)`` on a double: double `avg` accumulates in
+    summation order, so Spark and an ANSI oracle can differ in the last
+    ulp pre-round and flip the rounded digit (round-1 driver red cell).
+    ``total_tokens`` is pinned to BIGINT (DuckDB ``sum(INT)`` yields
+    HUGEINT otherwise).
+    """
     return (
         df.groupBy("lang")
         .agg(
             F.count("*").alias("docs"),
-            F.round(F.avg(F.length("text")), 2).alias("avg_chars"),
-            F.sum(token_estimate(F.col("text"))).alias("total_tokens"),
+            (F.sum(F.length("text")).cast("double") / F.count("*"))
+            .cast("decimal(18,2)").alias("avg_chars"),
+            F.sum(token_estimate(F.col("text"))).cast("bigint")
+            .alias("total_tokens"),
         )
         .orderBy("lang")
     )
