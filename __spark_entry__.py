@@ -244,18 +244,28 @@ def _q_change_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded MinHash LSH (exact-dup collapse pre-pass + capped buckets).
+    Oracle = brute-force all-pairs Jaccard: the banding catches every
+    pair the 0.3 verify threshold keeps (this corpus's qualifying pairs
+    are all J ≥ 0.9; 8 bands × 4 rows miss prob ≈ 2e-4 per such pair)."""
     from webpeel_spark.operators.dedup import minhash_near_duplicates
 
     return minhash_near_duplicates(_docs(spark, sf_dir), min_jaccard=0.3)
 
 
 def _q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dups at Hamming ≤ 6 — banding now uses 8×8-bit bands
+    (pigeonhole-exact for ≤ 7 differing bits), so the output provably
+    equals the oracle's brute-force all-pairs scan."""
     from webpeel_spark.operators.dedup import simhash_near_duplicates
 
     return simhash_near_duplicates(_docs(spark, sf_dir), max_hamming=6)
 
 
 def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard with lang × size-band blocking; the size
+    bands probe band+1 so blocking is lossless — output equals the
+    oracle's same-lang all-pairs scan."""
     from webpeel_spark.operators.dedup import ngram_jaccard_pairs
 
     return ngram_jaccard_pairs(_docs(spark, sf_dir), min_jaccard=0.35,
@@ -270,11 +280,32 @@ def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return srp_lsh_topk(emb, q, k=10, bits=6)
 
 
+_CLONE_OFFSET = 1_000_000  # planted-duplicate ids = vec_id + offset
+
+
+def _aug_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings plus 20 planted duplicates (vectors scaled by 0.5 —
+    exact in float, cosine exactly 1.0 with their originals).  The
+    synthetic embeddings table has NO near-dup pairs (max pairwise
+    cosine 0.51), so without planting, a near-dup contract is vacuous."""
+    emb = _embeddings(spark, sf_dir).select("vec_id", "embedding")
+    clones = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + _CLONE_OFFSET).alias("vec_id"),
+        F.transform("embedding",
+                    lambda x: (x * F.lit(0.5)).cast("float")).alias("embedding"),
+    )
+    return emb.unionByName(clones)
+
+
 def _q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded multi-table SRP LSH + exact cosine verify.  Scaled copies
+    keep every hyperplane sign, so they collide in all tables —
+    recall for the planted cosine-1.0 pairs is structurally 1.0 and
+    the output equals the oracle's brute-force scan."""
     from webpeel_spark.operators.similarity import cosine_near_duplicate_pairs
 
-    return cosine_near_duplicate_pairs(_embeddings(spark, sf_dir),
-                                       threshold=0.8, bits=4)
+    return cosine_near_duplicate_pairs(_aug_embeddings(spark, sf_dir),
+                                       threshold=0.95, tables=8)
 
 
 def _q_extract_listings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -385,10 +416,40 @@ def _q_checkpoint_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "token_sum", "avg_quality").orderBy("bucket")
 
 
+def _pages_parquet() -> str:
+    """Materialize the deterministic pages corpus (url, html) once so
+    the host_stats_salted oracle can read the EXACT same input: DuckDB
+    reads the parquet path directly (its views only cover the standard
+    tables).  Written by both queries() and oracle_sql() call paths —
+    driver ordering doesn't matter."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from webpeel_spark.sources.corpus import generate_rows
+
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".contract_cache")
+    os.makedirs(cache, exist_ok=True)
+    path = os.path.join(cache, f"pages_{_CORPUS_N}_seed42.parquet")
+    if not os.path.exists(path):
+        rows = generate_rows(_CORPUS_N, seed=42, docx_fraction=0.02,
+                             listing_fraction=0.02)
+        tbl = pa.table({
+            "url": pa.array([r["url"] for r in rows], pa.string()),
+            "html": pa.array([r["html"] for r in rows], pa.binary()),
+        })
+        pq.write_table(tbl, path + ".tmp", row_group_size=64)
+        os.replace(path + ".tmp", path)
+    return path
+
+
 def _q_host_stats_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe per-host rollup over the materialized pages corpus.
+    Oracle = plain GROUP BY host over the same parquet — checks that
+    the two-stage salted aggregation changes the plan, not the answer."""
     from webpeel_spark.plans.partitioning import find_hot_hosts, salted_host_agg
 
-    pages = _pages_df(spark)
+    pages = spark.read.parquet(_pages_parquet())
     hot = find_hot_hosts(pages, threshold_fraction=0.05)
     return salted_host_agg(
         pages, {"docs": ("count", "*"), "bytes": ("sum", F.length("html"))}, hot
@@ -540,6 +601,34 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bm25_rank": _bm25_oracle(),
         "lang_id": _lang_id_oracle(),
+        "minhash_near_dups": _jaccard_oracle(0.3),
+        "ngram_jaccard": _jaccard_oracle(0.35, same_col="lang"),
+        "simhash_near_dups": _simhash_oracle(6),
+        "bm25_relevance": _relevance_oracle(),
+        "host_stats_salted": f"""
+            SELECT lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1))
+                     AS host,
+                   count(*) AS docs,
+                   CAST(sum(octet_length(html)) AS BIGINT) AS bytes
+            FROM '{_pages_parquet()}'
+            GROUP BY 1 ORDER BY 1
+        """,
+        "embedding_near_dups": f"""
+            WITH aug AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+              FROM embeddings
+              UNION ALL
+              SELECT vec_id + {_CLONE_OFFSET},
+                     CAST(CAST(list_transform(embedding, x -> x * 0.5)
+                               AS FLOAT[]) AS DOUBLE[])
+              FROM embeddings WHERE vec_id < 20
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.e, b.e), 4) AS cosine
+            FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.e, b.e), 4) >= 0.95
+            ORDER BY id_a, id_b
+        """,
         "salted_event_rollup": """
             SELECT user_id,
                    count(*) AS n_events,
@@ -559,6 +648,24 @@ def _lang_id_oracle() -> str:
     from webpeel_spark.operators.text_analysis import lang_id_oracle_sql
 
     return lang_id_oracle_sql()
+
+
+def _jaccard_oracle(min_jaccard: float, same_col: str | None = None) -> str:
+    from webpeel_spark.operators.dedup import jaccard_pairs_oracle_sql
+
+    return jaccard_pairs_oracle_sql(min_jaccard, same_col=same_col)
+
+
+def _simhash_oracle(max_hamming: int) -> str:
+    from webpeel_spark.operators.dedup import simhash_oracle_sql
+
+    return simhash_oracle_sql(max_hamming)
+
+
+def _relevance_oracle() -> str:
+    from webpeel_spark.operators.text_analysis import relevance_oracle_sql
+
+    return relevance_oracle_sql(_BM25_QUERY, limit=50)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,166 @@
+"""Scale-safety of the dedup/similarity candidate generation.
+
+The round-1 LSH operators collected per-bucket id arrays
+(collect_set), which OOMs one reducer on a degenerate bucket — the
+normal case on a Common-Crawl corpus where cookie-wall/404 boilerplate
+is mass-duplicated.  These tests build degenerate corpora and assert:
+
+* exact-duplicate mass collapses BEFORE the LSH stages (the heavy
+  plan never sees it);
+* over-cap buckets are dropped with a REPORTED metric, never silently;
+* the re-expanded pair output still matches the brute-force answer.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from webpeel_spark.session import get_spark
+
+    s = get_spark(app_name="test-dedup-scale", cores=4)
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+
+
+BOILERPLATE = "access denied please enable cookies to continue to the site"
+
+
+def test_minhash_degenerate_corpus_collapses(spark):
+    """Byte-identical boilerplate mass: the exact-collapse pre-pass must
+    leave the LSH stages exactly ONE representative (the banded
+    candidate set is empty — no O(n^2) bucket anywhere in the heavy
+    plan; the only quadratic piece is the pair OUTPUT expansion, which
+    a 10^12-row run would skip by keeping the group map instead)."""
+    from pyspark.sql import functions as F
+
+    from webpeel_spark.operators.dedup import minhash_near_duplicates
+
+    n = 2_000
+    df = (
+        spark.range(n)
+        .select(F.col("id").alias("doc_id"), F.lit(BOILERPLATE).alias("text"))
+    )
+    metrics = {}
+    pairs = minhash_near_duplicates(df, min_jaccard=0.5, metrics=metrics,
+                                    bucket_cap=100)
+    assert pairs.count() == n * (n - 1) // 2
+    # nothing was dropped: the single representative fills no bucket
+    # above the cap (with 10k identical docs and NO collapse, every
+    # band bucket would hold all 10k ids)
+    assert metrics["dropped_buckets"] == 0
+    one = pairs.filter((F.col("id_a") == 0) & (F.col("id_b") == 1)).first()
+    assert one["jaccard"] == 1.0
+
+
+def test_exact_dup_mass_is_one_group(spark):
+    """10k identical docs reduce to a single group in one hash-agg."""
+    from pyspark.sql import functions as F
+
+    from webpeel_spark.operators.dedup import exact_duplicate_groups
+
+    n = 10_000
+    df = spark.range(n).select(F.col("id").alias("doc_id"),
+                               F.lit(BOILERPLATE).alias("text"))
+    groups = exact_duplicate_groups(df).collect()
+    assert len(groups) == 1 and groups[0]["dup_count"] == n
+
+
+def test_capped_bucket_pairs_reports_drops(spark):
+    """A bucket over the cap is dropped and the drop is reported."""
+    from pyspark.sql import functions as F
+
+    from webpeel_spark.operators.dedup import capped_bucket_pairs
+
+    # one giant bucket (key=0, 50 members) + one small (key=1, 3 members)
+    keyed = spark.range(53).select(
+        F.col("id"),
+        F.when(F.col("id") < 50, F.lit(0)).otherwise(F.lit(1)).alias("k"),
+    )
+    metrics = {}
+    pairs = capped_bucket_pairs(keyed, ["k"], bucket_cap=10, metrics=metrics)
+    rows = pairs.collect()
+    assert len(rows) == 3  # C(3,2) from the small bucket only
+    assert metrics["dropped_buckets"] == 1
+    assert metrics["dropped_rows"] == 50
+    assert metrics["max_dropped_bucket"] == 50
+    assert all(r["id_a"] < r["id_b"] for r in rows)
+
+
+def test_minhash_near_dup_corpus_matches_bruteforce(spark):
+    """Mixed corpus (exact dups + near dups + distinct) — the capped,
+    collapsed plan returns the same pairs as brute-force Jaccard."""
+    from itertools import combinations
+
+    from webpeel_spark.operators.dedup import minhash_near_duplicates
+
+    base = ("spark reads the pages table and extracts main content "
+            "with a vectorized arrow udf stage per partition")
+    texts = {
+        0: base,
+        1: base,                                # exact dup of 0
+        2: base + " extra trailing words here", # near dup of 0/1
+        3: "completely different document about cooking rice and beans "
+           "with a pinch of salt and some olive oil in a big pan",
+        4: base,                                # exact dup of 0
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+
+    def shingles(t, k=3):
+        w = t.lower().split()
+        return set(" ".join(w[i:i + k]) for i in range(max(len(w) - k + 1, 1)))
+
+    expect = {}
+    for a, b in combinations(sorted(texts), 2):
+        sa, sb = shingles(texts[a]), shingles(texts[b])
+        j = round(len(sa & sb) / len(sa | sb), 4)
+        if j >= 0.5:
+            expect[(a, b)] = j
+
+    got = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in minhash_near_duplicates(df, min_jaccard=0.5).collect()}
+    assert got == expect
+
+
+def test_simhash_bands_cover_max_hamming(spark):
+    """max_hamming=6 now uses 8 bands (pigeonhole-exact): a pair at
+    Hamming 5-6 must be found."""
+    from webpeel_spark.operators.dedup import simhash_near_duplicates
+
+    a = "the quick brown fox jumps over the lazy dog near the river bank"
+    b = a + " tonight"   # small perturbation -> small hamming distance
+    df = spark.createDataFrame([(0, a), (1, b), (2, "unrelated cooking "
+                                                    "recipe text entirely")],
+                               "doc_id long, text string")
+    rows = simhash_near_duplicates(df, max_hamming=16).collect()
+    found = {(r["id_a"], r["id_b"]) for r in rows}
+    assert (0, 1) in found
+
+
+def test_embedding_near_dups_banded_tables(spark):
+    """Planted scaled duplicates are found with probability 1 (signs
+    invariant under positive scaling), and bits derives from corpus
+    size when not given."""
+    import numpy as np
+
+    from webpeel_spark.operators.similarity import (
+        cosine_near_duplicate_pairs, derive_srp_bits,
+    )
+
+    rng = np.random.default_rng(5)
+    vecs = rng.standard_normal((40, 16)).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(40)]
+    rows += [(100 + i, [float(x) * 0.5 for x in vecs[i]]) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    metrics = {}
+    got = {(r["id_a"], r["id_b"]): r["cosine"]
+           for r in cosine_near_duplicate_pairs(
+               df, threshold=0.99, tables=6, metrics=metrics).collect()}
+    assert set(got) == {(i, 100 + i) for i in range(10)}
+    assert all(abs(v - 1.0) < 1e-3 for v in got.values())
+    assert metrics["dropped_buckets"] == 0
+    assert derive_srp_bits(100) == 4
+    assert derive_srp_bits(1_000_000) == 14
+    assert derive_srp_bits(10**12, hi=24) == 24

@@ -110,6 +110,56 @@ def minhash_signature(col, num_hashes: int = 32, seed: int = 7,
     return F.array(*sig_cols)
 
 
+def capped_bucket_pairs(keyed: DataFrame, key_cols: List[str],
+                        bucket_cap: int,
+                        metrics: Optional[dict] = None,
+                        extra_cols: Optional[List[str]] = None) -> DataFrame:
+    """Candidate pairs from a (id, *key_cols) table without any array agg.
+
+    The round-1 shape — ``groupBy(keys).agg(collect_set(id))`` then an
+    all-pairs array expression — OOMs one reducer on a degenerate
+    bucket (mass-duplicated boilerplate is the NORM in Common Crawl:
+    cookie walls, 404 templates).  Here no per-bucket array ever
+    materializes:
+
+    1. bucket sizes via a count agg (map-side combine, bytes per
+       bucket, skew-proof);
+    2. buckets with 1 member (no pair) or > ``bucket_cap`` members
+       (degenerate) are dropped — the drop is REPORTED, never silent:
+       pass ``metrics`` to get dropped-bucket count/max size;
+    3. surviving rows self-join on the keys — each bucket contributes
+       ≤ cap² rows, so the join output is bounded by buckets × cap².
+
+    Returns (id_a, id_b) distinct with id_a < id_b, plus ``extra_cols``
+    from each side suffixed _a/_b.
+    """
+    extra = extra_cols or []
+    sizes = keyed.groupBy(*key_cols).agg(F.count("*").alias("__n"))
+    if metrics is not None:
+        over = sizes.filter(F.col("__n") > bucket_cap).agg(
+            F.count("*").alias("dropped_buckets"),
+            F.sum("__n").alias("dropped_rows"),
+            F.max("__n").alias("max_bucket_size"),
+        ).first()
+        metrics["dropped_buckets"] = over["dropped_buckets"] or 0
+        metrics["dropped_rows"] = over["dropped_rows"] or 0
+        metrics["max_dropped_bucket"] = over["max_bucket_size"] or 0
+    eligible = sizes.filter((F.col("__n") > 1) & (F.col("__n") <= bucket_cap)) \
+                    .select(*key_cols)
+    small = keyed.join(eligible, key_cols)
+    x = small.select(*key_cols, F.col("id").alias("id_a"),
+                     *[F.col(c).alias(f"{c}_a") for c in extra])
+    y = small.select(*key_cols, F.col("id").alias("id_b"),
+                     *[F.col(c).alias(f"{c}_b") for c in extra])
+    return (
+        x.join(y, key_cols)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b",
+                *[f"{c}_a" for c in extra], *[f"{c}_b" for c in extra])
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def minhash_near_duplicates(
     df: DataFrame,
     text_col: str = "text",
@@ -119,28 +169,56 @@ def minhash_near_duplicates(
     bands: int = 8,
     min_jaccard: float = 0.7,
     seed: int = 7,
+    collapse_exact: bool = True,
+    bucket_cap: int = 2000,
+    metrics: Optional[dict] = None,
 ) -> DataFrame:
     """Near-duplicate pairs: (id_a, id_b, jaccard) with jaccard ≥ threshold.
 
-    Plan shape: one narrow stage builds shingles+signature per doc; one
-    explode+groupBy finds band-bucket candidates (shuffle #1 on
-    uniformly-hashed band keys — no skew); one self-join verifies exact
-    shingle Jaccard on candidates only (shuffle #2, candidate set is
-    tiny relative to input).  Scales linearly in corpus size for
-    corpora whose duplicate rate is bounded.
+    Plan shape (all joins/aggs, no array collection anywhere):
+
+    0. exact-dup collapse — one md5 hash-agg keeps one representative
+       per byte-identical group.  On a Common-Crawl corpus the heavy
+       LSH stages then never see the boilerplate mass-duplicates that
+       create degenerate buckets; member pairs are re-expanded from the
+       group table at the end (within-group J = 1.0 by definition,
+       cross-group pairs inherit the representative pair's jaccard).
+    1. one narrow stage builds hashed shingles + signature per doc
+       (builtin Catalyst only);
+    2. banding explode → bucket-size count agg → cap filter →
+       self-join (capped_bucket_pairs: no collect_set, no per-reducer
+       arrays, dropped buckets reported via ``metrics``);
+    3. exact shingle-Jaccard verify join on the surviving candidates.
+
+    Scales linearly in corpus size for corpora whose NEAR-duplicate
+    cluster sizes are bounded by ``bucket_cap`` (exact duplicates are
+    unbounded and fine — step 0 collapses them).
     """
     from ..plans.partitioning import fan_out
 
     rows_per_band = num_hashes // bands
+
+    hashed = fan_out(df.select(F.col(id_col).alias("id"),
+                               F.col(text_col).alias("__text"))) \
+        .withColumn("__g", F.md5("__text"))
+    if collapse_exact:
+        groups = hashed.select("id", "__g").persist()
+        docs = (
+            hashed.groupBy("__g")
+            .agg(F.min_by(F.struct("id", "__text"), F.col("id")).alias("__r"))
+            .select(F.col("__r.id").alias("id"), F.col("__r.__text").alias("__text"))
+        )
+    else:
+        docs = hashed.select("id", "__text")
+
     sigs = (
-        fan_out(df.select(F.col(id_col), F.col(text_col)))
-        .select(
-            F.col(id_col).alias("id"),
+        docs.select(
+            "id",
             # hashed distinct shingles: verify-join Jaccard on bigints is
             # ~5× cheaper than on the original shingle strings, and the
             # signature needs only the hashes anyway
             F.array_distinct(
-                F.transform(word_shingles(F.col(text_col), shingle_k),
+                F.transform(word_shingles(F.col("__text"), shingle_k),
                             lambda s: F.xxhash64(s))
             ).alias("shingles"),
         )
@@ -171,39 +249,48 @@ def minhash_near_duplicates(
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
 
-    candidates = (
-        banded.groupBy("band", "bucket")
-        .agg(F.collect_set("id").alias("ids"))
-        .filter(F.size("ids") > 1)
-        .select(F.explode(_pairs_expr(F.sort_array("ids"))).alias("p"))
-        .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
-        .distinct()
-    )
+    candidates = capped_bucket_pairs(banded, ["band", "bucket"], bucket_cap,
+                                     metrics=metrics)
 
     left = sigs.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
     right = sigs.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter  # |A∪B| without a 2nd array op
-    verified = (
+    rep_pairs = (
         candidates.join(left, "id_a").join(right, "id_b")
         .withColumn("jaccard", F.round(inter / union, 4))
         .filter(F.col("jaccard") >= min_jaccard)
         .select("id_a", "id_b", "jaccard")
     )
-    return verified
+    if not collapse_exact:
+        return rep_pairs
 
-
-def _pairs_expr(ids_col) -> Column:
-    """All ordered pairs (a<b) from a sorted array — pure Catalyst."""
-    return F.flatten(
-        F.transform(
-            ids_col,
-            lambda a, i: F.transform(
-                F.slice(ids_col, i + 2, F.greatest(F.size(ids_col) - i - 1, F.lit(0))),
-                lambda b: F.struct(a.alias("a"), b.alias("b")),
-            ),
-        )
+    # Re-expand exact-dup groups.  Pair-level output is inherently
+    # quadratic in group size; at 10^12 rows keep the (id, group) map
+    # and rep_pairs instead (this expansion exists so the operator's
+    # OUTPUT is the same set a naive engine would produce, which is
+    # what the exact oracle checks).
+    within = (
+        groups.alias("ga").join(groups.alias("gb"), "__g")
+        .filter(F.col("ga.id") < F.col("gb.id"))
+        .select(F.col("ga.id").alias("id_a"), F.col("gb.id").alias("id_b"),
+                F.lit(1.0).alias("jaccard"))
     )
+    rep_g = groups.withColumnRenamed("id", "rep_id")
+    cross = (
+        rep_pairs
+        .join(rep_g.select(F.col("rep_id").alias("id_a"),
+                           F.col("__g").alias("g_a")), "id_a")
+        .join(rep_g.select(F.col("rep_id").alias("id_b"),
+                           F.col("__g").alias("g_b")), "id_b")
+        .join(groups.select(F.col("__g").alias("g_a"),
+                            F.col("id").alias("m_a")), "g_a")
+        .join(groups.select(F.col("__g").alias("g_b"),
+                            F.col("id").alias("m_b")), "g_b")
+        .select(F.least("m_a", "m_b").alias("id_a"),
+                F.greatest("m_a", "m_b").alias("id_b"), "jaccard")
+    )
+    return cross.unionByName(within)
 
 
 def ngram_jaccard_pairs(
@@ -213,17 +300,25 @@ def ngram_jaccard_pairs(
     shingle_k: int = 3,
     min_jaccard: float = 0.5,
     block_col: Optional[str] = None,
+    size_blocking: bool = True,
 ) -> DataFrame:
-    """Exact pairwise n-gram Jaccard within blocks (lang/length bucket).
+    """Exact pairwise n-gram Jaccard with LOSSLESS size-band blocking.
 
-    Quadratic within a block — use only with strong blocking or small
-    partitions; minhash_near_duplicates is the scale path.
+    J(A,B) ≥ t forces t ≤ |A|/|B| ≤ 1/t, so qualifying pairs sit in the
+    same or adjacent bands of band(n) = floor(ln n / ln(1/t)).  Each doc
+    probes its own band and band+1 (an equi-join key — no cross join,
+    no |block|² row explosion across size bands), so the result is the
+    EXACT all-pairs answer, which is what the DuckDB oracle computes.
 
-    Pair pruning before any array work: J(A,B) ≥ t requires
-    t ≤ |A|/|B| ≤ 1/t, so pairs failing the size-ratio test are dropped
-    on two int columns.  Shingles are xxhash64-hashed so the intersect
-    compares bigints, not strings.
+    Still quadratic within (block_col × size-band) blocks — that is
+    inherent to exact pairwise verification; minhash_near_duplicates is
+    the sub-quadratic scale path and uses this only on its candidate
+    set.  Size-ratio pruning runs on two int columns before any array
+    intersect; shingles are xxhash64-hashed so the intersect compares
+    bigints, not strings.
     """
+    import math
+
     from ..plans.partitioning import fan_out
 
     base = fan_out(df.select(F.col(id_col), F.col(text_col),
@@ -235,21 +330,145 @@ def ngram_jaccard_pairs(
         ).alias("sh"),
         (F.col(block_col) if block_col else F.lit(0)).alias("blk"),
     ).withColumn("n", F.size("sh")).persist()
-    a = base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"),
-                    F.col("n").alias("n_a"), "blk")
-    b = base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"),
-                    F.col("n").alias("n_b"), "blk")
+
+    if size_blocking and 0 < min_jaccard < 1:
+        log_r = math.log(1.0 / min_jaccard)
+        band = F.floor(F.log(F.greatest(F.col("n"), F.lit(1)).cast("double"))
+                       / F.lit(log_r)).cast("long")
+        base = base.withColumn("band", band)
+        # probe side carries (band, band+1); build side keys on its own
+        # band — every pair within ratio 1/t lands in ≥1 probe match
+        a = base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"),
+                        F.col("n").alias("n_a"), "blk",
+                        F.explode(F.array(F.col("band"),
+                                          F.col("band") + 1)).alias("jband"))
+        b = base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"),
+                        F.col("n").alias("n_b"), "blk",
+                        F.col("band").alias("jband"))
+        joined = (
+            a.join(b, ["blk", "jband"])
+            .filter(F.col("id_a") != F.col("id_b"))
+            .select(F.least("id_a", "id_b").alias("pid_a"),
+                    F.greatest("id_a", "id_b").alias("pid_b"),
+                    "sh_a", "sh_b", "n_a", "n_b")
+            .dropDuplicates(["pid_a", "pid_b"])
+            .withColumnRenamed("pid_a", "id_a")
+            .withColumnRenamed("pid_b", "id_b")
+        )
+    else:
+        a = base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"),
+                        F.col("n").alias("n_a"), "blk")
+        b = base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"),
+                        F.col("n").alias("n_b"), "blk")
+        joined = a.join(b, "blk").filter(F.col("id_a") < F.col("id_b"))
+
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.col("n_a") + F.col("n_b") - inter
     return (
-        a.join(b, "blk")
-        .filter(F.col("id_a") < F.col("id_b"))
+        joined
         .filter((F.col("n_a") >= F.col("n_b") * min_jaccard)
                 & (F.col("n_b") >= F.col("n_a") * min_jaccard))
         .withColumn("jaccard", F.round(inter / union, 4))
         .filter(F.col("jaccard") >= min_jaccard)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+# ── DuckDB oracles (exact all-pairs formulations of the LSH operators) ──
+
+def _shingles_sql(shingle_k: int = 3, with_cols: str = "") -> str:
+    """DuckDB CTE body producing (doc_id, sh) — the exact string-level
+    twin of word_shingles(); Jaccard over distinct shingle STRINGS
+    equals Jaccard over their xxhash64 images (no collisions)."""
+    km1 = shingle_k - 1
+    return f"""
+      SELECT doc_id{with_cols},
+        CASE WHEN len(words) >= {shingle_k} THEN
+          list_distinct(list_transform(
+            generate_series(1, greatest(len(words) - {km1}, 1)),
+            i -> array_to_string(words[i:i+{km1}], ' ')))
+        ELSE [array_to_string(words, ' ')] END AS sh
+      FROM (SELECT doc_id{with_cols},
+                   string_split_regex(lower(trim(text)), '\\s+') AS words
+            FROM documents)
+    """
+
+
+def jaccard_pairs_oracle_sql(min_jaccard: float, shingle_k: int = 3,
+                             same_col: Optional[str] = None) -> str:
+    """Brute-force all-pairs shingle Jaccard ≥ threshold.  Exact oracle
+    for BOTH minhash_near_duplicates (whose banding has recall ≈ 1 for
+    the high-J pairs the verify threshold keeps) and ngram_jaccard_pairs
+    (whose size-band blocking is lossless by construction)."""
+    extra = f", {same_col}" if same_col else ""
+    cond = f" AND a.{same_col} = b.{same_col}" if same_col else ""
+    return f"""
+        WITH sh AS ({_shingles_sql(shingle_k, extra)}),
+        p AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 len(list_intersect(a.sh, b.sh)) AS i,
+                 len(a.sh) AS na, len(b.sh) AS nb
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id{cond}
+        )
+        SELECT id_a, id_b,
+               round(i * 1.0 / (na + nb - i), 4) AS jaccard
+        FROM p
+        WHERE round(i * 1.0 / (na + nb - i), 4) >= {min_jaccard}
+        ORDER BY id_a, id_b
+    """
+
+
+def simhash_oracle_sql(max_hamming: int) -> str:
+    """Brute-force all-pairs SimHash Hamming distance in DuckDB.
+
+    Recomputes the _make_simhash_udf signature bit-for-bit:
+    ``md5_number_upper(tok)`` == Python
+    ``int.from_bytes(md5(tok).digest()[:8], 'little')`` (verified), the
+    weighted bit votes use token counts, and the 64-bit signature is
+    assembled in BIGINT-safe halves with an explicit two's-complement
+    fold for bit 63 (matching numpy int64 wraparound).
+    """
+    vote = ("2 * list_sum(list_transform(th, s -> s.c * "
+            "CAST((s.h >> CAST({k} AS UBIGINT)) & 1 AS BIGINT))) - n_tok > 0")
+    lo = ("list_sum(list_transform(range(0, 32), k -> CASE WHEN "
+          + vote.format(k="k")
+          + " THEN (CAST(1 AS BIGINT) << CAST(k AS INT)) ELSE 0 END))")
+    mid = ("list_sum(list_transform(range(32, 63), k -> CASE WHEN "
+           + vote.format(k="k")
+           + " THEN (CAST(1 AS BIGINT) << CAST(k - 32 AS INT)) ELSE 0 END))")
+    b63 = "CASE WHEN " + vote.format(k="63") + " THEN 1 ELSE 0 END"
+    return f"""
+        WITH tk AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(coalesce(text, '')),
+                                                '\\s+'),
+                             x -> x <> '') AS toks
+          FROM documents
+        ), u AS (
+          SELECT doc_id, len(toks) AS n_tok,
+                 list_transform(list_distinct(toks),
+                   t -> struct_pack(h := md5_number_upper(t),
+                                    c := len(list_filter(toks, x -> x = t))))
+                   AS th
+          FROM tk
+        ), sig AS (
+          -- CAST to BIGINT: the arithmetic widens to HUGEINT, and
+          -- xor/bit_count on HUGEINT is 128-bit two's complement —
+          -- a mixed-sign pair would gain 64 phantom differing bits
+          SELECT doc_id,
+                 CAST(CASE WHEN n_tok = 0 THEN 0 ELSE
+                   coalesce({lo}, 0)
+                   + coalesce({mid}, 0) * 4294967296
+                   + ({b63}) * (-9223372036854775807 - 1)
+                 END AS BIGINT) AS simhash
+          FROM u
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               bit_count(xor(a.simhash, b.simhash)) AS hamming
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+        ORDER BY id_a, id_b
+    """
 
 
 # ── SimHash ──────────────────────────────────────────────────────────────
@@ -318,34 +537,42 @@ def simhash_signatures(df: DataFrame, text_col: str = "text",
 
 def simhash_near_duplicates(df: DataFrame, text_col: str = "text",
                             id_col: str = "doc_id",
-                            max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by SimHash banding: split 64 bits into 4 16-bit
-    bands; pairs agreeing on ≥1 band are candidates (catches all pairs
-    with Hamming distance ≤ 3), then verified by exact popcount."""
+                            max_hamming: int = 3,
+                            bucket_cap: int = 10000,
+                            metrics: Optional[dict] = None) -> DataFrame:
+    """Near-dup pairs by SimHash banding, then exact popcount verify.
+
+    The 64 bits are split into the smallest power-of-two band count
+    n > max_hamming (pigeonhole: ≤ max_hamming differing bits across
+    n bands leaves ≥ 1 band identical), so recall over the banded
+    candidates is exactly 1.0 — the output EQUALS the brute-force
+    all-pairs result, which is what the DuckDB oracle checks.
+    Candidates come from capped_bucket_pairs (count-agg + self-join —
+    no collect_set, degenerate buckets dropped with a metric, see
+    minhash_near_duplicates)."""
+    n_bands = 4
+    while n_bands <= max_hamming and n_bands < 64:
+        n_bands *= 2
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+
     sigs = simhash_signatures(df, text_col, id_col)
-    bands = sigs.select(
+    keyed = sigs.select(
         "id", "simhash",
         F.explode(F.array(*[
             F.struct(F.lit(i).alias("band"),
-                     F.shiftrightunsigned(F.col("simhash"), i * 16)
-                     .bitwiseAND(F.lit(0xFFFF)).alias("key"))
-            for i in range(4)
+                     F.shiftrightunsigned(F.col("simhash"), i * width)
+                     .bitwiseAND(F.lit(mask)).alias("key"))
+            for i in range(n_bands)
         ])).alias("bb"),
     ).select("id", "simhash", "bb.band", "bb.key").persist()
     # persisted: the self-join below would otherwise run the SimHash
     # UDF twice over the full corpus
 
-    candidates = (
-        bands.alias("x").join(
-            bands.alias("y"),
-            (F.col("x.band") == F.col("y.band")) & (F.col("x.key") == F.col("y.key"))
-            & (F.col("x.id") < F.col("y.id")),
-        )
-        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"),
-                F.col("x.simhash").alias("sig_a"), F.col("y.simhash").alias("sig_b"))
-        .distinct()
-    )
-    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    candidates = capped_bucket_pairs(keyed, ["band", "key"], bucket_cap,
+                                     metrics=metrics,
+                                     extra_cols=["simhash"])
+    hamming = F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b")))
     return (
         candidates.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
