@@ -41,6 +41,20 @@ ADVERSARIAL = [
     "<td>orphan cell</td>",
     "<p></p><p> </p>",
     "text &amp",                                          # trailing bare entity
+    # unquoted attribute values ending in '/': the slash is part of the
+    # VALUE (open tag), not a self-close marker
+    '<a href=https://example.com/>text</a>',
+    '<a href=https://example.com/path/>text</a>',
+    '<img src=x.png/ alt=y>',
+    '<a href=>empty</a>',
+    '<a href=/>slash-value</a>',
+    '<input disabled/>',                                  # bare attr + selfclose
+    '<a href="https://q.example/">quoted stays selfclose</a>',
+    # raw-text mode: a '</script ...>' that is not a well-formed end tag
+    # is DATA; parsing continues to the real end tag
+    "<script>var s = '</script foo>';</script><p>after</p>",
+    "<script>a</scriptx>b</script><p>c</p>",
+    "<style>a{}</style junk></style><p>s</p>",
 ]
 
 

@@ -254,3 +254,28 @@ class TestCleanForAI:
 
     def test_citations_removed(self):
         assert clean_for_ai("fact[1] more[23]") == "fact more"
+
+
+class TestCleanDomSequentialOrder:
+    def test_footer_measured_after_nested_header_removed(self):
+        # markdown.ts:245-255 removes headers FIRST, then measures
+        # footers: a footer whose text clears 200 chars only via a
+        # nested junk header must still be dropped
+        pad = "x" * 150
+        html = (f"<html><body><main>Main content body {'word ' * 60}</main>"
+                f"<footer><header>{pad}</header>short footer text</footer>"
+                f"</body></html>")
+        from webpeel_spark.pure.markdown import clean_html
+
+        out = clean_html(html)
+        assert "short footer text" not in out
+        assert pad not in out
+
+    def test_long_footer_kept(self):
+        keep = "f" * 250
+        html = (f"<html><body><main>Main content body {'word ' * 60}</main>"
+                f"<footer>{keep}</footer></body></html>")
+        from webpeel_spark.pure.markdown import clean_html
+
+        out = clean_html(html)
+        assert keep in out

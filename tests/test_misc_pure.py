@@ -172,3 +172,31 @@ class TestWikipedia:
     def test_extractor_fallthrough_without_tables(self):
         html = "<html><body><h1>T</h1><p>prose only</p></body></html>"
         assert extract_domain_data(html, "https://en.wikipedia.org/wiki/T") is None
+
+
+class TestOcrSeam:
+    """pipeline.ts:862-877 image branch + ocr.ts seam."""
+
+    PNG = (b"\x89PNG\r\n\x1a\n" + b"\x00" * 32)
+
+    def test_no_text_shape_byte_exact(self):
+        from webpeel_spark.pure.pipeline import extract_page
+
+        r = extract_page("https://x.example/scan.png", self.PNG)
+        assert r["branch"] == "image"
+        assert r["content"] == ("# OCR Text Extraction\n\n"
+                                "*(No text detected in image)*")
+        assert r["quality"] == 0.1
+        assert r["title"] == ""
+
+    def test_image_content_types(self):
+        from webpeel_spark.pure.ocr import is_image_content_type
+
+        assert is_image_content_type("image/png")
+        assert is_image_content_type("IMAGE/JPEG; charset=binary")
+        assert not is_image_content_type("text/html")
+
+    def test_engine_absent_returns_empty(self):
+        from webpeel_spark.pure.ocr import extract_text_from_image
+
+        assert extract_text_from_image(self.PNG) == ""

@@ -101,6 +101,30 @@ class TestCheckpoint:
         finally:
             shutil.rmtree(out_dir, ignore_errors=True)
 
+    def test_changed_input_snapshot_reextracts(self, spark, pages_df):
+        """Re-submitting the same run_id against a CHANGED input must not
+        silently skip buckets extracted from the old snapshot (mixed
+        lineage); they are reported stale and re-extracted."""
+        from webpeel_spark.plans.checkpoint import run_extraction_checkpointed
+
+        out_dir = tempfile.mkdtemp(prefix="wp_ckpt_snap_")
+        try:
+            run_extraction_checkpointed(
+                spark, pages_df, out_dir, run_id="r1",
+                num_buckets=4, buckets_per_commit=4,
+                input_snapshot_id="snap-A",
+            )
+            s2 = run_extraction_checkpointed(
+                spark, pages_df.limit(60), out_dir, run_id="r1",
+                num_buckets=4, buckets_per_commit=4,
+                input_snapshot_id="snap-B",
+            )
+            assert s2["stale_snapshot_buckets"] == [0, 1, 2, 3]
+            assert s2["skipped_buckets"] == []
+            assert sorted(s2["processed_buckets"]) == [0, 1, 2, 3]
+        finally:
+            shutil.rmtree(out_dir, ignore_errors=True)
+
 
 class TestDedupOperators:
     def test_exact_dedup_keeps_one(self, spark):

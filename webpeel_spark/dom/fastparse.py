@@ -41,9 +41,23 @@ _ATTR_RE = re.compile(
     r"([^\s=/>]+)(?:\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s>]*)))?",
 )
 
+# attrs tail that ends inside an unquoted value (`... href=https://x` or
+# a dangling `=`): a following '/' belongs to the VALUE, not to a
+# self-closing marker (stdlib/HTML5: unquoted values run to whitespace
+# or '>', so `<a href=https://example.com/>` is an OPEN tag with the
+# trailing slash kept in href)
+_UNQUOTED_VALUE_TAIL_RE = re.compile(r"=\s*(?:[^\s>\"'][^\s>\"']*)?$")
+
 _RAW_END = {
     "script": re.compile(r"</\s*script", re.I),
     "style": re.compile(r"</\s*style", re.I),
+}
+
+# stdlib parse_endtag accepts only `</name\s*>`; `</script foo>` inside
+# raw text is DATA, not an end tag (HTMLParser tolerant cdata path)
+_RAW_END_FULL = {
+    "script": re.compile(r"</\s*script\s*>", re.I),
+    "style": re.compile(r"</\s*style\s*>", re.I),
 }
 
 _AMP = "&"
@@ -95,6 +109,12 @@ def fast_feed(builder, html: str, xml: bool = False) -> None:
         tag = m.group("start").lower()
         attrs = []
         raw_attrs = m.group("attrs")
+        selfclose = m.group("selfclose")
+        if selfclose and raw_attrs \
+                and _UNQUOTED_VALUE_TAIL_RE.search(raw_attrs):
+            # '/' terminates an unquoted attribute value — fold it back
+            raw_attrs += "/"
+            selfclose = ""
         if raw_attrs:
             for am in _ATTR_RE.finditer(raw_attrs):
                 name = am.group(1)
@@ -113,18 +133,26 @@ def fast_feed(builder, html: str, xml: bool = False) -> None:
                 elif _AMP in value:
                     value = unescape(value)
                 attrs.append((name.lower(), value))
-        if m.group("selfclose"):
+        if selfclose:
             builder.handle_startendtag(tag, attrs)
             continue
         builder.handle_starttag(tag, attrs)
         if not xml and tag in _RAW_END:
-            # raw-text element: verbatim content up to its end tag
-            em = _RAW_END[tag].search(html, pos)
-            if em is None:
-                _emit_text(builder, html[pos:], raw=True)
-                pos = n
-                continue
-            _emit_text(builder, html[pos:em.start()], raw=True)
-            gt = html.find(">", em.end())
-            builder.handle_endtag(tag)
-            pos = n if gt == -1 else gt + 1
+            # raw-text element: verbatim content up to its end tag;
+            # a `</script ...>` that is not a well-formed end tag stays
+            # DATA (stdlib tolerant cdata path), keep scanning
+            while True:
+                em = _RAW_END[tag].search(html, pos)
+                if em is None:
+                    _emit_text(builder, html[pos:], raw=True)
+                    pos = n
+                    break
+                if _RAW_END_FULL[tag].match(html, em.start()):
+                    _emit_text(builder, html[pos:em.start()], raw=True)
+                    gt = html.find(">", em.end())
+                    builder.handle_endtag(tag)
+                    pos = n if gt == -1 else gt + 1
+                    break
+                # emit through the '</' and keep looking in raw mode
+                _emit_text(builder, html[pos:em.start() + 2], raw=True)
+                pos = em.start() + 2

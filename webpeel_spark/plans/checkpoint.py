@@ -57,12 +57,33 @@ def read_progress(spark: SparkSession, out_dir: str) -> Optional[DataFrame]:
         return None
 
 
-def completed_buckets(spark: SparkSession, out_dir: str, run_id: str) -> List[int]:
+def completed_buckets(spark: SparkSession, out_dir: str, run_id: str,
+                      input_snapshot_id: Optional[str] = None) -> List[int]:
+    """Buckets already completed for ``run_id``.
+
+    With ``input_snapshot_id`` given, buckets recorded against a
+    DIFFERENT snapshot are NOT treated as completed (skipping them
+    would mix lineage: output extracted from an old input next to new
+    buckets).  Callers get the stale list via the second element."""
+    progress = read_progress(spark, out_dir)
+    if progress is None:
+        return []
+    flt = progress.filter(F.col("run_id") == run_id)
+    if input_snapshot_id is not None:
+        flt = flt.filter(F.col("input_snapshot_id") == input_snapshot_id)
+    rows = flt.select("bucket").distinct().collect()
+    return sorted(r["bucket"] for r in rows)
+
+
+def stale_buckets(spark: SparkSession, out_dir: str, run_id: str,
+                  input_snapshot_id: str) -> List[int]:
+    """Buckets recorded for run_id under a DIFFERENT input snapshot."""
     progress = read_progress(spark, out_dir)
     if progress is None:
         return []
     rows = (
-        progress.filter(F.col("run_id") == run_id)
+        progress.filter((F.col("run_id") == run_id)
+                        & (F.col("input_snapshot_id") != input_snapshot_id))
         .select("bucket").distinct().collect()
     )
     return sorted(r["bucket"] for r in rows)
@@ -97,7 +118,11 @@ def run_extraction_checkpointed(
         input_snapshot_id = hashlib.sha256(plan.encode()).hexdigest()[:16]
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     out_data = os.path.join(out_dir, "data")
-    done = set(completed_buckets(spark, out_dir, run_id))
+    # resume matches on (run_id, input_snapshot_id): buckets completed
+    # against a DIFFERENT snapshot are re-extracted, not skipped — a
+    # silent skip would leave mixed-lineage output in one directory
+    done = set(completed_buckets(spark, out_dir, run_id, input_snapshot_id))
+    stale = stale_buckets(spark, out_dir, run_id, input_snapshot_id)
     all_buckets = [b for b in range(num_buckets) if b not in done]
 
     bucketed = pages.withColumn(
@@ -106,7 +131,14 @@ def run_extraction_checkpointed(
 
     summary = {"run_id": run_id, "input_snapshot_id": input_snapshot_id,
                "skipped_buckets": sorted(done),
+               "stale_snapshot_buckets": stale,
                "processed_buckets": [], "rows": 0, "errors": 0}
+    if stale:
+        import warnings
+        warnings.warn(
+            f"run_id={run_id}: {len(stale)} bucket(s) in the progress "
+            f"table were extracted from a different input snapshot and "
+            f"will be re-extracted: {stale[:16]}", stacklevel=2)
 
     for start in range(0, len(all_buckets), buckets_per_commit):
         group = all_buckets[start : start + buckets_per_commit]

@@ -33,14 +33,22 @@ from .carscom import carscom_extractor
 from .amazon import amazon_extractor
 from .craigslist import craigslist_extractor
 from .ebay import ebay_extractor
+from .etsy import etsy_extractor
+from .facebook import facebook_marketplace_extractor
+from .google_flights import google_flights_extractor
 from .imdb import imdb_extractor
+from .kayak_cars import kayak_car_rental_extractor
 from .linkedin import linkedin_extractor
 from .medium import medium_extractor
 from .news import bbc_extractor, cnn_extractor, nytimes_extractor
 from .pdfurl import pdf_url_extractor
+from .redfin import redfin_extractor
+from .sportsbetting import sports_betting_extractor
 from .substack import substack_extractor
+from .substackroot import substack_root_extractor
 from .twitter import twitter_extractor
 from .wikipedia import wikipedia_extractor
+from .zillow import zillow_extractor
 
 Extractor = Callable[[str, str], Optional[DomainExtractResult]]
 
@@ -78,17 +86,35 @@ REGISTRY: List[Tuple[Callable[[str, str], bool], Extractor]] = [
     # registry order mirrors extractors/index.ts:83-96
     (lambda h, u: h.endswith(".substack.com"), substack_extractor),
     (lambda h, u: _host_is(h, "allrecipes.com"), allrecipes_extractor),
-    (lambda h, u: _host_is(h, "linkedin.com"), linkedin_extractor),
-    (lambda h, u: _host_is(h, "cars.com"), carscom_extractor),
     (lambda h, u: _host_is(h, "imdb.com"), imdb_extractor),
+    (lambda h, u: _host_is(h, "linkedin.com"), linkedin_extractor),
     (lambda h, u: _host_is(h, "craigslist.org") or h.endswith(".craigslist.org"),
      craigslist_extractor),
-    (lambda h, u: _host_is(h, "ebay.com"), ebay_extractor),
     (lambda h, u: _host_is(h, "nytimes.com"), nytimes_extractor),
     (lambda h, u: _host_is(h, "bbc.com", "bbc.co.uk"), bbc_extractor),
     (lambda h, u: _host_is(h, "cnn.com"), cnn_extractor),
+    # bare substack.com only — www.substack.com is shadowed by the
+    # endswith('.substack.com') entry above, as in index.ts:113
+    (lambda h, u: _host_is(h, "substack.com"), substack_root_extractor),
     (lambda h, u: bool(_PDF_URL_RE.search(u)) or bool(_PDF_PATH_RE.search(u)),
      pdf_url_extractor),
+    # entries below the pdf rule mirror index.ts:118-134 — a .pdf URL on
+    # these hosts routes to the pdf extractor first
+    (lambda h, u: _host_is(h, "draftkings.com") or h == "sportsbook.draftkings.com",
+     sports_betting_extractor),
+    (lambda h, u: _host_is(h, "fanduel.com") or h == "sportsbook.fanduel.com",
+     sports_betting_extractor),
+    (lambda h, u: _host_is(h, "betmgm.com"), sports_betting_extractor),
+    (lambda h, u: _host_is(h, "facebook.com"), facebook_marketplace_extractor),
+    (lambda h, u: _host_is(h, "etsy.com"), etsy_extractor),
+    (lambda h, u: _host_is(h, "cars.com"), carscom_extractor),
+    (lambda h, u: _host_is(h, "ebay.com"), ebay_extractor),
+    (lambda h, u: _host_is(h, "zillow.com"), zillow_extractor),
+    (lambda h, u: _host_is(h, "redfin.com"), redfin_extractor),
+    (lambda h, u: _host_is(h, "google.com") and "/travel/flights" in u,
+     google_flights_extractor),
+    (lambda h, u: _host_is(h, "kayak.com") and "/cars/" in u,
+     kayak_car_rental_extractor),
 ]
 
 

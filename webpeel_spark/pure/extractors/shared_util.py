@@ -31,3 +31,34 @@ def unix_to_iso(sec: float) -> str:
     """shared.ts:19-21 — Unix seconds → JS toISOString format."""
     dt = datetime.fromtimestamp(sec, tz=timezone.utc)
     return dt.strftime("%Y-%m-%dT%H:%M:%S.") + f"{dt.microsecond // 1000:03d}Z"
+
+
+def encode_uri_component(s: str) -> str:
+    """JS encodeURIComponent (unreserved set A-Za-z0-9 -_.!~*'())."""
+    from urllib.parse import quote
+
+    return quote(s, safe="-_.!~*'()")
+
+
+def js_number_locale(s) -> str:
+    """JS Number(x).toLocaleString() for the numeric strings these
+    extractors feed it: thousands separators; non-numeric → 'NaN'."""
+    try:
+        f = float(s)
+    except (TypeError, ValueError):
+        return "NaN"
+    if f != f:
+        return "NaN"
+    if f == int(f):
+        return f"{int(f):,}"
+    return f"{f:,}"
+
+
+def js_parse_int_commas(s: str) -> int:
+    """JS parseInt(s.replace(',', '')) — note .replace in JS drops only
+    the FIRST comma, and parseInt stops at the next non-digit."""
+    import re as _re
+
+    t = s.replace(",", "", 1)
+    m = _re.match(r"\d+", t)
+    return int(m.group(0)) if m else 0

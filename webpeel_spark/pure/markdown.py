@@ -161,15 +161,21 @@ def _clean_dom(root: Node) -> None:
         el.remove()
 
     # conditional header/footer keep (>200 chars of text) + aside sweep,
-    # evaluated on the post-junk tree exactly like the sequential selects
+    # in the reference's SEQUENTIAL order (markdown.ts:245-255): headers
+    # first, then footers measured on the header-free tree (a footer
+    # whose length cleared 200 only because of a nested junk header must
+    # still drop), then sidebar asides
     for el in list(root.iter_elements()):
-        tag = el.tag
-        role = el.attrs.get("role")
-        if tag == "header" or role == "banner" or tag == "footer" or role == "contentinfo":
+        if el.tag == "header" or el.attrs.get("role") == "banner":
             if len(el.text().strip()) < 200:
                 el.remove()
-        elif tag == "aside" and (role == "complementary"
-                                 or "sidebar" in (el.attrs.get("class") or "")):
+    for el in list(root.iter_elements()):
+        if el.tag == "footer" or el.attrs.get("role") == "contentinfo":
+            if len(el.text().strip()) < 200:
+                el.remove()
+    for el in list(root.iter_elements()):
+        if el.tag == "aside" and (el.attrs.get("role") == "complementary"
+                                  or "sidebar" in (el.attrs.get("class") or "")):
             el.remove()
 
     _convert_layout_tables(root)

@@ -117,11 +117,19 @@ def _extract_page_inner(url: str, payload: bytes,
     if content_type == "document":
         return _pdf_branch(url, payload, options, result)
     if content_type == "image":
-        # OCR branch (pipeline.ts:862-877) — no OCR engine in this
-        # environment; emit the reference's "no text" shape.
+        # OCR branch (pipeline.ts:862-877); the engine binding lives
+        # behind the pure/ocr.py seam (returns "" with no engine
+        # installed — the reference's no-text outcome)
+        from .ocr import extract_text_from_image
+
+        ocr_text = extract_text_from_image(payload)
         result["branch"] = "image"
-        result["content"] = "# OCR Text Extraction\n\n*(No text detected in image)*"
-        result["quality"] = 0.1
+        if ocr_text:
+            result["content"] = f"# OCR Text Extraction\n\n{ocr_text}"
+        else:
+            result["content"] = ("# OCR Text Extraction\n\n"
+                                 "*(No text detected in image)*")
+        result["quality"] = 0.8 if len(ocr_text) > 10 else 0.1
         return _finish(result, options)
 
     text = payload.decode("utf-8", errors="replace")

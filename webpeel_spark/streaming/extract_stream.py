@@ -39,19 +39,30 @@ def read_pages_stream(spark: SparkSession, input_dir: str,
 
 def extracted_stream(pages: DataFrame, options=None) -> DataFrame:
     """Extraction envelope stream — reuses the batch mapInPandas stage
-    (stateless, so legal under streaming) with warc_ts carried through
-    for event-time operations downstream."""
+    (stateless, so legal under streaming) with ``warc_ts`` carried
+    through the UDF positionally (extraction is 1 row in → 1 row out,
+    order-preserving), so downstream watermarked/event-time operators
+    have their timestamp column without a post-extraction join."""
     from ..operators.extract import EXTRACT_SCHEMA, _make_extract_fn
     from ..pure.pipeline import DEFAULT_OPTIONS
 
     if options is None:
         options = DEFAULT_OPTIONS
-    # join warc_ts back on url after extraction would shuffle; instead
-    # keep (url, warc_ts) and re-attach via the UDF passthrough-free
-    # route: extraction keys on url which is unique per file batch
-    envelopes = pages.select("url", "html").mapInPandas(
-        _make_extract_fn(tuple(options)), EXTRACT_SCHEMA)
-    return envelopes
+    inner = _make_extract_fn(tuple(options))
+
+    def with_ts(batches):
+        for pdf in batches:
+            ts = pdf["warc_ts"].reset_index(drop=True)
+            for out in inner(iter([pdf])):
+                out = out.reset_index(drop=True)
+                out["warc_ts"] = ts[: len(out)]
+                yield out
+
+    from pyspark.sql.types import StructField, StructType, TimestampType
+
+    schema = StructType(EXTRACT_SCHEMA.fields
+                        + [StructField("warc_ts", TimestampType(), True)])
+    return pages.select("url", "warc_ts", "html").mapInPandas(with_ts, schema)
 
 
 def stream_extraction(spark: SparkSession, input_dir: str, out_dir: str,
