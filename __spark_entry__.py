@@ -370,12 +370,54 @@ def _q_schema_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                  "description string")
 
 
-def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from webpeel_spark.operators.multimodal import (
-        extract_features, synthetic_multimodal_df,
-    )
+def _multimodal_parquet() -> str:
+    """Deterministic multimodal table materialized for the oracle.
+    Payloads are ASCII bytes ONLY because this DuckDB build hashes
+    VARCHAR, not BLOB — the Spark side still reads them as opaque
+    binary through the same Arrow path as arbitrary bytes (the
+    arbitrary-bytes case is pinned by tests/test_change_images.py)."""
+    import random
 
-    return extract_features(synthetic_multimodal_df(spark, 64)).drop("features")
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".contract_cache")
+    os.makedirs(cache, exist_ok=True)
+    path = os.path.join(cache, "multimodal_64_seed42_ascii.parquet")
+    if not os.path.exists(path):
+        rng = random.Random(42)
+        kinds = ["image", "audio", "video"]
+        # alphabet restricted to bytes DuckDB's BLOB->VARCHAR cast does
+        # not escape (it \xNN-escapes backslash etc., breaking the
+        # byte-identity the sha256 comparison needs)
+        alphabet = (b"ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+                    b"abcdefghijklmnopqrstuvwxyz0123456789 .,;:!?-")
+        ids, kind_col, payloads = [], [], []
+        for i in range(64):
+            ids.append(i)
+            kind_col.append(kinds[i % 3])
+            n = rng.randint(64, 512)
+            payloads.append(bytes(rng.choice(alphabet)
+                                  for _ in range(n)))
+        tbl = pa.table({
+            "item_id": pa.array(ids, pa.int64()),
+            "kind": pa.array(kind_col, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+        })
+        pq.write_table(tbl, path + ".tmp", row_group_size=16)
+        os.replace(path + ".tmp", path)
+    return path
+
+
+def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched multimodal feature plumbing; the oracle recomputes
+    n_bytes + sha256 over the same payload parquet, checking the bytes
+    survive the binary→Arrow→pandas→hash path unchanged."""
+    from webpeel_spark.operators.multimodal import extract_features
+
+    mm = spark.read.parquet(_multimodal_parquet())
+    return extract_features(mm).drop("features")
 
 
 def _q_streaming_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -605,12 +647,20 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": _jaccard_oracle(0.35, same_col="lang"),
         "simhash_near_dups": _simhash_oracle(6),
         "bm25_relevance": _relevance_oracle(),
+        "multimodal_features": f"""
+            SELECT item_id, kind,
+                   CAST(octet_length(payload) AS BIGINT) AS n_bytes,
+                   sha256(CAST(payload AS VARCHAR)) AS sha256,
+                   'ok' AS status
+            FROM '{_safe_path(_multimodal_parquet)}'
+            ORDER BY item_id
+        """,
         "host_stats_salted": f"""
             SELECT lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1))
                      AS host,
                    count(*) AS docs,
                    CAST(sum(octet_length(html)) AS BIGINT) AS bytes
-            FROM '{_pages_parquet()}'
+            FROM '{_safe_path(_pages_parquet)}'
             GROUP BY 1 ORDER BY 1
         """,
         "embedding_near_dups": f"""
@@ -660,6 +710,21 @@ def _simhash_oracle(max_hamming: int) -> str:
     from webpeel_spark.operators.dedup import simhash_oracle_sql
 
     return simhash_oracle_sql(max_hamming)
+
+
+def _safe_path(materialize) -> str:
+    """Materialize a cache parquet for an oracle; if the write fails
+    (read-only checkout), still return the path — the matching
+    queries() entry writes the same file when it runs, and only the
+    affected oracle errors instead of the whole oracle_sql() dict."""
+    fn = materialize
+    try:
+        return fn()
+    except Exception:
+        name = ("pages_%d_seed42.parquet" % _CORPUS_N
+                if fn is _pages_parquet else "multimodal_64_seed42_ascii.parquet")
+        return os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            ".contract_cache", name)
 
 
 def _relevance_oracle() -> str:

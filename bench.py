@@ -79,8 +79,13 @@ def _run_extraction(spark, pages_path: str, cores: int) -> dict:
 
 
 def _bench_queries(spark, sf_dir: str) -> dict:
-    """Headline operator queries (same code paths as the driver contract),
-    each timed to completion (count/collect forces full execution)."""
+    """Headline operator queries (same code paths as the driver contract).
+
+    Each query runs twice: the first (cold) run pays one-time JVM
+    codegen/JIT for its expressions — a fixed cost that amortizes to
+    zero over a long cluster job — and the second (warm) run is the
+    steady-state number.  Both are reported; ``queries`` carries warm
+    (the number that scales), ``queries_cold`` the first-run wall."""
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
@@ -91,35 +96,38 @@ def _bench_queries(spark, sf_dir: str) -> dict:
         "ann_lsh_topk", "embedding_near_dups", "event_rollup",
         "lang_distribution",
     ]
-    timings = {}
+    cold, warm = {}, {}
     for name in headline:
         fn = qs[name]
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        # operators persist intermediates (signatures, buckets) for
-        # their own multi-consumer plans; drop them between queries so
-        # accumulated cache doesn't GC-throttle later measurements
-        spark.catalog.clearCache()
-    return timings
+        for timings in (cold, warm):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            df.count()
+            timings[name] = round(time.perf_counter() - t0, 3)
+            # operators persist intermediates (signatures, buckets) for
+            # their own multi-consumer plans; drop them between runs so
+            # accumulated cache doesn't GC-throttle later measurements
+            spark.catalog.clearCache()
+    return {"warm": warm, "cold": cold}
 
 
-def _extract_only(cores: int, n_pages: int) -> dict:
+def _extract_only(cores: int, n_pages: int, trials: int = 3) -> dict:
     from webpeel_spark.session import get_spark
 
     pages_path = _corpus_parquet(n_pages)
     spark = get_spark(app_name=f"bench-extract-{cores}", cores=cores)
     spark.sparkContext.setLogLevel("ERROR")
     _warm_workers(spark, pages_path, cores)
-    # best of 3 timed runs: single-run variance on a shared VM is ±30%
-    result = min((_run_extraction(spark, pages_path, cores) for _ in range(3)),
+    # best of N timed runs: single-run variance on a shared VM is ±30%
+    result = min((_run_extraction(spark, pages_path, cores)
+                  for _ in range(trials)),
                  key=lambda r: r["sec"])
     spark.stop()
     return result
 
 
-def _scaling(n_pages: int, lo: int = 4, hi: int = 16) -> dict:
+def _scaling(n_pages: int, lo: int = 4, hi: int = 16,
+             rounds: int = 3) -> dict:
     """Run the same extraction job at N and 4N parallelism in fresh
     subprocesses (clean JVM each) and compute scaling efficiency
     (T_N/T_4N)/(4N/N).
@@ -130,24 +138,38 @@ def _scaling(n_pages: int, lo: int = 4, hi: int = 16) -> dict:
     level that isn't oversubscribed on the 32-core host.  On a real
     cluster N vs 4N executors don't share cores, so the 4→16 pair is
     the faithful stand-in.
+
+    Trials ALTERNATE between the two levels (lo, hi, lo, hi, …) so a
+    noisy host window hits both levels instead of silently biasing
+    one side — measured ±30% between same-config runs minutes apart,
+    which single-block measurement turns into a ±0.25 efficiency
+    swing.  Best-of-rounds per level is reported.
     """
     import subprocess
 
-    results = {}
-    for cores in (lo, hi):
+    def run_once(cores: int) -> dict:
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--extract-only",
-             "--cores", str(cores), "--pages", str(n_pages)],
+             "--cores", str(cores), "--pages", str(n_pages),
+             "--trials", "1"],
             capture_output=True, text=True, cwd=REPO)
         line = [l for l in out.stdout.strip().splitlines()
                 if l.startswith("{")][-1]
-        results[cores] = json.loads(line)
+        return json.loads(line)
+
+    trials = {lo: [], hi: []}
+    for _ in range(rounds):
+        for cores in (lo, hi):
+            trials[cores].append(run_once(cores))
+    results = {c: min(ts, key=lambda r: r["sec"]) for c, ts in trials.items()}
     t_lo, t_hi = results[lo]["sec"], results[hi]["sec"]
     eff = (t_lo / t_hi) / (hi / lo)
     return {
         "pages": n_pages,
         f"local{lo}": results[lo],
         f"local{hi}": results[hi],
+        f"local{lo}_trials_sec": [t["sec"] for t in trials[lo]],
+        f"local{hi}_trials_sec": [t["sec"] for t in trials[hi]],
         "speedup": round(t_lo / t_hi, 3),
         "scaling_efficiency": round(eff, 3),
     }
@@ -159,6 +181,8 @@ def main() -> None:
     ap.add_argument("--extract-only", action="store_true")
     ap.add_argument("--cores", type=int, default=CPUS)
     ap.add_argument("--pages", type=int, default=None)
+    ap.add_argument("--trials", type=int, default=3,
+                    help="extract-only mode: timed runs (best-of)")
     ap.add_argument("--levels", type=str, default="4,16",
                     help="scaling mode: N,4N parallelism pair")
     args = ap.parse_args()
@@ -167,7 +191,7 @@ def main() -> None:
     n_pages = args.pages or max(240, int(PAGES_PER_SF * sf))
 
     if args.extract_only:
-        print(json.dumps(_extract_only(args.cores, n_pages)))
+        print(json.dumps(_extract_only(args.cores, n_pages, args.trials)))
         return
 
     if args.scaling:
@@ -190,16 +214,19 @@ def main() -> None:
 
     t_start = time.perf_counter()
     ext = _run_extraction(spark, pages_path, args.cores)
-    timings = {"extract_flagship": ext["sec"]}
-    timings.update(_bench_queries(spark, SF_DIR))
+    qt = _bench_queries(spark, SF_DIR)
     total = round(time.perf_counter() - t_start, 3)
     spark.stop()
 
+    timings = {"extract_flagship": ext["sec"]}
+    timings.update(qt["warm"])
     print(json.dumps({
         "metric": "headline_queries_total_sec",
-        "value": total,
+        "value": round(ext["sec"] + sum(qt["warm"].values()), 3),
         "unit": "sec",
         "queries": timings,
+        "queries_cold": qt["cold"],
+        "wall_total_incl_cold": total,
         "sf": sf,
         "extraction": {"docs": ext["docs"],
                        "docs_per_sec": ext["docs_per_sec"],
