@@ -165,6 +165,14 @@ def _q_salted_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id")
 
 
+def _q_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4 corpus-hygiene signals + verdicts — pure Catalyst, one
+    narrow projection (the training-pipeline gate ahead of dedup)."""
+    from webpeel_spark.operators.quality_filters import quality_signals
+
+    return quality_signals(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
 def _q_length_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from webpeel_spark.operators.text_analysis import length_filter
 
@@ -513,6 +521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_filter": _q_length_filter,
         "bm25_rank": _q_bm25_rank,
         "lang_id": _q_lang_id,
+        "quality_signals": _q_quality_signals,
         "salted_event_rollup": _q_salted_event_rollup,
         # rows-only: extraction pipeline + LSH approximations
         "extract_flagship": _q_extract_flagship,
@@ -643,6 +652,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bm25_rank": _bm25_oracle(),
         "lang_id": _lang_id_oracle(),
+        "quality_signals": _quality_oracle(),
         "minhash_near_dups": _jaccard_oracle(0.3),
         "ngram_jaccard": _jaccard_oracle(0.35, same_col="lang"),
         "simhash_near_dups": _simhash_oracle(6),
@@ -731,6 +741,14 @@ def _relevance_oracle() -> str:
     from webpeel_spark.operators.text_analysis import relevance_oracle_sql
 
     return relevance_oracle_sql(_BM25_QUERY, limit=50)
+
+
+def _quality_oracle() -> str:
+    from webpeel_spark.operators.quality_filters import (
+        quality_signals_oracle_sql,
+    )
+
+    return quality_signals_oracle_sql()
 
 
 if __name__ == "__main__":

@@ -162,5 +162,5 @@ def test_embedding_near_dups_banded_tables(spark):
     assert all(abs(v - 1.0) < 1e-3 for v in got.values())
     assert metrics["dropped_buckets"] == 0
     assert derive_srp_bits(100) == 4
-    assert derive_srp_bits(1_000_000) == 14
+    assert derive_srp_bits(1_000_000) == 17   # 2^17 ≈ 1M/8
     assert derive_srp_bits(10**12, hi=24) == 24

@@ -106,3 +106,64 @@ def test_lang_id_matches_pure_stopword_vote(spark):
         assert got[i] == _stopword_vote(text[:2000]), f"doc {i}"
     assert got[5] == "es"
     assert got[4] == "und"
+
+
+QF_DOCS = [
+    # passes every Gopher gate: 60 normal words incl. stopwords
+    (0, ("the data pipeline reads pages and writes parquet with good "
+         "quality " * 6).strip()),
+    (1, "too short to pass the minimum word count gate"),
+    (2, "### " * 60),                                  # symbol-heavy, no alpha
+    (3, "{ \"json\": true } " + "the config block of that thing " * 12),
+    (4, ""),
+]
+
+
+def test_quality_signals_gates(spark):
+    from webpeel_spark.operators.quality_filters import (
+        gopher_filter, quality_signals,
+    )
+
+    df = spark.createDataFrame(QF_DOCS, "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in quality_signals(df).collect()}
+
+    assert rows[0]["gopher_pass"] is True
+    assert rows[0]["c4_keep"] is False          # no terminal punctuation
+    assert rows[1]["gopher_pass"] is False      # < 50 words
+    assert rows[2]["gopher_pass"] is False      # symbol ratio + alpha + stopwords
+    assert rows[2]["alpha_word_fraction"] == 0.0
+    # braces are a C4 gate, not a Gopher gate — doc 3 passes Gopher
+    assert rows[3]["has_brace"] is True and rows[3]["c4_keep"] is False
+    assert rows[3]["gopher_pass"] is True
+    assert rows[4]["n_words"] == 0 and rows[4]["gopher_pass"] is False
+
+    kept = {r["doc_id"] for r in gopher_filter(df).collect()}
+    assert kept == {0, 3}
+
+
+def test_quality_signals_against_independent_python(spark):
+    """Signals recomputed with plain Python on the fixture docs."""
+    from webpeel_spark.operators.quality_filters import (
+        GOPHER_STOPWORDS, quality_signals,
+    )
+
+    df = spark.createDataFrame(QF_DOCS, "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in quality_signals(df).collect()}
+    for doc_id, text in QF_DOCS:
+        words = text.split()
+        nw = max(len(words), 1)
+        r = rows[doc_id]
+        assert r["n_words"] == len(words)
+        assert r["mean_word_len"] == round(
+            sum(len(w) for w in words) / nw, 4)
+        assert r["symbol_ratio"] == round(
+            (text.count("#") + text.count("…")
+             + _count_ellipsis(text)) / nw, 4)
+        assert r["stopword_hits"] == len(
+            {w.lower() for w in words} & set(GOPHER_STOPWORDS))
+
+
+def _count_ellipsis(text):
+    import re
+
+    return len(re.findall(r"\.\.\.", text))

@@ -495,26 +495,38 @@ def _make_simhash_udf():
         import numpy as np
 
         out = np.zeros(len(texts), dtype=np.int64)
-        for row_i, t in enumerate(texts):
-            if not t:
+        # batch-level token vocabulary: corpus tokens repeat heavily
+        # (stopwords), so each distinct token is md5-hashed and
+        # bit-expanded ONCE per Arrow batch, not once per document —
+        # measured ~3× on the sf0.1 documents table
+        toks_per_doc = [t.lower().split() if t else [] for t in texts]
+        vocab: dict = {}
+        for toks in toks_per_doc:
+            for tok in toks:
+                if tok not in vocab:
+                    vocab[tok] = len(vocab)
+        if not vocab:
+            return pd.Series(out)
+        hashes = np.fromiter(
+            (int.from_bytes(md5(tok.encode("utf-8")).digest()[:8], "little")
+             for tok in vocab),
+            dtype=np.uint64, count=len(vocab),
+        )
+        bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)) & 1
+                ).astype(np.int64)                      # (V, 64)
+        powers = np.uint64(1) << np.arange(64, dtype=np.uint64)
+        for row_i, toks in enumerate(toks_per_doc):
+            if not toks:
                 continue
-            counts = Counter(t.lower().split())
-            if not counts:
-                continue
-            n_tok = sum(counts.values())
-            uniq = list(counts)
-            hashes = np.fromiter(
-                (int.from_bytes(md5(tok.encode("utf-8")).digest()[:8], "little")
-                 for tok in uniq),
-                dtype=np.uint64, count=len(uniq),
-            )
-            weights = np.fromiter((counts[tok] for tok in uniq),
-                                  dtype=np.int64, count=len(uniq))
-            bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
-            votes = (bits * weights[:, None]).sum(axis=0) * 2 - n_tok
-            sig = np.uint64(0)
-            for bit_idx in np.nonzero(votes > 0)[0]:
-                sig |= np.uint64(1) << np.uint64(bit_idx)
+            counts = Counter(toks)
+            idx = np.fromiter((vocab[t] for t in counts),
+                              dtype=np.int64, count=len(counts))
+            weights = np.fromiter(counts.values(),
+                                  dtype=np.int64, count=len(counts))
+            votes = weights @ bits[idx] * 2 - len(toks)
+            # uint64 sum wraps like the reference's per-bit OR loop
+            sig = ((votes > 0).astype(np.uint64) * powers).sum(
+                dtype=np.uint64)
             out[row_i] = np.int64(sig)
         return pd.Series(out)
 

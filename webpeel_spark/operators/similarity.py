@@ -174,11 +174,20 @@ def srp_multi_bucket_udf(dim: int, bits: int, tables: int, seed: int = 13):
     return buckets
 
 
-def derive_srp_bits(n: int, target_bucket: int = 64,
-                    lo: int = 4, hi: int = 20) -> int:
+def derive_srp_bits(n: int, target_bucket: int = 8,
+                    lo: int = 4, hi: int = 24) -> int:
     """Bucket-count sizing: 2^bits ≈ n / target_bucket so expected
     bucket occupancy stays constant as the corpus grows (fixed bits is
-    O(N²/2^b) — the round-1 scale flaw)."""
+    O(N²/2^b) — the round-1 scale flaw).
+
+    Candidate volume per table ≈ buckets × C(occupancy, 2) ≈
+    n × (target_bucket-1)/2, so target_bucket=8 keeps the verify join
+    at ~3.5n pairs per table (measured at 64 it was ~31n per table —
+    the bucket join itself became the quadratic).  Smaller buckets
+    lower per-table recall for non-identical near-dups; compensate
+    with ``tables`` (recall = 1-(1-p^bits)^tables), not with fatter
+    buckets.  Exact/scaled duplicates collide in every table at any
+    ``bits`` (sign-invariance), so THEIR recall is always 1."""
     import math
 
     if n <= target_bucket:
@@ -225,19 +234,27 @@ def cosine_near_duplicate_pairs(df: DataFrame, threshold: float = 0.95,
     if bits is None:
         bits = derive_srp_bits(df.count())
 
-    bucketed = fan_out(df.select(
+    # vectors persist ONCE (narrow table); the exploded bucket table
+    # carries only (id, table, bucket) — shipping the vector through
+    # the explode would store it ``tables``× and, worse, shuffle the
+    # float arrays through the candidate pair-dedupe (the same
+    # array-through-dropDuplicates cost that dominated ngram_jaccard)
+    vecs = fan_out(df.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v")
-    )).withColumn(
-        "__buckets", srp_multi_bucket_udf(dim, bits, tables, seed)(F.col("v"))
-    ).select(
-        "id", "v", F.posexplode("__buckets").alias("table", "bucket")
-    ).persist()  # self-joined in capped_bucket_pairs — avoid 2× UDF runs
+    )).persist()
+    buckets = vecs.select(
+        "id",
+        F.posexplode(
+            srp_multi_bucket_udf(dim, bits, tables, seed)(F.col("v"))
+        ).alias("table", "bucket"),
+    ).persist()  # consumed 3× in capped_bucket_pairs (sizes + two sides)
 
-    candidates = capped_bucket_pairs(bucketed, ["table", "bucket"],
-                                     bucket_cap, metrics=metrics,
-                                     extra_cols=["v"])
+    candidates = capped_bucket_pairs(buckets, ["table", "bucket"],
+                                     bucket_cap, metrics=metrics)
+    left = vecs.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"))
+    right = vecs.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"))
     return (
-        candidates
+        candidates.join(left, "id_a").join(right, "id_b")
         .withColumn("cosine", F.round(
             cosine_similarity_col(F.col("v_a"), F.col("v_b")), 4))
         .filter(F.col("cosine") >= threshold)
