@@ -165,12 +165,26 @@ def _q_salted_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id")
 
 
+def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish-pretokenizer + chars/4 token estimators."""
+    from webpeel_spark.operators.text_analysis import token_counts
+
+    return token_counts(_docs(spark, sf_dir))
+
+
 def _q_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/C4 corpus-hygiene signals + verdicts — pure Catalyst, one
     narrow projection (the training-pipeline gate ahead of dedup)."""
     from webpeel_spark.operators.quality_filters import quality_signals
 
     return quality_signals(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def _q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition-removal gates (dup-line + top-n-gram mass)."""
+    from webpeel_spark.operators.quality_filters import repetition_signals
+
+    return repetition_signals(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
 def _q_length_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -522,6 +536,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_rank": _q_bm25_rank,
         "lang_id": _q_lang_id,
         "quality_signals": _q_quality_signals,
+        "repetition_signals": _q_repetition_signals,
+        "token_counts": _q_token_counts,
         "salted_event_rollup": _q_salted_event_rollup,
         # rows-only: extraction pipeline + LSH approximations
         "extract_flagship": _q_extract_flagship,
@@ -653,6 +669,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_rank": _bm25_oracle(),
         "lang_id": _lang_id_oracle(),
         "quality_signals": _quality_oracle(),
+        "token_counts": _token_counts_oracle(),
+        "repetition_signals": _repetition_oracle(),
         "minhash_near_dups": _jaccard_oracle(0.3),
         "ngram_jaccard": _jaccard_oracle(0.35, same_col="lang"),
         "simhash_near_dups": _simhash_oracle(6),
@@ -749,6 +767,18 @@ def _quality_oracle() -> str:
     )
 
     return quality_signals_oracle_sql()
+
+
+def _token_counts_oracle() -> str:
+    from webpeel_spark.operators.text_analysis import token_counts_oracle_sql
+
+    return token_counts_oracle_sql()
+
+
+def _repetition_oracle() -> str:
+    from webpeel_spark.operators.quality_filters import repetition_oracle_sql
+
+    return repetition_oracle_sql()
 
 
 if __name__ == "__main__":

@@ -167,3 +167,29 @@ def _count_ellipsis(text):
     import re
 
     return len(re.findall(r"\.\.\.", text))
+
+
+def test_repetition_signals_gates(spark):
+    from webpeel_spark.operators.quality_filters import repetition_signals
+
+    docs = [
+        (0, "the data pipeline reads pages and writes clean parquet files"),
+        (1, "buy now " * 40),                    # one 2-gram dominates
+        (2, "line one\nline one\nline one\nunique line"),   # dup lines
+        (3, ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in repetition_signals(df).collect()}
+
+    assert rows[0]["repetition_pass"] is True
+    assert rows[0]["dup_line_fraction"] == 0.0
+
+    # "buy now buy now ..." → 2-grams alternate "buy now"/"now buy";
+    # the top one holds ~half the mass, far over the 0.20 gate
+    assert rows[1]["top_2gram_fraction"] > 0.4
+    assert rows[1]["repetition_pass"] is False
+
+    assert rows[2]["dup_line_fraction"] == 0.5  # 4 lines, 2 distinct
+    assert rows[2]["repetition_pass"] is False
+
+    assert rows[3]["top_2gram_fraction"] == 0.0

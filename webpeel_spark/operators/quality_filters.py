@@ -129,6 +129,108 @@ def gopher_filter(df: DataFrame, text_col: str = "text",
     return sig.filter(F.col("gopher_pass"))
 
 
+# Gopher §A1.1 repetition thresholds
+MAX_DUP_LINE_FRACTION = 0.30
+MAX_TOP_2GRAM_FRACTION = 0.20
+MAX_TOP_3GRAM_FRACTION = 0.18
+
+
+def _ngrams(words: Column, k: int) -> Column:
+    n = F.size(words)
+    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, k)))
+    return F.when(n >= k, grams).otherwise(
+        F.array().cast("array<string>"))
+
+
+def _top_gram_fraction(grams: Column) -> Column:
+    distinct = F.array_distinct(grams)
+    counts = F.transform(
+        distinct, lambda g: F.size(F.filter(grams, lambda x: x == g)))
+    return F.when(F.size(grams) == 0, F.lit(0.0)).otherwise(
+        F.array_max(counts).cast("double") / F.size(grams))
+
+
+def repetition_signals(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Gopher repetition-removal signals: duplicate-line fraction and
+    most-frequent-2/3-gram mass fraction, with the paper's gates
+    (≤0.30 / ≤0.20 / ≤0.18) combined into repetition_pass.
+
+    Counting the top n-gram is O(distinct × total) per document in
+    expression form — fine for the ≤10^3-word documents this table
+    holds; pathological mega-documents should be length-gated first
+    (quality_signals MAX_WORDS does exactly that).  The heavier
+    duplicate-n-gram CHARACTER-mass variants (Gopher's dup-5..10-gram
+    rows) belong in the same shape but are omitted here.  Boilerplate
+    DUPLICATION across documents is the dedup family's job
+    (operators/dedup.py), not this per-document operator's.
+    """
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    lines = F.split(F.col(text_col), r"\n")
+    dup_line_fraction = F.round(
+        F.lit(1.0) - F.size(F.array_distinct(lines)).cast("double")
+        / F.greatest(F.size(lines), F.lit(1)), 4)
+    top2 = F.round(_top_gram_fraction(_ngrams(words, 2)), 4)
+    top3 = F.round(_top_gram_fraction(_ngrams(words, 3)), 4)
+    out = df.select(
+        F.col(id_col),
+        dup_line_fraction.alias("dup_line_fraction"),
+        top2.alias("top_2gram_fraction"),
+        top3.alias("top_3gram_fraction"),
+    )
+    rep_pass = ((F.col("dup_line_fraction") <= MAX_DUP_LINE_FRACTION)
+                & (F.col("top_2gram_fraction") <= MAX_TOP_2GRAM_FRACTION)
+                & (F.col("top_3gram_fraction") <= MAX_TOP_3GRAM_FRACTION))
+    return out.withColumn("repetition_pass", rep_pass)
+
+
+def repetition_oracle_sql() -> str:
+    """DuckDB twin of repetition_signals."""
+    def grams_sql(k: int) -> str:
+        km1 = k - 1
+        return (f"CASE WHEN len(w) >= {k} THEN "
+                f"list_transform(generate_series(1, greatest(len(w) - {km1}, 1)), "
+                f"i -> array_to_string(w[i:i+{km1}], ' ')) "
+                f"ELSE []::VARCHAR[] END")
+
+    def top_sql(g: str) -> str:
+        return (f"CASE WHEN len({g}) = 0 THEN 0.0 ELSE "
+                f"CAST(list_max(list_transform(list_distinct({g}), "
+                f"d -> len(list_filter({g}, x -> x = d)))) AS DOUBLE) "
+                f"/ len({g}) END")
+
+    return f"""
+        WITH base AS (
+          SELECT doc_id,
+                 string_split_regex(lower(trim(text)), '\\s+') AS w,
+                 string_split(text, chr(10)) AS lines
+          FROM documents
+        ), g AS (
+          SELECT doc_id, lines,
+                 {grams_sql(2)} AS g2,
+                 {grams_sql(3)} AS g3
+          FROM base
+        ), sig AS (
+          -- fractions computed ONCE (the top-gram scan is O(|distinct|
+          -- × |grams|) per doc — inlining it twice doubles oracle cost)
+          SELECT doc_id,
+                 round(1.0 - CAST(len(list_distinct(lines)) AS DOUBLE)
+                       / greatest(len(lines), 1), 4) AS dup_line_fraction,
+                 round({top_sql('g2')}, 4) AS top_2gram_fraction,
+                 round({top_sql('g3')}, 4) AS top_3gram_fraction
+          FROM g
+        )
+        SELECT doc_id, dup_line_fraction, top_2gram_fraction,
+               top_3gram_fraction,
+               (dup_line_fraction <= {MAX_DUP_LINE_FRACTION}
+                AND top_2gram_fraction <= {MAX_TOP_2GRAM_FRACTION}
+                AND top_3gram_fraction <= {MAX_TOP_3GRAM_FRACTION})
+                 AS repetition_pass
+        FROM sig ORDER BY doc_id
+    """
+
+
 def quality_signals_oracle_sql(stopwords: List[str] = None) -> str:
     """DuckDB SQL mirroring quality_signals over the documents view,
     IEEE-step-for-step (exact ratios before round(…, 4))."""

@@ -94,6 +94,47 @@ def length_filter(df: DataFrame, min_chars: int = 100,
     )
 
 
+# GPT-2-style pretokenizer, RE2-safe subset: no lookahead (RE2 lacks
+# it), ASCII classes (the corpus is ASCII; swap [A-Za-z]→\p{L} on a
+# unicode corpus — both Java regex and RE2 support \p{L}).  Contraction
+# pieces first, then space-prefixed letter/digit/punct runs, then
+# whitespace runs — the alternation order IS the tokenizer.
+BPE_TOKEN_RE = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+
+
+def token_counts(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Three token-count estimators per document, all JVM-side:
+    whitespace words, a BPE-ish pretokenizer count (regexp over the
+    GPT-2 pattern — counts pieces the way a byte-BPE would split before
+    merges, the standard cheap proxy for real tokenizer cost), and the
+    reference's chars/4 estimate (markdown.ts estimateTokens)."""
+    bpe = F.size(F.regexp_extract_all(
+        F.col(text_col), F.lit(BPE_TOKEN_RE), 0))
+    return df.select(
+        F.col(id_col),
+        word_count(F.col(text_col)).alias("ws_tokens"),
+        bpe.alias("bpe_tokens"),
+        token_estimate(F.col(text_col)).alias("est_tokens"),
+    ).orderBy(id_col)
+
+
+def token_counts_oracle_sql() -> str:
+    """DuckDB twin of token_counts (same RE2-safe pattern)."""
+    pat = BPE_TOKEN_RE.replace("'", "''")
+    return f"""
+        SELECT doc_id,
+               {_WC_SQL} AS ws_tokens,
+               len(regexp_extract_all(text, '{pat}')) AS bpe_tokens,
+               CAST(ceil(length(text) / 4.0) AS INT) AS est_tokens
+        FROM documents ORDER BY doc_id
+    """
+
+
+_WC_SQL = ("CASE WHEN trim(text) = '' THEN 0 "
+           "ELSE len(string_split_regex(trim(text), '\\s+')) END")
+
+
 # ── question answering / relevance (Arrow-batched Python stages) ────────
 
 def quick_answers(df: DataFrame, question: str, text_col: str = "text",
