@@ -319,6 +319,20 @@ def _aug_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.unionByName(clones)
 
 
+def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (k-means-cell) ANN — the inverted-file scale path beside
+    SRP-LSH: train cells on L2-normalized vectors, probe the nprobe
+    nearest cells, exact cosine within them.  Rows-only: k-means cell
+    boundaries are not ANSI-SQL-expressible; recall vs the exact scan
+    is pinned by pytest (test_dedup_scale.test_ivf_topk_recall)."""
+    from webpeel_spark.operators.similarity import ivf_index, ivf_topk
+
+    emb = _embeddings(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    assigned, cents = ivf_index(emb, k=16, seed=29)
+    return ivf_topk(assigned, cents, q, topk=10, nprobe=4)
+
+
 def _q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded multi-table SRP LSH + exact cosine verify.  Scaled copies
     keep every hyperplane sign, so they collide in all tables —
@@ -548,6 +562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": _q_simhash_near_dups,
         "ngram_jaccard": _q_ngram_jaccard,
         "ann_lsh_topk": _q_ann_lsh_topk,
+        "ann_ivf_topk": _q_ann_ivf_topk,
         "embedding_near_dups": _q_embedding_near_dups,
         "extract_listings": _q_extract_listings,
         "extract_images": _q_extract_images,

@@ -164,3 +164,35 @@ def test_embedding_near_dups_banded_tables(spark):
     assert derive_srp_bits(100) == 4
     assert derive_srp_bits(1_000_000) == 17   # 2^17 ≈ 1M/8
     assert derive_srp_bits(10**12, hi=24) == 24
+
+
+def test_ivf_topk_recall(spark):
+    """IVF-ANN: nprobe=all cells reproduces the exact top-k; a small
+    nprobe keeps high recall on clustered data."""
+    import numpy as np
+
+    from webpeel_spark.operators.similarity import (
+        cosine_topk, ivf_index, ivf_topk,
+    )
+
+    rng = np.random.default_rng(11)
+    # 6 well-separated clusters of 30 vectors each
+    centers = rng.standard_normal((6, 16)) * 4
+    rows = []
+    for i in range(180):
+        v = centers[i % 6] + rng.standard_normal(16) * 0.3
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = rows[7][1]
+
+    assigned, cents = ivf_index(df, k=6, seed=29)
+    exact = [r["vec_id"] for r in cosine_topk(df, q, k=10).collect()]
+    probed_all = [r["vec_id"]
+                  for r in ivf_topk(assigned, cents, q, topk=10,
+                                    nprobe=6).collect()]
+    assert probed_all == exact
+
+    probed_1 = {r["vec_id"]
+                for r in ivf_topk(assigned, cents, q, topk=10,
+                                  nprobe=1).collect()}
+    assert len(probed_1 & set(exact)) >= 9  # same-cluster neighbours

@@ -195,6 +195,60 @@ def derive_srp_bits(n: int, target_bucket: int = 8,
     return max(lo, min(hi, math.ceil(math.log2(n / target_bucket))))
 
 
+# ── IVF (inverted-file) ANN — the k-means-cell scale path ──────────────
+
+def _l2_normalize(col: Column) -> Column:
+    n = _norm(col)
+    return F.transform(col, lambda x: x.cast("double") / n)
+
+
+def ivf_index(df: DataFrame, k: Optional[int] = None,
+              vec_col: str = "embedding", id_col: str = "vec_id",
+              seed: int = 29, max_iter: int = 10):
+    """Build an IVF index: k-means cells over L2-NORMALIZED vectors
+    (normalized euclidean ≡ cosine ordering), returning
+    (assigned_df with __cell, centroids ndarray).
+
+    At 10^12 rows: train on a sample (KMeans fits on a fraction), write
+    ``assigned`` partitioned by __cell, and each query scans only
+    nprobe cell-partitions — the classic FAISS IVF layout expressed as
+    partition-pruned parquet instead of an in-memory index.  k defaults
+    to ~sqrt(n) (cells ≈ probe cost balance)."""
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    if k is None:
+        import math
+
+        k = max(2, int(math.isqrt(df.count())))
+    feats = df.withColumn("__nv", _l2_normalize(F.col(vec_col))) \
+              .withColumn("__features", array_to_vector(F.col("__nv")))
+    model = KMeans(k=k, seed=seed, maxIter=max_iter,
+                   featuresCol="__features",
+                   predictionCol="__cell").fit(feats)
+    assigned = model.transform(feats).drop("__features")
+    centroids = np.vstack([np.asarray(c) for c in model.clusterCenters()])
+    return assigned, centroids
+
+
+def ivf_topk(assigned: DataFrame, centroids, query_vec: Sequence[float],
+             topk: int = 10, nprobe: int = 4,
+             vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Approximate top-k by cosine: probe the ``nprobe`` cells whose
+    centroids are nearest the (normalized) query, exact cosine within
+    them.  Probe-cell choice is a tiny driver-side numpy argsort over k
+    centroids; the scan touches ~nprobe/k of the corpus."""
+    import numpy as np
+
+    q = np.asarray(query_vec, dtype="float64")
+    qn = q / (np.linalg.norm(q) or 1.0)
+    d2 = ((centroids - qn) ** 2).sum(axis=1)
+    cells = [int(c) for c in np.argsort(d2)[:nprobe]]
+    return cosine_topk(assigned.filter(F.col("__cell").isin(cells)),
+                       query_vec, topk, vec_col, id_col)
+
+
 def cosine_near_duplicate_pairs(df: DataFrame, threshold: float = 0.95,
                                 vec_col: str = "embedding",
                                 id_col: str = "vec_id",
