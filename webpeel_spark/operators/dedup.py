@@ -202,10 +202,14 @@ def minhash_near_duplicates(
 
     rows_per_band = num_hashes // bands
 
-    hashed = fan_out(df.select(F.col(id_col).alias("id"),
-                               F.col(text_col).alias("__text"))) \
+    hashed = df.select(F.col(id_col).alias("id"),
+                       F.col(text_col).alias("__text")) \
         .withColumn("__g", F.md5("__text"))
     if collapse_exact:
+        # the collapse groupBy IS the fan-out: its shuffle spreads the
+        # (one representative text per group) output over
+        # spark.sql.shuffle.partitions, so an explicit repartition
+        # ahead of it would just shuffle every text twice
         groups = hashed.select("id", "__g").persist()
         docs = (
             hashed.groupBy("__g")
@@ -213,7 +217,7 @@ def minhash_near_duplicates(
             .select(F.col("__r.id").alias("id"), F.col("__r.__text").alias("__text"))
         )
     else:
-        docs = hashed.select("id", "__text")
+        docs = fan_out(hashed.select("id", "__text"))
 
     sigs = (
         docs.select(
