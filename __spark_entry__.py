@@ -475,6 +475,44 @@ def _q_streaming_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "url", "status", "branch", "token_estimate").orderBy("url")
 
 
+def _q_streaming_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming change tracking (applyInPandasWithState):
+    batch 1 → all 'added'; batch 2 re-runs the SAME stream checkpoint
+    with a third of the pages edited → 'changed'/'unchanged' against
+    per-url fingerprint GroupState restored across the restart."""
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from webpeel_spark.sources.corpus import write_corpus_parquet
+    from webpeel_spark.streaming.extract_stream import (
+        stream_change_tracking,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="wp_state_")
+    inp = os.path.join(tmp, "in")
+    os.makedirs(inp)
+    write_corpus_parquet(os.path.join(inp, "b0.parquet"), 30, seed=17)
+    q = stream_change_tracking(spark, inp, os.path.join(tmp, "out"),
+                               os.path.join(tmp, "ck"))
+    q.awaitTermination(300)
+    t = pq.read_table(os.path.join(inp, "b0.parquet"))
+    htmls, urls = t["html"].to_pylist(), t["url"].to_pylist()
+    for i in range(0, len(htmls), 3):
+        if b"content" in (htmls[i] or b"") and not urls[i].endswith(
+                (".pdf", ".docx")):
+            htmls[i] = htmls[i].replace(b"content", b"content-v2")
+    t2 = t.set_column(t.schema.get_field_index("html"), "html",
+                      pa.array(htmls, pa.binary()))
+    pq.write_table(t2, os.path.join(inp, "b1.parquet"))
+    q2 = stream_change_tracking(spark, inp, os.path.join(tmp, "out"),
+                                os.path.join(tmp, "ck"))
+    q2.awaitTermination(300)
+    return spark.read.parquet(os.path.join(tmp, "out")).select(
+        "url", "change").orderBy("url", "change")
+
+
 def _q_checkpoint_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Checkpointed run's progress table — rows-only: per-bucket lineage
     (input snapshot id, url-hash range, counts, metrics)."""
@@ -574,6 +612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _q_multimodal_features,
         "host_stats_salted": _q_host_stats_salted,
         "streaming_extract": _q_streaming_extract,
+        "streaming_changes": _q_streaming_changes,
         "checkpoint_lineage": _q_checkpoint_lineage,
     }
 

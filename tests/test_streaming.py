@@ -99,3 +99,59 @@ def test_stream_metrics_windowed(spark, tmp_path):
     # rows are 17s apart → 40 rows span ~11 min → several 2-min windows
     # fall fully below the final watermark and must have been emitted
     assert total > 0
+
+
+def test_stream_change_tracking_stateful(spark, tmp_path):
+    """applyInPandasWithState change tracking: first batch emits
+    'added' per url; a second batch with edited pages emits
+    'changed'/'unchanged' against state restored from the stream
+    checkpoint across a restart."""
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+
+    from webpeel_spark.streaming.extract_stream import (
+        stream_change_tracking,
+    )
+
+    inp = tmp_path / "in"
+    inp.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    _write_batch(str(inp / "b0.parquet"), 24, seed=5)
+    q = stream_change_tracking(spark, str(inp), out, ckpt)
+    q.awaitTermination(120)
+    first = spark.read.parquet(out)
+    assert first.count() == 24
+    assert set(first.select("change").distinct().toPandas()["change"]) \
+        == {"added"}
+
+    # second batch: SAME pages, a third of them edited inside the body
+    t = pq.read_table(str(inp / "b0.parquet"))
+    htmls, urls = t["html"].to_pylist(), t["url"].to_pylist()
+    edited = set()
+    for i in range(0, len(htmls), 3):
+        if b"content" in (htmls[i] or b"") and not urls[i].endswith(
+                (".pdf", ".docx")):
+            htmls[i] = htmls[i].replace(b"content", b"content-v2")
+            edited.add(urls[i])
+    t2 = t.set_column(t.schema.get_field_index("html"), "html",
+                      pa.array(htmls, pa.binary()))
+    pq.write_table(t2, str(inp / "b1.parquet"))
+
+    q2 = stream_change_tracking(spark, str(inp), out, ckpt)
+    q2.awaitTermination(120)
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 48
+    second = [r for r in rows if r["change"] != "added"]
+    assert len(second) == 24
+    changed = {r["url"] for r in second if r["change"] == "changed"}
+    unchanged = {r["url"] for r in second if r["change"] == "unchanged"}
+    assert changed and unchanged
+    # every edit that lands in extracted content is detected, nothing else
+    assert changed <= edited
+    for r in second:
+        if r["change"] == "changed":
+            assert r["fingerprint_old"] != r["fingerprint_new"]
+        else:
+            assert r["fingerprint_old"] == r["fingerprint_new"]

@@ -155,7 +155,15 @@ _ESCAPE_STEPS = [
 ]
 
 
+# one search deciding whether ANY escape step can fire: the unanchored
+# chars, or a line-start char of the anchored steps (superset test —
+# false positives just run the full table, never change output)
+_ESCAPE_NEEDED = re.compile(r"[\\*`\[\]_]|^[-+=#~>]|^\d+\. ")
+
+
 def escape_markdown(text: str) -> str:
+    if _ESCAPE_NEEDED.search(text) is None:
+        return text
     for pattern, repl in _ESCAPE_STEPS:
         text = pattern.sub(repl, text)
     return text

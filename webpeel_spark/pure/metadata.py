@@ -19,6 +19,7 @@ from __future__ import annotations
 import json
 import re
 from datetime import datetime, timezone, timedelta
+from functools import lru_cache
 from typing import Dict, List, NamedTuple, Optional
 from urllib.parse import urljoin, urlsplit
 
@@ -160,7 +161,32 @@ def clean_concatenated_title(title: str) -> str:
 
 # ── extraction chains ─────────────────────────────────────────────────────
 
+_META_SEL_RE = re.compile(r'^meta\[([\w-]+)="([^"]+)"\]$')
+
+
+@lru_cache(maxsize=4)
+def _meta_index(root: Node) -> dict:
+    """All meta tags of a tree in ONE walk: (attr, value) → content of
+    the FIRST matching element (exactly select_first semantics for the
+    `meta[attr="value"]` selectors the chains use — profiled: the
+    chains issue ~17 meta lookups per page, each a full tree walk
+    without this).  Keyed on tree identity; maxsize bounds how many
+    short-lived trees stay referenced."""
+    idx: dict = {}
+    for el in root.iter_elements():
+        if el.tag == "meta":
+            content = el.get("content")
+            for attr in ("property", "name", "itemprop", "http-equiv"):
+                v = el.get(attr)
+                if v is not None and (attr, v) not in idx:
+                    idx[(attr, v)] = content
+    return idx
+
+
 def _meta(root: Node, selector: str) -> Optional[str]:
+    m = _META_SEL_RE.match(selector)
+    if m:
+        return _meta_index(root).get((m.group(1), m.group(2)))
     el = select_first(root, selector)
     if el is None:
         return None
@@ -301,6 +327,15 @@ def extract_canonical(root: Node) -> Optional[str]:
 # ── links / images (metadata.ts:250-402) ─────────────────────────────────
 
 def _absolutize(href: str, base_url: str) -> Optional[str]:
+    if href.startswith(("http://", "https://")):
+        # already absolute: urljoin returns such refs verbatim (no dot
+        # normalization, scheme already lowercase) — skip its parse of
+        # base+ref; keep the urlsplit so malformed hosts still → None
+        try:
+            urlsplit(href)
+        except ValueError:
+            return None
+        return href
     try:
         absolute = urljoin(base_url, href)
         parts = urlsplit(absolute)

@@ -87,6 +87,76 @@ def stream_extraction(spark: SparkSession, input_dir: str, out_dir: str,
     return writer.start()
 
 
+def stream_change_tracking(spark: SparkSession, input_dir: str,
+                           out_dir: str, checkpoint_dir: str,
+                           options=None, available_now: bool = True):
+    """Stateful change tracking: per-url fingerprint state across
+    micro-batches via ``applyInPandasWithState`` — the streaming face
+    of watch.ts polling (batch analog: operators/extract
+    .change_detection).  First sighting of a url emits ``added``;
+    re-extractions emit ``changed``/``unchanged`` against the
+    fingerprint held in GroupState, which the stream checkpoint
+    persists — a restart resumes with every url's last-seen
+    fingerprint intact.
+
+    State size is one 64-hex fingerprint per url — at 10^12 urls this
+    wants RocksDB state store + watermark-based state TTL; here the
+    in-memory HDFS-backed store suffices.  Labels match
+    change_detection (``removed`` cannot occur in an append-only
+    stream: absence of new data for a url is not an event)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import (
+        GroupState, GroupStateTimeout,
+    )
+
+    pages = read_pages_stream(spark, input_dir)
+    envelopes = extracted_stream(pages, options).select(
+        "url", "warc_ts", "fingerprint")
+
+    def track(key, pdfs, state: GroupState):
+        url = key[0]
+        prev = state.get[0] if state.exists else None
+        rows = []
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if len(batch):
+            # replay in event-time order so the state converges to the
+            # newest fingerprint even if one micro-batch holds several
+            batch = batch.sort_values("warc_ts")
+            for _, row in batch.iterrows():
+                fp = row["fingerprint"]
+                if prev is None:
+                    change = "added"
+                elif fp != prev:
+                    change = "changed"
+                else:
+                    change = "unchanged"
+                rows.append((url, change, prev, fp, row["warc_ts"]))
+                prev = fp
+            state.update((prev,))
+        yield pd.DataFrame(rows, columns=[
+            "url", "change", "fingerprint_old", "fingerprint_new",
+            "warc_ts"])
+
+    changes = envelopes.groupBy("url").applyInPandasWithState(
+        track,
+        outputStructType=("url string, change string, "
+                          "fingerprint_old string, fingerprint_new string, "
+                          "warc_ts timestamp"),
+        stateStructType="fingerprint string",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    writer = (
+        changes.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_extraction_metrics(spark: SparkSession, input_dir: str,
                               out_dir: str, checkpoint_dir: str,
                               window: str = "1 hour",
