@@ -275,6 +275,17 @@ def _q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_near_duplicates(_docs(spark, sf_dir), min_jaccard=0.3)
 
 
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full dedup decision table: LSH pairs → connected components →
+    (doc_id, cluster_id, keep).  Oracle recomputes components over the
+    exact all-pairs edge set with a recursive CTE — transitivity is
+    what's being checked, not just pair detection."""
+    from webpeel_spark.operators.dedup import dedup_clusters
+
+    return dedup_clusters(_docs(spark, sf_dir), min_jaccard=0.3) \
+        .orderBy("doc_id")
+
+
 def _q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dups at Hamming ≤ 6 — banding now uses 8×8-bit bands
     (pigeonhole-exact for ≤ 7 differing bits), so the output provably
@@ -597,6 +608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_rollup": _q_extract_rollup,
         "extract_chunks": _q_extract_chunks,
         "minhash_near_dups": _q_minhash_near_dups,
+        "dedup_clusters": _q_dedup_clusters,
         "simhash_near_dups": _q_simhash_near_dups,
         "ngram_jaccard": _q_ngram_jaccard,
         "ann_lsh_topk": _q_ann_lsh_topk,
@@ -726,6 +738,7 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": _token_counts_oracle(),
         "repetition_signals": _repetition_oracle(),
         "minhash_near_dups": _jaccard_oracle(0.3),
+        "dedup_clusters": _dedup_clusters_oracle(0.3),
         "ngram_jaccard": _jaccard_oracle(0.35, same_col="lang"),
         "simhash_near_dups": _simhash_oracle(6),
         "bm25_relevance": _relevance_oracle(),
@@ -786,6 +799,12 @@ def _jaccard_oracle(min_jaccard: float, same_col: str | None = None) -> str:
     from webpeel_spark.operators.dedup import jaccard_pairs_oracle_sql
 
     return jaccard_pairs_oracle_sql(min_jaccard, same_col=same_col)
+
+
+def _dedup_clusters_oracle(min_jaccard: float) -> str:
+    from webpeel_spark.operators.dedup import dedup_clusters_oracle_sql
+
+    return dedup_clusters_oracle_sql(min_jaccard)
 
 
 def _simhash_oracle(max_hamming: int) -> str:

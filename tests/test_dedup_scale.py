@@ -196,3 +196,28 @@ def test_ivf_topk_recall(spark):
                 for r in ivf_topk(assigned, cents, q, topk=10,
                                   nprobe=1).collect()}
     assert len(probed_1 & set(exact)) >= 9  # same-cluster neighbours
+
+
+def test_dedup_clusters_transitive(spark):
+    """A~B and B~C must cluster {A,B,C} even when A~C alone misses the
+    threshold; representative = min id; singletons keep themselves."""
+    from webpeel_spark.operators.dedup import dedup_clusters
+
+    base = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliett kilo lima mike november oscar papa quebec romeo")
+    w = base.split()
+    texts = {
+        0: " ".join(w),                 # A
+        1: " ".join(w[:-3] + ["x", "y", "z"]),   # B ~ A
+        2: " ".join(w[3:] + ["x", "y", "z"]),    # C ~ B, farther from A
+        3: "completely unrelated text about cooking rice and beans ok",
+    }
+    df = spark.createDataFrame(list(texts.items()),
+                               "doc_id long, text string")
+    rows = {r["doc_id"]: r
+            for r in dedup_clusters(df, min_jaccard=0.3).collect()}
+    assert rows[0]["cluster_id"] == rows[1]["cluster_id"] \
+        == rows[2]["cluster_id"] == 0
+    assert rows[0]["keep"] is True
+    assert rows[1]["keep"] is False and rows[2]["keep"] is False
+    assert rows[3]["cluster_id"] == 3 and rows[3]["keep"] is True

@@ -382,6 +382,105 @@ def ngram_jaccard_pairs(
     )
 
 
+def connected_components(edges: DataFrame, vertices: DataFrame,
+                         id_col: str = "id",
+                         max_iterations: int = 50) -> DataFrame:
+    """Min-label connected components over an undirected edge list —
+    (id, cluster) where cluster = smallest member id.
+
+    Iterative label propagation: each round every vertex takes the min
+    of its own label and its neighbours' labels (one join + one
+    hash-agg per round), stopping when a round changes nothing.
+    Rounds needed = graph diameter; near-duplicate clusters are
+    near-cliques (diameter ≤ ~3), so this converges in 2-4 rounds at
+    any corpus size — the standard large-scale CC recipe.  Each round
+    shuffles only (id, label) pairs; the loop is driver-side control
+    flow over lazily-built plans with a tiny count() as the
+    convergence check.
+    """
+    sym = edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")) \
+        .unionByName(edges.select(F.col("id_b").alias("src"),
+                                  F.col("id_a").alias("dst")))
+    labels = vertices.select(F.col(id_col).alias("id"),
+                             F.col(id_col).alias("label")).persist()
+    for _ in range(max_iterations):
+        neighbor_min = (
+            sym.join(labels, sym.src == labels.id)
+            .groupBy("dst").agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.dst, "left")
+            .select(labels.id,
+                    F.least("label", F.coalesce("nlabel", "label"))
+                    .alias("label"))
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n").join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label")).count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("id", F.col("label").alias("cluster"))
+
+
+def dedup_clusters(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   min_jaccard: float = 0.7, **minhash_kwargs) -> DataFrame:
+    """Full dedup decision table: near-duplicate pairs (minhash LSH,
+    exact-verified) unioned into clusters via connected components,
+    one representative (min id) kept per cluster —
+    (doc_id, cluster_id, keep).  Transitive: A~B and B~C puts A,B,C in
+    one cluster even when A~C itself misses the threshold (the
+    FineWeb/RefinedWeb dedup semantics)."""
+    pairs = minhash_near_duplicates(df, text_col, id_col,
+                                    min_jaccard=min_jaccard,
+                                    **minhash_kwargs)
+    comps = connected_components(pairs, df.select(id_col), id_col=id_col)
+    return comps.select(
+        F.col("id").alias(id_col),
+        F.col("cluster").alias("cluster_id"),
+        (F.col("id") == F.col("cluster")).alias("keep"),
+    )
+
+
+def dedup_clusters_oracle_sql(min_jaccard: float,
+                              shingle_k: int = 3) -> str:
+    """DuckDB twin of dedup_clusters: the same exact all-pairs Jaccard
+    edge set, components via a recursive reachability CTE (fine at
+    oracle scale; clusters are tiny), cluster = min reachable id."""
+    return f"""
+        WITH RECURSIVE sh AS ({_shingles_sql(shingle_k)}),
+        p AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 len(list_intersect(a.sh, b.sh)) AS i,
+                 len(a.sh) AS na, len(b.sh) AS nb
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        ),
+        edges AS (
+          SELECT id_a, id_b FROM p
+          WHERE round(i * 1.0 / (na + nb - i), 4) >= {min_jaccard}
+        ),
+        sym AS (
+          SELECT id_a AS src, id_b AS dst FROM edges
+          UNION ALL
+          SELECT id_b AS src, id_a AS dst FROM edges
+        ),
+        reach AS (
+          SELECT doc_id AS v, doc_id AS l FROM documents
+          UNION
+          SELECT s.dst AS v, r.l
+          FROM reach r JOIN sym s ON s.src = r.v
+        )
+        SELECT v AS doc_id,
+               min(l) AS cluster_id,
+               v = min(l) AS keep
+        FROM reach GROUP BY v ORDER BY v
+    """
+
+
 # ── DuckDB oracles (exact all-pairs formulations of the LSH operators) ──
 
 def _shingles_sql(shingle_k: int = 3, with_cols: str = "") -> str:
