@@ -244,7 +244,7 @@ def _q_change_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two extraction snapshots diffed by fingerprint (watch.ts /
     change-tracking.ts analog): ~10% urls removed, ~10% added, a third
     of the overlap content-modified."""
-    from webpeel_spark.operators.extract import change_detection, extract_pages
+    from webpeel_spark.operators.extract import extract_pages
 
     pages = _pages_df(spark, 160).select("url", "html")
     b = F.pmod(F.xxhash64("url"), F.lit(10))
@@ -262,7 +262,12 @@ def _q_change_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     old_ext = extract_pages(old_pages, num_partitions=8)
     new_ext = extract_pages(new_pages, num_partitions=8)
-    return change_detection(old_ext, new_ext).select("url", "change").orderBy("url")
+    # r2: diff-enriched variant — changed rows carry LCS line-diff
+    # addition/deletion counts (watch-mode enrichment)
+    from webpeel_spark.operators.extract import change_detection_with_diff
+
+    return change_detection_with_diff(old_ext, new_ext).select(
+        "url", "change", "additions", "deletions").orderBy("url")
 
 
 def _q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:

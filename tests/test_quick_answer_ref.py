@@ -386,3 +386,205 @@ def test_does_question_finds_capability():
     c = _combined(quick_answer("Does Python support multithreading?",
                                content)).lower()
     assert "threading" in c
+
+
+# ── robustness improvements ──────────────────────────────────────────────
+
+def test_passage_scores_capped_at_one():
+    content = " ".join(
+        f"Sentence {i}: The pricing plan includes {i * 100} requests per "
+        f"month at ${i * 10}." for i in range(20))
+    r = quick_answer("What is the pricing?", content)
+    assert all(p["score"] <= 1 for p in r["passages"])
+
+
+def test_list_format_answers():
+    content = """# Features
+Key features of the product:
+- Fast web scraping with intelligent caching
+- Automatic JavaScript rendering for SPAs
+- Built-in rate limiting and retry logic
+- Clean markdown output with metadata
+The product is available on npm."""
+    c = _combined(quick_answer("What are the key features?", content)).lower()
+    assert any(s in c for s in ("scraping", "rendering", "markdown",
+                                "caching"))
+
+
+def test_long_sentences_not_dropped():
+    long_sentence = ("The BM25 algorithm "
+                     + "computes relevance scores by analyzing term "
+                       "frequency, inverse document frequency, and document "
+                       "length normalization parameters, " * 4
+                     + "which makes it highly effective for information "
+                       "retrieval tasks.")
+    assert len(long_sentence) > 500
+    content = (f"Short intro sentence here. {long_sentence} "
+               f"Another short sentence follows.")
+    r = quick_answer("How does BM25 compute relevance?", content)
+    assert len(r["answer"]) > 100
+
+
+def test_ui_chrome_does_not_block_answer():
+    content = ("Sign in to your account to continue.\n"
+               "Skip to main content. Navigation menu.\n"
+               "The Pro plan costs $29 per month with unlimited API access.")
+    c = _combined(quick_answer("What is the pricing?", content)).lower()
+    assert "29" in c or "pro" in c or "plan" in c
+
+
+# ── stemming improves recall ─────────────────────────────────────────────
+
+def test_limitations_matches_limited():
+    content = ("The system has several constraints.\n"
+               "The processing capacity is limited to 1000 requests per "
+               "second.\nIt supports multiple languages.\n"
+               "The API is well-documented.")
+    c = _combined(quick_answer("What are the limitations?", content)).lower()
+    assert any(s in c for s in ("limited", "constraints", "capacity"))
+
+
+def test_running_matches_runs():
+    content = ("The project was started in 2020.\n"
+               "Sarah Chen runs the engineering team and oversees all "
+               "development.\nThe codebase uses TypeScript.\n"
+               "Deployments happen weekly.")
+    c = _combined(quick_answer("Who is running the project?",
+                               content)).lower()
+    assert any(s in c for s in ("sarah", "chen", "runs", "engineering"))
+
+
+def test_configure_matches_configured():
+    content = ("The API requires authentication.\n"
+               "Authentication can be configured by setting the API_KEY "
+               "environment variable.\nWe use JWT tokens for session "
+               "management.\nRate limiting is enabled by default.")
+    c = _combined(quick_answer("How to configure authentication?",
+                               content)).lower()
+    assert any(s in c for s in ("configured", "api_key", "authentication"))
+
+
+# ── synonym expansion ────────────────────────────────────────────────────
+
+def test_cost_matches_pricing():
+    content = ("WebPeel offers three pricing tiers.\n"
+               "The basic tier is free for up to 500 requests per week.\n"
+               "Advanced features require a subscription.\n"
+               "Enterprise clients get custom terms.")
+    c = _combined(quick_answer("What does it cost?", content)).lower()
+    assert any(s in c for s in ("pricing", "subscription", "free", "tier"))
+
+
+def test_set_up_matches_installing():
+    content = ("The project requires Node.js 18+.\n"
+               "Install the package by running npm install webpeel in your "
+               "terminal.\nThe documentation is available online.\n"
+               "TypeScript definitions are included.")
+    c = _combined(quick_answer("How to set up the project?", content)).lower()
+    assert any(s in c for s in ("install", "npm", "package"))
+
+
+def test_advantages_matches_benefits():
+    content = ("WebPeel has several benefits over traditional scrapers.\n"
+               "The main benefit is automatic JavaScript rendering.\n"
+               "It also provides clean markdown output.\n"
+               "Error handling is built in.")
+    c = _combined(quick_answer("What are the advantages?", content)).lower()
+    assert "benefit" in c
+
+
+# ── multi-sentence answers ───────────────────────────────────────────────
+
+def test_answer_spanning_two_sentences():
+    content = ("The company has many products.\n"
+               "The API was launched in January 2024. It initially "
+               "supported only basic fetching but quickly expanded to "
+               "include rendering and search.\n"
+               "Customer satisfaction is high.\nThe team works remotely.")
+    r = quick_answer("When was the API launched and what did it support?",
+                     content)
+    combined = (r["answer"] + " "
+                + " ".join(p["context"] for p in r["passages"])).lower()
+    assert "january 2024" in combined
+    assert any(s in combined for s in ("fetching", "rendering", "search"))
+
+
+# ── answer extraction ────────────────────────────────────────────────────
+
+def test_who_extracts_person_name():
+    content = ("Python is a high-level programming language.\n"
+               "Python was created by Guido van Rossum and first released "
+               "in 1991.\nIt emphasizes code readability.\n"
+               "Python supports multiple programming paradigms.")
+    r = quick_answer("Who created Python?", content)
+    assert "Guido van Rossum" in r["answer"]
+
+
+def test_when_extracts_date():
+    content = ("JavaScript is used for web development.\n"
+               "JavaScript was created in 1995 by Brendan Eich at "
+               "Netscape.\nIt has become one of the most popular "
+               "programming languages.\nModern JavaScript includes many "
+               "new features.")
+    r = quick_answer("When was JavaScript created?", content)
+    assert "1995" in r["answer"]
+
+
+# ── real-world Wikipedia content ─────────────────────────────────────────
+
+PYTHON_WIKI = """Python is a high-level, general-purpose programming language. Its design philosophy emphasizes code readability with the use of significant indentation. Python is dynamically typed and garbage-collected. It supports multiple programming paradigms, including structured, object-oriented and functional programming.
+Guido van Rossum began working on Python in the late 1980s as a successor to the ABC programming language and first released it in 1991 as Python 0.9.0. Python 2.0 was released in 2000. Python 3.0, released in 2008, was a major revision not completely backward-compatible with earlier versions. Python consistently ranks as one of the most popular programming languages.
+Python was conceived in the late 1980s by Guido van Rossum at Centrum Wiskunde & Informatica (CWI) in the Netherlands as a successor to the ABC programming language, which was inspired by SETL, capable of exception handling and interfacing with the Amoeba operating system. Its implementation began in December 1989. Van Rossum shouldered sole responsibility for the project, as the lead developer, until 12 July 2018, when he announced his permanent vacation from his responsibilities as Python's chief architect.
+Python's large standard library provides tools suited to many tasks and is commonly cited as one of its greatest strengths. For Internet-facing applications, many standard formats and protocols such as MIME and HTTP are supported. It includes modules for creating graphical user interfaces, connecting to relational databases, generating pseudorandom numbers, arithmetic with arbitrary-precision decimals, manipulating regular expressions, and unit testing.
+The main limitations of Python include its relatively slow execution speed compared to compiled languages like C++ or Java, the Global Interpreter Lock (GIL) which limits true multi-threading, high memory consumption for certain operations, and challenges in mobile and browser-based development."""
+
+
+def _combined_full(r):
+    return (r["answer"] + " "
+            + " ".join(p["text"] for p in r["passages"]) + " "
+            + " ".join(p["context"] for p in r["passages"])).lower()
+
+
+def test_wiki_who_created_python():
+    r = quick_answer("Who created Python?", PYTHON_WIKI)
+    assert "guido van rossum" in _combined_full(r)
+
+
+def test_wiki_when_first_released():
+    c = _combined(quick_answer("When was Python first released?",
+                               PYTHON_WIKI))
+    assert "1991" in c
+
+
+def test_wiki_where_created():
+    c = _combined_full(quick_answer("Where was Python created?",
+                                    PYTHON_WIKI))
+    assert any(s in c for s in ("netherlands", "cwi", "centrum"))
+
+
+def test_wiki_why_created():
+    c = _combined_full(quick_answer("Why was Python created?", PYTHON_WIKI))
+    assert "successor" in c or "abc" in c
+
+
+def test_wiki_limitations():
+    c = _combined(quick_answer("What are the limitations of Python?",
+                               PYTHON_WIKI)).lower()
+    assert any(s in c for s in ("slow", "gil", "memory", "limit"))
+
+
+def test_wiki_functional_programming():
+    c = _combined(quick_answer("Does Python support functional programming?",
+                               PYTHON_WIKI)).lower()
+    assert "functional" in c
+
+
+def test_wiki_built_via_synonym():
+    c = _combined_full(quick_answer("Who built Python?", PYTHON_WIKI))
+    assert "guido" in c or "van rossum" in c
+
+
+def test_wiki_memory_handling():
+    c = _combined(quick_answer("How does Python handle memory?",
+                               PYTHON_WIKI)).lower()
+    assert "garbage-collected" in c or "memory" in c

@@ -230,6 +230,54 @@ def change_detection(old: DataFrame, new: DataFrame) -> DataFrame:
     )
 
 
+def change_detection_with_diff(old: DataFrame, new: DataFrame) -> DataFrame:
+    """change_detection plus line-diff statistics for changed urls
+    (the watch-mode enrichment, change-tracking.ts:93-176): additions /
+    deletions from the LCS line diff of the two extracted contents.
+
+    Plan shape: the fingerprint classify join carries both content
+    columns; the O(lines²) LCS runs in an Arrow-batched UDF ONLY on
+    rows classified 'changed' (added/removed/unchanged rows keep null
+    stats without invoking Python)."""
+    import pandas as pd
+
+    o = old.select(F.col("url"), F.col("fingerprint").alias("__fp_old"),
+                   F.col("content").alias("__c_old"))
+    n = new.select(F.col("url"), F.col("fingerprint").alias("__fp_new"),
+                   F.col("content").alias("__c_new"))
+    joined = o.join(n, "url", "full_outer")
+    status = (
+        F.when(F.col("__fp_old").isNull(), F.lit("added"))
+        .when(F.col("__fp_new").isNull(), F.lit("removed"))
+        .when(F.col("__fp_old") != F.col("__fp_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    classified = joined.withColumn("change", status)
+
+    def diff_batches(batches):
+        from webpeel_spark.pure.diffs import compute_diff
+
+        for pdf in batches:
+            rows = []
+            for url, c_old, c_new in zip(pdf["url"], pdf["__c_old"],
+                                         pdf["__c_new"]):
+                d = compute_diff(c_old or "", c_new or "")
+                rows.append((url, d.additions, d.deletions))
+            yield pd.DataFrame(rows,
+                               columns=["url", "additions", "deletions"])
+
+    changed = classified.filter(F.col("change") == "changed")
+    diffs = changed.select("url", "__c_old", "__c_new").mapInPandas(
+        diff_batches, "url string, additions int, deletions int")
+    return (
+        classified.select(
+            "url", "change",
+            F.col("__fp_old").alias("fingerprint_old"),
+            F.col("__fp_new").alias("fingerprint_new"))
+        .join(diffs, "url", "left")
+    )
+
+
 def extraction_metrics(result: DataFrame) -> DataFrame:
     """Job-level rollup (cleaning-stats analog, markdown.ts:59-157):
     hash-agg with partial+final combine — all built-in Catalyst."""
