@@ -150,3 +150,43 @@ class TestSelectors:
     def test_document_order(self):
         tags = [e.tag for e in select(self.root, "nav, .sidebar, article")]
         assert tags == ["nav", "div", "article"]
+
+
+class TestSelectorExtensionsR2:
+    """nth-child and sibling combinators (added for the bundled site
+    schemas, schema-extraction.ts selectors)."""
+
+    def test_nth_child(self):
+        from webpeel_spark.dom import parse_html, select
+
+        root = parse_html("<div><span>a</span><span>b</span>"
+                          "<span>c</span></div>")
+        got = [e.text() for e in select(root, "div span:nth-child(2)")]
+        assert got == ["b"]
+        assert select(root, "div span:nth-child(5)") == []
+
+    def test_general_sibling(self):
+        from webpeel_spark.dom import parse_html, select
+
+        root = parse_html('<div><i id="x"></i><span>skip</span>'
+                          "<b>hit</b></div>")
+        got = [e.tag for e in select(root, "#x ~ b")]
+        assert got == ["b"]
+        assert select(root, "b ~ i") == []  # i precedes b
+
+    def test_adjacent_sibling(self):
+        from webpeel_spark.dom import parse_html, select
+
+        root = parse_html("<div><i>1</i><b>2</b><b>3</b></div>")
+        got = [e.text() for e in select(root, "i + b")]
+        assert got == ["2"]
+        got2 = [e.text() for e in select(root, "b + b")]
+        assert got2 == ["3"]
+
+    def test_nested_sibling_then_descendant(self):
+        from webpeel_spark.dom import parse_html, select
+
+        root = parse_html('<div><p class="a">x</p><p class="b">'
+                          "<span>deep</span></p></div>")
+        got = [e.text() for e in select(root, ".a ~ .b span")]
+        assert got == ["deep"]

@@ -21,14 +21,14 @@ from .core import Node
 
 _TOKEN_RE = re.compile(
     r"""
-    (?P<ws>\s*>\s*|\s+)               # combinator
+    (?P<ws>\s*[>~+]\s*|\s+)           # combinator (>, ~, +, descendant)
   | (?P<tag>[a-zA-Z][\w-]*|\*)
   | \.(?P<cls>[\w-]+)
   | \#(?P<id>[\w-]+)
   | \[(?P<attr>[\w-]+)
         (?:(?P<op>[*^$|~]?=)
         (?P<q>["']?)(?P<val>[^\]"']*)(?P=q))?\]
-  | :(?P<pseudo>not|empty|first-child|last-child)
+  | :(?P<pseudo>not|empty|first-child|last-child|nth-child)
         (?:\((?P<parg>[^)]*)\))?
     """,
     re.VERBOSE,
@@ -106,6 +106,18 @@ class Simple:
                 sibs = [c for c in p.children if isinstance(c, Node)]
                 if not sibs or sibs[-1] is not node:
                     return False
+            elif pname == "nth-child":
+                p = node.parent
+                if p is None or parg is None:
+                    return False
+                sibs = [c for c in p.children if isinstance(c, Node)]
+                try:
+                    want_idx = int(parg)  # numeric form only (1-based)
+                except ValueError:
+                    return False
+                if want_idx < 1 or len(sibs) < want_idx \
+                        or sibs[want_idx - 1] is not node:
+                    return False
         return True
 
 
@@ -135,7 +147,10 @@ def _parse_selector_list(selector: str):
                     chain.append((cur_comb, cur))
                     cur = Simple()
                     has_any = False
-                    cur_comb = ">" if ">" in m.group("ws") else " "
+                    ws = m.group("ws")
+                    cur_comb = (">" if ">" in ws else
+                                "~" if "~" in ws else
+                                "+" if "+" in ws else " ")
                 continue
             has_any = True
             if m.group("tag"):
@@ -153,6 +168,9 @@ def _parse_selector_list(selector: str):
                 parg = m.group("parg")
                 if pname == "not" and parg:
                     cur.pseudos.append(("not", _parse_compound_text(parg)))
+                elif pname == "nth-child":
+                    cur.pseudos.append(("nth-child",
+                                        (parg or "").strip()))
                 else:
                     cur.pseudos.append((pname, None))
         if has_any:
@@ -200,6 +218,33 @@ def _chain_matches(chain, node: Node) -> bool:
             if parent is None or not want.matches(parent):
                 return False
             cur = parent
+            idx -= 1
+        elif comb_right in ("~", "+"):
+            # sibling combinators: the left simple matches a PRECEDING
+            # element sibling (any for ~, immediate for +)
+            parent = cur.parent
+            if parent is None:
+                return False
+            sibs = [c for c in parent.children if isinstance(c, Node)]
+            pos = next((i for i, s in enumerate(sibs) if s is cur), -1)
+            if pos <= 0:
+                return False
+            if comb_right == "+":
+                if not want.matches(sibs[pos - 1]):
+                    return False
+                cur = sibs[pos - 1]
+            else:
+                # nearest matching preceding sibling (keeps the most
+                # elements before it for any further sibling steps —
+                # same greedy discipline the descendant step uses)
+                found = None
+                for s in reversed(sibs[:pos]):
+                    if want.matches(s):
+                        found = s
+                        break
+                if found is None:
+                    return False
+                cur = found
             idx -= 1
         else:  # descendant: any ancestor
             parent = cur.parent
