@@ -139,6 +139,97 @@ def test_simhash_bands_cover_max_hamming(spark):
     assert (0, 1) in found
 
 
+def test_simhash_degenerate_corpus_collapses(spark):
+    """Byte-identical boilerplate mass (the round-2 scale-killer): the
+    md5 collapse pre-pass must leave the banding stage exactly ONE
+    representative, so no bucket ever exceeds the cap and the full
+    Hamming-0 pair set is still produced by the group re-expansion."""
+    from pyspark.sql import functions as F
+
+    from webpeel_spark.operators.dedup import simhash_near_duplicates
+
+    n = 2_000
+    df = (
+        spark.range(n)
+        .select(F.col("id").alias("doc_id"), F.lit(BOILERPLATE).alias("text"))
+    )
+    metrics = {}
+    pairs = simhash_near_duplicates(df, max_hamming=6, metrics=metrics,
+                                    bucket_cap=100)
+    assert metrics["dropped_buckets"] == 0
+    assert pairs.count() == n * (n - 1) // 2
+    one = pairs.filter((F.col("id_a") == 0) & (F.col("id_b") == 1)).first()
+    assert one["hamming"] == 0
+
+
+def test_simhash_band_plan_shapes():
+    """Manku band-combination parameters: Hamming≤6 → C(8,2)=28 tables
+    on 16-bit keys; lower budgets widen keys; h≥8 falls back to more,
+    narrower bands (still pigeonhole-exact)."""
+    from webpeel_spark.operators.dedup import _simhash_band_plan
+
+    width, combos = _simhash_band_plan(6)
+    assert (width, len(combos)) == (8, 28)
+    assert all(len(c) == 2 for c in combos)
+
+    width, combos = _simhash_band_plan(4)
+    assert (width, len(combos)) == (8, 70)      # r=4 → 32-bit keys
+    assert all(len(c) == 4 for c in combos)
+
+    width, combos = _simhash_band_plan(16)
+    assert width == 2 and len(combos) == 32     # single-band fallback
+
+
+def test_simhash_matches_bruteforce_mixed_corpus(spark):
+    """Mixed corpus (exact dups + perturbations + distinct): the
+    collapsed, band-pair plan returns exactly the brute-force
+    Hamming-≤6 pair set."""
+    from collections import Counter
+    from hashlib import md5 as _md5
+    from itertools import combinations
+
+    import numpy as np
+
+    from webpeel_spark.operators.dedup import simhash_near_duplicates
+
+    base = ("spark reads the pages table and extracts main content "
+            "with a vectorized arrow udf stage per partition today")
+    texts = {
+        0: base,
+        1: base,                          # exact dup
+        2: base + " extra",               # small perturbation
+        3: "completely different document about cooking rice and beans "
+           "with a pinch of salt and some olive oil in a big pan",
+        4: base,                          # exact dup
+        5: base.replace("table", "tables"),
+    }
+
+    def sig(t):
+        toks = t.lower().split()
+        votes = np.zeros(64, dtype=np.int64)
+        for tok, c in Counter(toks).items():
+            h = int.from_bytes(_md5(tok.encode()).digest()[:8], "little")
+            for k in range(64):
+                votes[k] += c if (h >> k) & 1 else -c
+        out = np.uint64(0)
+        for k in range(64):
+            if votes[k] > 0:
+                out |= np.uint64(1) << np.uint64(k)
+        return int(out)
+
+    expect = {}
+    for a, b in combinations(sorted(texts), 2):
+        h = bin(sig(texts[a]) ^ sig(texts[b])).count("1")
+        if h <= 6:
+            expect[(a, b)] = h
+
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in simhash_near_duplicates(df, max_hamming=6).collect()}
+    assert got == expect
+    assert (0, 1) in got and got[(0, 1)] == 0
+
+
 def test_embedding_near_dups_banded_tables(spark):
     """Planted scaled duplicates are found with probability 1 (signs
     invariant under positive scaling), and bits derives from corpus

@@ -164,6 +164,67 @@ def capped_bucket_pairs(keyed: DataFrame, key_cols: List[str],
     )
 
 
+def _collapse_exact_groups(df: DataFrame, text_col: str, id_col: str):
+    """Exact-duplicate collapse pre-pass shared by the LSH operators.
+
+    One md5 hash-agg keeps one representative per byte-identical group,
+    so the heavy LSH stages never see the boilerplate mass-duplicates
+    (cookie walls, 404 templates) that create degenerate buckets.
+    Returns (docs, groups): docs = (id, __text) one representative per
+    group; groups = persisted (id, __g) membership map.
+    """
+    hashed = df.select(F.col(id_col).alias("id"),
+                       F.col(text_col).alias("__text")) \
+        .withColumn("__g", F.md5("__text"))
+    # the collapse groupBy IS the fan-out: its shuffle spreads the
+    # (one representative text per group) output over
+    # spark.sql.shuffle.partitions, so an explicit repartition
+    # ahead of it would just shuffle every text twice
+    groups = hashed.select("id", "__g").persist()
+    docs = (
+        hashed.groupBy("__g")
+        .agg(F.min_by(F.struct("id", "__text"), F.col("id")).alias("__r"))
+        .select(F.col("__r.id").alias("id"),
+                F.col("__r.__text").alias("__text"))
+    )
+    return docs, groups
+
+
+def _expand_group_pairs(rep_pairs: DataFrame, groups: DataFrame,
+                        value_col: str, within_value) -> DataFrame:
+    """Re-expand exact-dup groups into the pair-level output.
+
+    Within-group pairs get ``within_value`` (J=1.0 / Hamming=0 by
+    definition); cross-group pairs inherit the representative pair's
+    value (identical texts ⇒ identical signatures, so this is exact).
+    Pair-level output is inherently quadratic in group size; at 10^12
+    rows keep the (id, group) map and rep_pairs instead (this expansion
+    exists so the operator's OUTPUT is the same set a naive engine
+    would produce, which is what the exact oracles check).
+    """
+    within = (
+        groups.alias("ga").join(groups.alias("gb"), "__g")
+        .filter(F.col("ga.id") < F.col("gb.id"))
+        .select(F.col("ga.id").alias("id_a"), F.col("gb.id").alias("id_b"),
+                F.lit(within_value).alias(value_col))
+    )
+    rep_g = groups.withColumnRenamed("id", "rep_id")
+    cross = (
+        rep_pairs
+        .join(rep_g.select(F.col("rep_id").alias("id_a"),
+                           F.col("__g").alias("g_a")), "id_a")
+        .join(rep_g.select(F.col("rep_id").alias("id_b"),
+                           F.col("__g").alias("g_b")), "id_b")
+        .join(groups.select(F.col("__g").alias("g_a"),
+                            F.col("id").alias("m_a")), "g_a")
+        .join(groups.select(F.col("__g").alias("g_b"),
+                            F.col("id").alias("m_b")), "g_b")
+        .select(F.least("m_a", "m_b").alias("id_a"),
+                F.greatest("m_a", "m_b").alias("id_b"), value_col)
+    )
+    return cross.unionByName(within)
+
+
 def minhash_near_duplicates(
     df: DataFrame,
     text_col: str = "text",
@@ -202,22 +263,11 @@ def minhash_near_duplicates(
 
     rows_per_band = num_hashes // bands
 
-    hashed = df.select(F.col(id_col).alias("id"),
-                       F.col(text_col).alias("__text")) \
-        .withColumn("__g", F.md5("__text"))
     if collapse_exact:
-        # the collapse groupBy IS the fan-out: its shuffle spreads the
-        # (one representative text per group) output over
-        # spark.sql.shuffle.partitions, so an explicit repartition
-        # ahead of it would just shuffle every text twice
-        groups = hashed.select("id", "__g").persist()
-        docs = (
-            hashed.groupBy("__g")
-            .agg(F.min_by(F.struct("id", "__text"), F.col("id")).alias("__r"))
-            .select(F.col("__r.id").alias("id"), F.col("__r.__text").alias("__text"))
-        )
+        docs, groups = _collapse_exact_groups(df, text_col, id_col)
     else:
-        docs = fan_out(hashed.select("id", "__text"))
+        docs = fan_out(df.select(F.col(id_col).alias("id"),
+                                 F.col(text_col).alias("__text")))
 
     sigs = (
         docs.select(
@@ -272,33 +322,7 @@ def minhash_near_duplicates(
     )
     if not collapse_exact:
         return rep_pairs
-
-    # Re-expand exact-dup groups.  Pair-level output is inherently
-    # quadratic in group size; at 10^12 rows keep the (id, group) map
-    # and rep_pairs instead (this expansion exists so the operator's
-    # OUTPUT is the same set a naive engine would produce, which is
-    # what the exact oracle checks).
-    within = (
-        groups.alias("ga").join(groups.alias("gb"), "__g")
-        .filter(F.col("ga.id") < F.col("gb.id"))
-        .select(F.col("ga.id").alias("id_a"), F.col("gb.id").alias("id_b"),
-                F.lit(1.0).alias("jaccard"))
-    )
-    rep_g = groups.withColumnRenamed("id", "rep_id")
-    cross = (
-        rep_pairs
-        .join(rep_g.select(F.col("rep_id").alias("id_a"),
-                           F.col("__g").alias("g_a")), "id_a")
-        .join(rep_g.select(F.col("rep_id").alias("id_b"),
-                           F.col("__g").alias("g_b")), "id_b")
-        .join(groups.select(F.col("__g").alias("g_a"),
-                            F.col("id").alias("m_a")), "g_a")
-        .join(groups.select(F.col("__g").alias("g_b"),
-                            F.col("id").alias("m_b")), "g_b")
-        .select(F.least("m_a", "m_b").alias("id_a"),
-                F.greatest("m_a", "m_b").alias("id_b"), "jaccard")
-    )
-    return cross.unionByName(within)
+    return _expand_group_pairs(rep_pairs, groups, "jaccard", 1.0)
 
 
 def ngram_jaccard_pairs(
@@ -646,35 +670,89 @@ def simhash_signatures(df: DataFrame, text_col: str = "text",
         F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("simhash"))
 
 
+def _simhash_band_plan(max_hamming: int, max_tables: int = 128,
+                       max_r: int = 4):
+    """Manku-style band-combination plan for exact Hamming-≤h recall.
+
+    Split the 64 bits into ``n_bands`` equal bands.  A pair at Hamming
+    ≤ h differs in at most h bands, so ≥ n_bands − h bands are intact
+    (pigeonhole); any pair therefore shares the exact key of at least
+    one r-subset of bands for every r ≤ n_bands − h.  Keying tables on
+    r-subsets instead of single bands widens the key space from
+    2^width to 2^(r·width) — for h=6 that is C(8,2)=28 tables with
+    16-bit keys instead of 8 tables with 8-bit keys, cutting worst-case
+    candidate volume ~256× while staying lossless (Manku, Jain &
+    Sarma, "Detecting Near-Duplicates for Web Crawling", WWW'07 §3).
+
+    Returns (width, combos): combos is the list of band-index tuples;
+    r is chosen as the largest value with r ≤ n_bands − h,
+    C(n_bands, r) ≤ max_tables and r ≤ max_r.
+    """
+    from itertools import combinations
+    from math import comb
+
+    n_bands = 8
+    while n_bands <= max_hamming and n_bands < 64:
+        n_bands *= 2
+    width = 64 // n_bands
+    r = 1
+    while (r + 1 <= max_r and r + 1 <= n_bands - max_hamming
+           and comb(n_bands, r + 1) <= max_tables):
+        r += 1
+    return width, list(combinations(range(n_bands), r))
+
+
 def simhash_near_duplicates(df: DataFrame, text_col: str = "text",
                             id_col: str = "doc_id",
                             max_hamming: int = 3,
                             bucket_cap: int = 10000,
-                            metrics: Optional[dict] = None) -> DataFrame:
+                            metrics: Optional[dict] = None,
+                            collapse_exact: bool = True) -> DataFrame:
     """Near-dup pairs by SimHash banding, then exact popcount verify.
 
-    The 64 bits are split into the smallest power-of-two band count
-    n > max_hamming (pigeonhole: ≤ max_hamming differing bits across
-    n bands leaves ≥ 1 band identical), so recall over the banded
-    candidates is exactly 1.0 — the output EQUALS the brute-force
-    all-pairs result, which is what the DuckDB oracle checks.
-    Candidates come from capped_bucket_pairs (count-agg + self-join —
-    no collect_set, degenerate buckets dropped with a metric, see
-    minhash_near_duplicates)."""
-    n_bands = 4
-    while n_bands <= max_hamming and n_bands < 64:
-        n_bands *= 2
-    width = 64 // n_bands
+    Scale shape (the round-2 8×8-bit single-band keys were the last
+    remaining scale-killer — only 256 key values per band meant
+    O(n²/256) candidates and every bucket blowing past ``bucket_cap``
+    at ≥10⁶ docs):
+
+    0. exact-dup collapse — identical texts are Hamming-0 pairs and
+       the single biggest bucket flooders; one md5 hash-agg keeps one
+       representative per group (shared with minhash, re-expanded at
+       the end);
+    1. Manku band-pair tables — see _simhash_band_plan: for
+       Hamming ≤ 6 that is C(8,2)=28 tables keyed on 16 intact bits
+       (65,536-value key space), still pigeonhole-exact, so the output
+       EQUALS the brute-force all-pairs result, which is what the
+       DuckDB oracle checks;
+    2. candidates via capped_bucket_pairs (count-agg + self-join — no
+       collect_set, degenerate buckets dropped with a REPORTED metric);
+    3. exact bit_count verify on the surviving candidates.
+    """
+    width, combos = _simhash_band_plan(max_hamming)
     mask = (1 << width) - 1
 
-    sigs = simhash_signatures(df, text_col, id_col)
+    if collapse_exact:
+        docs, groups = _collapse_exact_groups(df, text_col, id_col)
+        sigs = simhash_signatures(docs, text_col="__text", id_col="id")
+    else:
+        sigs = simhash_signatures(df, text_col, id_col)
+
+    def band_key(i: int) -> Column:
+        return F.shiftrightunsigned(F.col("simhash"), i * width) \
+            .bitwiseAND(F.lit(mask))
+
+    def combo_key(combo) -> Column:
+        # concatenated intact-band bits: key = Σ band_key(b_p) << p·width
+        key = band_key(combo[0])
+        for p, i in enumerate(combo[1:], start=1):
+            key = key.bitwiseOR(F.shiftleft(band_key(i), p * width))
+        return key
+
     keyed = sigs.select(
         "id", "simhash",
         F.explode(F.array(*[
-            F.struct(F.lit(i).alias("band"),
-                     F.shiftrightunsigned(F.col("simhash"), i * width)
-                     .bitwiseAND(F.lit(mask)).alias("key"))
-            for i in range(n_bands)
+            F.struct(F.lit(t).alias("band"), combo_key(c).alias("key"))
+            for t, c in enumerate(combos)
         ])).alias("bb"),
     ).select("id", "simhash", "bb.band", "bb.key").persist()
     # persisted: the self-join below would otherwise run the SimHash
@@ -684,8 +762,11 @@ def simhash_near_duplicates(df: DataFrame, text_col: str = "text",
                                      metrics=metrics,
                                      extra_cols=["simhash"])
     hamming = F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b")))
-    return (
+    rep_pairs = (
         candidates.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+    if not collapse_exact:
+        return rep_pairs
+    return _expand_group_pairs(rep_pairs, groups, "hamming", 0)
