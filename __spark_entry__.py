@@ -292,9 +292,11 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dups at Hamming ≤ 6 — banding now uses 8×8-bit bands
-    (pigeonhole-exact for ≤ 7 differing bits), so the output provably
-    equals the oracle's brute-force all-pairs scan."""
+    """SimHash near-dups at Hamming ≤ 6 — exact-dup collapse pre-pass +
+    Manku band-pair tables (C(8,2)=28 tables on 16 intact bits,
+    pigeonhole-exact for ≤ 6 differing bits), so the output provably
+    equals the oracle's brute-force all-pairs scan while the candidate
+    key space is 65,536-valued instead of r2's 256."""
     from webpeel_spark.operators.dedup import simhash_near_duplicates
 
     return simhash_near_duplicates(_docs(spark, sf_dir), max_hamming=6)
@@ -365,6 +367,67 @@ def _q_extract_listings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return extract_listings_pages(_pages_df(spark).select("url", "html"),
                                   num_partitions=8)
+
+
+def _q_auto_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic structured extraction (auto-extract.ts port): page-type
+    detection + typed field extraction over a corpus that includes
+    pricing / contact / api-docs / SPA-shell pages (auto_fraction
+    appends them; the base corpus supplies articles, products and
+    unknowns)."""
+    from webpeel_spark.operators.extract import auto_extract_pages
+    from webpeel_spark.sources.corpus import generate_rows
+
+    rows = generate_rows(160, seed=42, listing_fraction=0.05,
+                         auto_fraction=0.15)
+    pages = spark.createDataFrame(
+        [(r["url"], r["html"]) for r in rows], "url string, html binary")
+    return auto_extract_pages(pages, num_partitions=8).orderBy("url")
+
+
+def _q_structured_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-driven zero-key field extraction (structured-extract.ts
+    heuristic path) applied to the flagship extraction's markdown:
+    one generic schema (title / author / published_date / price /
+    year), one row per page with typed values + confidence."""
+    import pandas as pd
+
+    from webpeel_spark.operators.extract import extract_pages
+
+    out = extract_pages(_pages_df(spark, 160).select("url", "html"),
+                        num_partitions=8).select(
+        "url", F.col("content").alias("markdown"))
+
+    schema = ("url string, title string, author string, "
+              "published_date string, price string, year double, "
+              "confidence double")
+    field_schema = {
+        "type": "object",
+        "properties": {"title": {"type": "string"},
+                       "author": {"type": "string"},
+                       "published_date": {"type": "string"},
+                       "price": {"type": "string"},
+                       "year": {"type": "number"}},
+    }
+
+    def batches(it):
+        from webpeel_spark.pure.structured_extract import extract_structured
+
+        for pdf in it:
+            rows = []
+            for url, md in zip(pdf["url"], pdf["markdown"]):
+                r = extract_structured(md or "", field_schema)
+                d = r["data"]
+                year = d.get("year")
+                rows.append((url, d.get("title"), d.get("author"),
+                             d.get("published_date"), d.get("price"),
+                             float(year) if year is not None else None,
+                             float(r["confidence"])))
+            yield pd.DataFrame(rows, columns=[
+                "url", "title", "author", "published_date", "price",
+                "year", "confidence"])
+
+    return out.mapInPandas(batches, schema).orderBy("url")
 
 
 def _q_budget_distill(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -620,6 +683,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _q_ann_ivf_topk,
         "embedding_near_dups": _q_embedding_near_dups,
         "extract_listings": _q_extract_listings,
+        "auto_extract": _q_auto_extract,
+        "structured_fields": _q_structured_fields,
         "extract_images": _q_extract_images,
         "change_tracking": _q_change_tracking,
         "budget_distill": _q_budget_distill,

@@ -165,6 +165,72 @@ def extract_listings_pages(df: DataFrame,
     return pruned.mapInPandas(batches, LISTING_SCHEMA)
 
 
+AUTO_EXTRACT_SCHEMA = StructType([
+    StructField("url", StringType(), False),
+    StructField("page_type", StringType(), False),
+    StructField("n_items", IntegerType(), False),
+    StructField("headline", StringType(), True),
+    StructField("is_spa", BooleanType(), False),
+    StructField("payload", StringType(), False),
+])
+
+_AUTO_COUNT_KEY = {"pricing": "plans", "products": "items",
+                   "contact": "emails", "article": "sections",
+                   "api_docs": "endpoints"}
+
+
+def auto_extract_pages(df: DataFrame,
+                       num_partitions: Optional[int] = None) -> DataFrame:
+    """Heuristic structured extraction per page (auto-extract.ts:708-749
+    via the pure port): page-type detection + type-specific fields,
+    flattened to (url, page_type, n_items, headline, is_spa, payload)
+    with the full typed result as a JSON string.  One narrow
+    mapInPandas stage, same shape as extract_pages."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import json
+
+        from webpeel_spark.pure.auto_extract import (auto_extract,
+                                                     has_spa_indicators)
+
+        cols = [f.name for f in AUTO_EXTRACT_SCHEMA.fields]
+        for pdf in it:
+            out = []
+            for url, payload in zip(pdf["url"], pdf["html"]):
+                if payload is None:
+                    continue
+                if isinstance(payload, memoryview):
+                    payload = payload.tobytes()
+                try:
+                    html = payload.decode("utf-8", errors="replace")
+                    result = auto_extract(html, url)
+                    is_spa = has_spa_indicators(html)
+                except Exception:
+                    continue
+                ptype = result["type"]
+                items = result.get(_AUTO_COUNT_KEY.get(ptype, ""), [])
+                if ptype == "pricing":
+                    headline = items[0]["name"] if items else None
+                elif ptype == "products":
+                    headline = items[0]["name"] if items else None
+                elif ptype == "contact":
+                    headline = items[0] if items else None
+                elif ptype == "article":
+                    headline = result.get("title")
+                elif ptype == "api_docs":
+                    headline = result.get("baseUrl")
+                else:
+                    headline = None
+                out.append((url, ptype, len(items), headline, is_spa,
+                            json.dumps(result, sort_keys=True)))
+            yield pd.DataFrame(out, columns=cols)
+
+    pruned = df.select("url", "html")
+    if num_partitions:
+        pruned = pruned.repartition(num_partitions, F.xxhash64("url"))
+    return pruned.mapInPandas(batches, AUTO_EXTRACT_SCHEMA)
+
+
 IMAGE_SCHEMA = StructType([
     StructField("url", StringType(), False),
     StructField("src", StringType(), False),

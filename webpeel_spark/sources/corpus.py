@@ -341,9 +341,69 @@ def _listing_page(rng: random.Random, n_items: int) -> str:
             f"{_noise_blocks(rng)}</body></html>")
 
 
+def _pricing_page(rng: random.Random, n_plans: int) -> str:
+    tiers = ["Free", "Starter", "Pro", "Team", "Business", "Enterprise"]
+    plans = "".join(
+        f'<div class="pricing-card"><h2 class="plan-name">{tiers[i]}</h2>'
+        f'<div class="price">${rng.choice([0, 9, 29, 49, 99, 299])}'
+        f"<span>/mo</span></div><ul>"
+        + "".join(f"<li>{_sentence(rng, 4)[:-1]}</li>" for _ in range(3))
+        + f'</ul><a href="/signup/{tiers[i].lower()}" class="cta">'
+          f'{rng.choice(["Get started", "Start free trial", "Subscribe"])}'
+          f"</a></div>"
+        for i in range(n_plans)
+    )
+    return (f'<html lang="en"><head><title>Pricing</title></head><body>'
+            f"{_nav(rng)}<h1>Simple pricing</h1>{plans}"
+            f"{_noise_blocks(rng)}</body></html>")
+
+
+def _contact_page(rng: random.Random, j: int) -> str:
+    return (f'<html lang="en"><head><title>Contact</title></head><body>'
+            f"{_nav(rng)}<h1>Get in touch</h1>"
+            f'<p>Email us at <a href="mailto:team{j}@example.com">'
+            f"team{j}@example.com</a></p>"
+            f"<p>Phone: +1-555-{rng.randint(100, 999)}-"
+            f"{rng.randint(1000, 9999)}</p>"
+            f"<address>{rng.randint(1, 999)} Main Street, Springfield, IL "
+            f"{rng.randint(10000, 99999)}</address>"
+            f'<a href="https://twitter.com/example{j}">Twitter</a>'
+            f'<a href="https://github.com/example{j}">GitHub</a>'
+            f"{_noise_blocks(rng)}</body></html>")
+
+
+def _api_docs_page(rng: random.Random) -> str:
+    resources = rng.sample(["users", "orders", "items", "events", "teams"],
+                           3)
+    sections = "".join(
+        f"<h2>{verb.title()} {res}</h2>"
+        f"<pre><code>{method} /v1/{res}{suffix}</code></pre>"
+        f"<p>{_sentence(rng, 8)}</p>"
+        for res in resources
+        for verb, method, suffix in (("list", "GET", ""),
+                                     ("create", "POST", ""),
+                                     ("delete", "DELETE", "/{id}"))
+    )
+    return (f'<html lang="en"><head><title>API Reference</title></head>'
+            f"<body><h1>REST API Reference</h1>"
+            f"<p>Base URL: https://api.example.dev</p>{sections}"
+            f"</body></html>")
+
+
+def _spa_shell_page(rng: random.Random) -> str:
+    scripts = "".join(f'<script src="/static/chunk-{k}.js"></script>'
+                      for k in range(rng.randint(6, 10)))
+    mount = rng.choice(['<div id="root"></div>', '<div id="app"></div>',
+                        '<div id="__next"></div>'])
+    return (f"<!DOCTYPE html><html><head><title>App</title>{scripts}</head>"
+            f"<body>{mount}<noscript>You need to enable JavaScript to run "
+            f"this app.</noscript></body></html>")
+
+
 def generate_rows(n: int, seed: int = 42,
                   docx_fraction: float = 0.0,
-                  listing_fraction: float = 0.0) -> List[Dict]:
+                  listing_fraction: float = 0.0,
+                  auto_fraction: float = 0.0) -> List[Dict]:
     """Generate n deterministic corpus rows (list of dicts, input_hint shape).
 
     ``docx_fraction`` > 0 APPENDS int(n*fraction) .docx payload rows
@@ -447,6 +507,36 @@ def generate_rows(n: int, seed: int = 42,
             rows.append({
                 "url": f"https://shop.example.io/search?page={j}",
                 "warc_ts": _EPOCH + timedelta(seconds=(n + n_docx + j) * 17),
+                "html": html.encode("utf-8"),
+                "text": "",
+                "lang": "",
+            })
+
+    # auto_fraction > 0 APPENDS structured-page rows (pricing / contact /
+    # api-docs / SPA shells) for the auto-extract operator — appended
+    # after docx+listing with an independent rng, same append-only
+    # contract as the other fractions (golden fixtures pin the first n)
+    n_auto = int(n * auto_fraction)
+    if n_auto:
+        arng = random.Random(seed + 1299709)
+        for j in range(n_auto):
+            kind = ("pricing", "contact", "apidocs", "spa")[j % 4]
+            if kind == "pricing":
+                url = f"https://saas{j}.example.org/pricing"
+                html = _pricing_page(arng, arng.randint(2, 4))
+            elif kind == "contact":
+                url = f"https://co{j}.example.org/contact"
+                html = _contact_page(arng, j)
+            elif kind == "apidocs":
+                url = f"https://docs{j}.example.dev/api/reference"
+                html = _api_docs_page(arng)
+            else:
+                url = f"https://app{j}.example.io/"
+                html = _spa_shell_page(arng)
+            rows.append({
+                "url": url,
+                "warc_ts": _EPOCH + timedelta(
+                    seconds=(n + n_docx + n_listing + j) * 17),
                 "html": html.encode("utf-8"),
                 "text": "",
                 "lang": "",
