@@ -447,6 +447,51 @@ def _q_quick_answers(spark: SparkSession, sf_dir: str) -> DataFrame:
                          "How many documents describe the pipeline?")
 
 
+def _q_template_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete quick-answer extraction stack (schema-templates →
+    structural signals → BM25 quick-answer → schema-postprocess value
+    extraction) with the 'article' template over the flagship
+    extraction's markdown + metadata — typed values per page, not
+    passages."""
+    import pandas as pd
+
+    from webpeel_spark.operators.extract import extract_pages
+
+    out = extract_pages(_pages_df(spark, 120).select("url", "html"),
+                        num_partitions=8).select(
+        "url", "title", "content", "author", "published")
+
+    schema = ("url string, title string, author string, date string, "
+              "summary string, source string, tags string")
+
+    def batches(it):
+        from webpeel_spark.pure.schema_postprocess import (
+            default_quick_answer_fn, smart_extract_schema_fields)
+        from webpeel_spark.pure.schema_templates import get_schema_template
+
+        fields = {k: v for k, v in
+                  get_schema_template("article")["fields"].items()
+                  if k != "body"}   # body = full content, skip in contract
+        for pdf in it:
+            rows = []
+            for url, page_title, md, author, published in zip(
+                    pdf["url"], pdf["title"], pdf["content"],
+                    pdf["author"], pdf["published"]):
+                r = smart_extract_schema_fields(
+                    md or "", fields, default_quick_answer_fn,
+                    {"pageTitle": page_title, "pageUrl": url,
+                     "metadata": {"author": author,
+                                  "publishedTime": published}})
+                rows.append((url, r.get("title"), r.get("author"),
+                             r.get("date"), r.get("summary"),
+                             r.get("source"), r.get("tags")))
+            yield pd.DataFrame(rows, columns=[
+                "url", "title", "author", "date", "summary", "source",
+                "tags"])
+
+    return out.mapInPandas(batches, schema).orderBy("url")
+
+
 def _q_bm25_relevance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from webpeel_spark.operators.text_analysis import relevance_scores
 
@@ -685,6 +730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_listings": _q_extract_listings,
         "auto_extract": _q_auto_extract,
         "structured_fields": _q_structured_fields,
+        "template_extract": _q_template_extract,
         "extract_images": _q_extract_images,
         "change_tracking": _q_change_tracking,
         "budget_distill": _q_budget_distill,
