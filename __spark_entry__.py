@@ -50,7 +50,10 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full extraction envelope over the synthetic pages table
-    plus sf0.001 documents routed through the text branch."""
+    plus sf0.001 documents routed through the text branch; r3 adds the
+    reference's buildResult trust columns (credibility tier/score/label,
+    pipeline.ts:1645+) as an inline Catalyst projection."""
+    from webpeel_spark.operators.credibility import with_credibility
     from webpeel_spark.operators.extract import extract_pages
 
     pages = _pages_df(spark)
@@ -61,7 +64,7 @@ def entry(spark: SparkSession) -> DataFrame:
     )
     all_pages = pages.select("url", "html").unionByName(doc_pages)
     out = extract_pages(all_pages, num_partitions=8)
-    return out.drop("chunks", "links")
+    return with_credibility(out.drop("chunks", "links"))
 
 
 # ── SQL-oracled queries ──────────────────────────────────────────────────
@@ -570,6 +573,81 @@ def _multimodal_parquet() -> str:
     return path
 
 
+def _credibility_urls_parquet() -> str:
+    """Deterministic URL table exercising every scorer branch: official
+    TLDs/domains, established brands, community platforms, suspicious
+    free TLDs, phishing-keyword hosts, http-only, deep subdomains,
+    unknown domains, ports, and unparseable strings."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".contract_cache")
+    os.makedirs(cache, exist_ok=True)
+    path = os.path.join(cache, "credibility_urls_v1.parquet")
+    if not os.path.exists(path):
+        urls = []
+        # official
+        urls += ["https://www.nasa.gov/missions", "https://mit.edu/courses",
+                 "https://www.army.mil/about", "https://who.int/data",
+                 "https://arxiv.org/abs/2401.00001",
+                 "https://docs.python.org/3/library/re.html",
+                 "https://developer.mozilla.org/docs",
+                 "http://usgs.gov/maps"]
+        # established (direct + subdomain via sld)
+        urls += ["https://www.google.com/search?q=x",
+                 "https://nytimes.com/2024/01/01/tech",
+                 "https://blog.cloudflare.com/post",
+                 "https://aws.amazon.com/s3/",
+                 "https://stripe.com/docs", "http://reuters.com/world",
+                 "https://en.wikipedia.org/wiki/Spark"]
+        # community platforms
+        urls += ["https://someone.github.io/blog/post",
+                 "https://medium.com/@writer/story",
+                 "https://dev.to/user/article",
+                 "https://my-app.vercel.app/",
+                 "https://cool-project.netlify.app/demo",
+                 "https://news.ycombinator.com/item?id=1",
+                 "https://someblog.wordpress.com/2024/post"]
+        # suspicious TLDs + phishing keywords
+        urls += ["https://free-stuff.tk/win", "http://get-rich.ml/now",
+                 "https://prizes.ga/claim",
+                 "https://paypal-secure-login.example-site.com/verify",
+                 "https://apple-account-verify.info/signin",
+                 "https://secure-bank-login.xyz/"]
+        # plain / unknown / structural variants
+        urls += ["https://smallblog.example-unknown.com/post",
+                 "http://a.b.c.d.example.org/deep",
+                 "https://two.levels.example.net/x",
+                 "https://example.com:8080/with-port",
+                 "https://singlelabel/path", "not-a-url",
+                 "https://myshop.store/catalog",
+                 "https://project.pages.dev/docs",
+                 "https://old-site.biz/index.html"]
+        # dense deterministic tail: unknown .com/.net/.io hosts
+        for i in range(80):
+            tlds = [".com", ".net", ".io", ".org", ".xyz", ".dev",
+                    ".info", ".co"]
+            scheme = "https" if i % 5 else "http"
+            sub = "" if i % 3 == 0 else ("www." if i % 3 == 1 else "cdn.")
+            urls.append(f"{scheme}://{sub}site{i}{tlds[i % len(tlds)]}"
+                        f"/page/{i}")
+        tbl = pa.table({"url": pa.array(urls, pa.string())})
+        pq.write_table(tbl, path + ".tmp")
+        os.replace(path + ".tmp", path)
+    return path
+
+
+def _q_source_credibility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL credibility scoring (source-credibility.ts port) as a pure
+    Catalyst projection — the DuckDB oracle is generated from the same
+    constant tables, so the comparison is exact on every branch."""
+    from webpeel_spark.operators.credibility import credibility_scores
+
+    urls = spark.read.parquet(_credibility_urls_parquet())
+    return credibility_scores(urls).orderBy("url")
+
+
 def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched multimodal feature plumbing; the oracle recomputes
     n_bytes + sha256 over the same payload parquet, checking the bytes
@@ -738,6 +816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_relevance": _q_bm25_relevance,
         "schema_extract": _q_schema_extract,
         "multimodal_features": _q_multimodal_features,
+        "source_credibility": _q_source_credibility,
         "host_stats_salted": _q_host_stats_salted,
         "streaming_extract": _q_streaming_extract,
         "streaming_changes": _q_streaming_changes,
@@ -858,6 +937,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": _jaccard_oracle(0.35, same_col="lang"),
         "simhash_near_dups": _simhash_oracle(6),
         "bm25_relevance": _relevance_oracle(),
+        "source_credibility": _credibility_oracle(),
         "multimodal_features": f"""
             SELECT item_id, kind,
                    CAST(octet_length(payload) AS BIGINT) AS n_bytes,
@@ -927,6 +1007,12 @@ def _simhash_oracle(max_hamming: int) -> str:
     from webpeel_spark.operators.dedup import simhash_oracle_sql
 
     return simhash_oracle_sql(max_hamming)
+
+
+def _credibility_oracle() -> str:
+    from webpeel_spark.operators.credibility import credibility_oracle_sql
+
+    return credibility_oracle_sql(_safe_path(_credibility_urls_parquet))
 
 
 def _safe_path(materialize) -> str:
