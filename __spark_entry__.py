@@ -315,10 +315,55 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                                block_col="lang")
 
 
+_QCLONE_OFFSET = 2_000_000  # planted query-clone ids (ANN top-k oracles)
+
+
+def _query_clone_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings plus 9 clones of the query vector (vec_id 0) scaled
+    by 0.5 — exact in float, cosine exactly 1.0 with the query, and
+    sign/direction-invariant, so they land in the query's SRP bucket
+    in every table AND in the query's own IVF cell.  The true top-10
+    is therefore structurally {0} ∪ {clones}, all at cosine 1.0
+    (corpus max pairwise cosine is 0.51), which makes the approximate
+    probes EQUAL the brute-force scan the DuckDB oracle runs."""
+    emb = _embeddings(spark, sf_dir).select("vec_id", "embedding")
+    q = emb.filter(F.col("vec_id") == 0)
+    clones = q.crossJoin(spark.range(9)).select(
+        (F.col("id") + _QCLONE_OFFSET).alias("vec_id"),
+        F.transform("embedding",
+                    lambda x: (x * F.lit(0.5)).cast("float"))
+        .alias("embedding"),
+    )
+    return emb.unionByName(clones)
+
+
+_ANN_TOPK_ORACLE = f"""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
+               FROM embeddings WHERE vec_id = 0),
+    aug AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+      UNION ALL
+      SELECT t.i + {_QCLONE_OFFSET},
+             (SELECT CAST(CAST(list_transform(qe, x -> x * 0.5)
+                          AS FLOAT[]) AS DOUBLE[]) FROM q)
+      FROM range(9) t(i)
+    )
+    SELECT a.vec_id,
+           round(list_cosine_similarity(a.e, q.qe), 4) AS cosine
+    FROM aug a, q
+    ORDER BY cosine DESC, a.vec_id ASC
+    LIMIT 10
+"""
+
+
 def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH approximate top-k — oracle-exact via planted query
+    clones (see _query_clone_embeddings): every true-top vector shares
+    the query's bucket in the probed table, so the probe's top-10
+    equals the oracle's brute-force top-10."""
     from webpeel_spark.operators.similarity import srp_lsh_topk
 
-    emb = _embeddings(spark, sf_dir)
+    emb = _query_clone_embeddings(spark, sf_dir)
     q = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     return srp_lsh_topk(emb, q, k=10, bits=6)
 
@@ -343,12 +388,14 @@ def _aug_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (k-means-cell) ANN — the inverted-file scale path beside
     SRP-LSH: train cells on L2-normalized vectors, probe the nprobe
-    nearest cells, exact cosine within them.  Rows-only: k-means cell
-    boundaries are not ANSI-SQL-expressible; recall vs the exact scan
-    is pinned by pytest (test_dedup_scale.test_ivf_topk_recall)."""
+    nearest cells, exact cosine within them.  Oracle-exact via planted
+    query clones: clones normalize to the query's exact unit vector,
+    so KMeans assigns them to the query's nearest cell — the first
+    cell every probe visits — making the probed top-10 equal the
+    brute-force top-10 regardless of where k-means put the rest."""
     from webpeel_spark.operators.similarity import ivf_index, ivf_topk
 
-    emb = _embeddings(spark, sf_dir)
+    emb = _query_clone_embeddings(spark, sf_dir)
     q = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     assigned, cents = ivf_index(emb, k=16, seed=29)
     return ivf_topk(assigned, cents, q, topk=10, nprobe=4)
@@ -938,6 +985,8 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_dups": _simhash_oracle(6),
         "bm25_relevance": _relevance_oracle(),
         "source_credibility": _credibility_oracle(),
+        "ann_lsh_topk": _ANN_TOPK_ORACLE,
+        "ann_ivf_topk": _ANN_TOPK_ORACLE,
         "multimodal_features": f"""
             SELECT item_id, kind,
                    CAST(octet_length(payload) AS BIGINT) AS n_bytes,
