@@ -480,6 +480,25 @@ def _q_structured_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.mapInPandas(batches, schema).orderBy("url")
 
 
+def _q_observe_elements(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interactive-element map per page (observe.ts port) — exploded
+    rows, one per link/button/input/select/form/media element."""
+    from webpeel_spark.operators.extract import observe_pages
+
+    return observe_pages(_pages_df(spark, 120).select("url", "html"),
+                         num_partitions=8).orderBy("url", "category", "ref")
+
+
+def _q_link_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{url, text} anchor pairs (links.ts port) — the envelope's
+    url-only link arrays gain their anchor text here."""
+    from webpeel_spark.operators.extract import extract_link_pairs_pages
+
+    return extract_link_pairs_pages(
+        _pages_df(spark, 120).select("url", "html"),
+        num_partitions=8).orderBy("url", "link_url")
+
+
 def _q_budget_distill(spark: SparkSession, sf_dir: str) -> DataFrame:
     from webpeel_spark.operators.extract import extract_pages
     from webpeel_spark.pure.pipeline import ExtractOptions
@@ -856,6 +875,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "auto_extract": _q_auto_extract,
         "structured_fields": _q_structured_fields,
         "template_extract": _q_template_extract,
+        "observe_elements": _q_observe_elements,
+        "link_pairs": _q_link_pairs,
         "extract_images": _q_extract_images,
         "change_tracking": _q_change_tracking,
         "budget_distill": _q_budget_distill,

@@ -60,6 +60,11 @@ EXTRACT_SCHEMA = StructType([
     StructField("quality", DoubleType(), False),
     StructField("links", ArrayType(StringType()), False),
     StructField("link_count", IntegerType(), False),
+    # links.ts {url, text} pairs — anchor text alongside the url list
+    StructField("link_pairs", ArrayType(StructType([
+        StructField("url", StringType(), False),
+        StructField("text", StringType(), True),
+    ])), False),
     StructField("chunks", ArrayType(CHUNK_SCHEMA), False),
     StructField("fingerprint", StringType(), False),
     StructField("content_len", LongType(), False),
@@ -229,6 +234,95 @@ def auto_extract_pages(df: DataFrame,
     if num_partitions:
         pruned = pruned.repartition(num_partitions, F.xxhash64("url"))
     return pruned.mapInPandas(batches, AUTO_EXTRACT_SCHEMA)
+
+
+OBSERVE_SCHEMA = StructType([
+    StructField("url", StringType(), False),
+    StructField("category", StringType(), False),
+    StructField("ref", StringType(), False),
+    StructField("tag", StringType(), False),
+    StructField("selector", StringType(), False),
+    StructField("text", StringType(), True),
+    StructField("role", StringType(), False),
+    StructField("attributes", StringType(), False),
+])
+
+
+def observe_pages(df: DataFrame,
+                  num_partitions: Optional[int] = None) -> DataFrame:
+    """Interactive-element inventory per page (observe.ts in-page
+    extraction via the pure port), exploded to one row per element —
+    UDTF-shaped like extract_images_pages."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import json
+
+        from webpeel_spark.pure.observe import observe_html
+
+        cols = [f.name for f in OBSERVE_SCHEMA.fields]
+        for pdf in it:
+            out = []
+            for url, payload in zip(pdf["url"], pdf["html"]):
+                if payload is None:
+                    continue
+                if isinstance(payload, memoryview):
+                    payload = payload.tobytes()
+                try:
+                    html = payload.decode("utf-8", errors="replace")
+                    result = observe_html(html, url)
+                except Exception:
+                    continue
+                for category, items in result["elements"].items():
+                    for item in items:
+                        out.append((url, category, item["ref"],
+                                    item["tag"], item["selector"],
+                                    item["text"], item["role"],
+                                    json.dumps(item["attributes"],
+                                               sort_keys=True)))
+            yield pd.DataFrame(out, columns=cols)
+
+    pruned = df.select("url", "html")
+    if num_partitions:
+        pruned = pruned.repartition(num_partitions, F.xxhash64("url"))
+    return pruned.mapInPandas(batches, OBSERVE_SCHEMA)
+
+
+LINK_PAIR_SCHEMA = StructType([
+    StructField("url", StringType(), False),
+    StructField("link_url", StringType(), False),
+    StructField("link_text", StringType(), True),
+])
+
+
+def extract_link_pairs_pages(df: DataFrame,
+                             num_partitions: Optional[int] = None
+                             ) -> DataFrame:
+    """{url, text} link pairs per page (links.ts port), exploded."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from webpeel_spark.pure.links import extract_link_pairs
+
+        cols = [f.name for f in LINK_PAIR_SCHEMA.fields]
+        for pdf in it:
+            out = []
+            for url, payload in zip(pdf["url"], pdf["html"]):
+                if payload is None:
+                    continue
+                if isinstance(payload, memoryview):
+                    payload = payload.tobytes()
+                try:
+                    html = payload.decode("utf-8", errors="replace")
+                    pairs = extract_link_pairs(html, url)
+                except Exception:
+                    continue
+                for p in pairs:
+                    out.append((url, p["url"], p["text"]))
+            yield pd.DataFrame(out, columns=cols)
+
+    pruned = df.select("url", "html")
+    if num_partitions:
+        pruned = pruned.repartition(num_partitions, F.xxhash64("url"))
+    return pruned.mapInPandas(batches, LINK_PAIR_SCHEMA)
 
 
 IMAGE_SCHEMA = StructType([

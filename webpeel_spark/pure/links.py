@@ -1,0 +1,50 @@
+"""Link extraction as {url, text} pairs (links.ts:17-55).
+
+The envelope's existing link list (metadata.py:314) is url-only; this
+is the reference's richer form — deduplicated by resolved URL, anchor
+text whitespace-collapsed, skipping anchors / javascript: / mailto: /
+tel: / data: hrefs."""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, List, Optional
+from urllib.parse import urljoin
+
+from ..dom import parse_html, select
+
+_SKIP_PREFIXES = ("#", "javascript:", "mailto:", "tel:", "data:")
+_ABS_RE = re.compile(r"^https?://")
+_WS = re.compile(r"\s+")
+
+
+def extract_link_pairs(html: str,
+                       base_url: Optional[str] = None) -> List[Dict[str, str]]:
+    """Deduplicated [{url, text}] for every <a href> in document order."""
+    if not html:
+        return []
+    return extract_link_pairs_dom(parse_html(html), base_url)
+
+
+def extract_link_pairs_dom(root,
+                           base_url: Optional[str] = None
+                           ) -> List[Dict[str, str]]:
+    """DOM form of extract_link_pairs (reuses an existing parse — the
+    extraction pipeline parses each page once and shares the root)."""
+    seen = set()
+    links: List[Dict[str, str]] = []
+    for a in select(root, "a[href]"):
+        href = a.get("href") or ""
+        if not href or href.startswith(_SKIP_PREFIXES):
+            continue
+        url = href
+        if base_url and not _ABS_RE.match(href):
+            try:
+                url = urljoin(base_url, href)
+            except ValueError:
+                continue  # skip unresolvable relative URLs
+        if url not in seen:
+            seen.add(url)
+            links.append({"url": url,
+                          "text": _WS.sub(" ", a.text().strip())})
+    return links

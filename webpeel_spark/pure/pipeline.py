@@ -27,6 +27,7 @@ from .chunker import chunk_content
 from .extractors import extract_domain_data, get_domain_extractor
 from .jsonld import extract_jsonld_dom
 from .langdetect import detect_language_from_url, detect_language_ngram
+from .links import extract_link_pairs, extract_link_pairs_dom
 from .metadata import extract_links, extract_links_dom, extract_metadata
 from .docx import is_docx_bytes
 from .pdfextract import is_pdf_bytes
@@ -89,7 +90,8 @@ def _empty_result(url: str) -> Dict[str, Any]:
         "extractor": "", "title": "", "content": "", "description": None,
         "author": None, "published": None, "language": None, "canonical": None,
         "image": None, "word_count": 0, "token_estimate": 0, "quality": 0.0,
-        "links": [], "link_count": 0, "chunks": [], "fingerprint": _sha256(""),
+        "links": [], "link_count": 0, "link_pairs": [],
+        "chunks": [], "fingerprint": _sha256(""),
         "content_len": 0, "html_len": 0, "pruned_percent": 0, "method": "generic",
         "auth_required": False, "injection_detected": False,
     }
@@ -282,8 +284,10 @@ def _html_branch(url: str, html: str, options: ExtractOptions,
         # link-extraction input cap (pipeline.ts:931-933) — the capped
         # string is a different document; parse it separately
         links = extract_links(html[:100000], url)
+        link_pairs = extract_link_pairs(html[:100000], url)
     else:
         links = extract_links_dom(root, url)
+        link_pairs = extract_link_pairs_dom(root, url)
     result["title"] = title
     result["description"] = meta.description
     result["author"] = meta.author
@@ -292,6 +296,7 @@ def _html_branch(url: str, html: str, options: ExtractOptions,
     result["canonical"] = meta.canonical
     result["image"] = meta.image
     result["links"] = links
+    result["link_pairs"] = link_pairs
 
     # Domain-extractor pass — extractor result wins (pipeline.ts:1363-1387)
     dd = extract_domain_data(html, url)
