@@ -163,10 +163,12 @@ def _wml_p(text: str, style: str = "", bullet: bool = False,
 
 def make_docx(title: str, paragraphs: Sequence[str],
               bullets: Sequence[str] = (),
-              table_rows: Sequence[Sequence[str]] = ()) -> bytes:
+              table_rows: Sequence[Sequence[str]] = (),
+              bold_paragraphs: Sequence[str] = ()) -> bytes:
     """Minimal valid .docx with heading, paragraphs, bullets, a table."""
     parts = [_wml_p(title, style="Heading1")]
     parts += [_wml_p(p) for p in paragraphs]
+    parts += [_wml_p(p, bold=True) for p in bold_paragraphs]
     parts += [_wml_p(b, bullet=True) for b in bullets]
     if table_rows:
         rows = "".join(
