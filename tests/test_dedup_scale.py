@@ -312,3 +312,25 @@ def test_dedup_clusters_transitive(spark):
     assert rows[0]["keep"] is True
     assert rows[1]["keep"] is False and rows[2]["keep"] is False
     assert rows[3]["cluster_id"] == 3 and rows[3]["keep"] is True
+
+
+def test_connected_components_long_chain_fails_loudly(spark):
+    """Pathological path graphs (diameter > max_iterations) must raise,
+    not silently return unconverged labels (min-label propagation moves
+    one hop per round)."""
+    import pytest as _pytest
+
+    from webpeel_spark.operators.dedup import connected_components
+
+    n = 12
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long")
+    vertices = spark.createDataFrame([(i,) for i in range(n)], "id long")
+
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, vertices, max_iterations=3)
+
+    # and with enough rounds the same chain converges to one cluster
+    rows = connected_components(edges, vertices,
+                                max_iterations=n).collect()
+    assert {r["cluster"] for r in rows} == {0}

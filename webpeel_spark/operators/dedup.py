@@ -420,13 +420,31 @@ def connected_components(edges: DataFrame, vertices: DataFrame,
     any corpus size — the standard large-scale CC recipe.  Each round
     shuffles only (id, label) pairs; the loop is driver-side control
     flow over lazily-built plans with a tiny count() as the
-    convergence check.
+    convergence check (one join+count action per round — cheap because
+    rounds are few; a diameter-bounded workload assumption, not a
+    per-row cost).
+
+    Long-chain caveat: propagation moves labels ONE hop per round, so
+    a pathological path-shaped graph of diameter d needs d rounds.
+    Dedup similarity graphs never look like that (similarity is
+    near-transitive), but if this operator is ever pointed at a
+    general graph with diameter > ``max_iterations``, it raises
+    RuntimeError instead of silently returning unconverged labels —
+    switch to the alternating large-star/small-star algorithm
+    (Kiveris et al., "Connected Components in MapReduce and Beyond"),
+    which contracts chains in O(log d) rounds, if that ever fires.
     """
     sym = edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")) \
         .unionByName(edges.select(F.col("id_b").alias("src"),
                                   F.col("id_a").alias("dst")))
+    # localCheckpoint (not persist) per round: iterative plans otherwise
+    # grow one join-layer of LINEAGE per round, and past ~10 rounds the
+    # driver dies just materializing the plan tree.  Checkpointing
+    # truncates lineage so every round's plan is constant-size.  (On a
+    # real cluster with executor churn, swap for reliable checkpoint().)
     labels = vertices.select(F.col(id_col).alias("id"),
-                             F.col(id_col).alias("label")).persist()
+                             F.col(id_col).alias("label")).localCheckpoint()
+    changed = 0
     for _ in range(max_iterations):
         neighbor_min = (
             sym.join(labels, sym.src == labels.id)
@@ -437,7 +455,7 @@ def connected_components(edges: DataFrame, vertices: DataFrame,
             .select(labels.id,
                     F.least("label", F.coalesce("nlabel", "label"))
                     .alias("label"))
-            .persist()
+            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n").join(labels.alias("o"), "id")
@@ -447,6 +465,13 @@ def connected_components(edges: DataFrame, vertices: DataFrame,
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        labels.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            f"rounds ({changed} labels still moving) — graph diameter "
+            "exceeds the dedup-clique assumption; use an "
+            "alternating-star variant for general graphs")
     return labels.select("id", F.col("label").alias("cluster"))
 
 
