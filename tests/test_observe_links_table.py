@@ -9,7 +9,12 @@ from __future__ import annotations
 
 from webpeel_spark.pure.links import extract_link_pairs
 from webpeel_spark.pure.observe import observe_html
-from webpeel_spark.pure.table_format import format_table
+from webpeel_spark.pure.table_format import (
+    format_listings_csv,
+    format_table,
+    normalise_extracted_to_rows,
+    render_listings_table,
+)
 
 
 # ── links.ts ────────────────────────────────────────────────────────────
@@ -97,6 +102,47 @@ class TestFormatTable:
         table = format_table([{"z": "1"}, {"a": "2", "z": "3"}])
         header = table.split("\n")[1]
         assert header.index("Z") < header.index("A")
+
+
+# ── cli listing rendering (fetch.ts --table/--csv, utils.ts:733-789) ────
+
+class TestListingRendering:
+    ITEMS = [
+        {"title": "Widget A", "price": "$10", "rating": None},
+        {"title": 'Widget "B", deluxe', "price": "$20", "rating": "4.5"},
+    ]
+
+    def test_render_listings_table_byte_exact(self):
+        # None-valued keys dropped per row (fetch.ts:1182-1186), then
+        # the rating column survives via row 2
+        assert render_listings_table(self.ITEMS) == (
+            "┌────────────────────┬───────┬────────┐\n"
+            "│ Title              │ Price │ Rating │\n"
+            "├────────────────────┼───────┼────────┤\n"
+            "│ Widget A           │ $10   │        │\n"
+            '│ Widget "B", deluxe │ $20   │ 4.5    │\n'
+            "└────────────────────┴───────┴────────┘"
+        )
+
+    def test_csv_byte_exact(self):
+        assert format_listings_csv(self.ITEMS) == (
+            "title,price,rating\n"
+            '"Widget A","$10",""\n'
+            '"Widget ""B"", deluxe","$20","4.5"\n'
+        )
+
+    def test_csv_empty(self):
+        assert format_listings_csv([]) == ""
+
+    def test_normalise_zips_parallel_lists(self):
+        rows = normalise_extracted_to_rows(
+            {"name": ["a", "b"], "price": [1, None]})
+        assert rows == [{"name": "a", "price": "1"},
+                        {"name": "b", "price": None}]
+
+    def test_normalise_single_row(self):
+        rows = normalise_extracted_to_rows({"name": "x", "count": 3})
+        assert rows == [{"name": "x", "count": "3"}]
 
 
 # ── observe.ts ──────────────────────────────────────────────────────────

@@ -1,4 +1,6 @@
-"""Unicode box-drawing table renderer (table-format.ts:1-176).
+"""Unicode box-drawing table renderer (table-format.ts:1-176) plus the
+listing output helpers built on it (cli/utils.ts:733-789,
+cli/commands/fetch.ts:1180-1188).
 
 Renders a list of row dicts (e.g. listing items) as an auto-sized
 table — column order follows first-seen key order, entirely-empty
@@ -6,7 +8,7 @@ columns are omitted, cells truncate at 40 chars with an ellipsis."""
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+from typing import Any, Dict, List, Optional
 
 _MAX_COL_WIDTH = 40
 _MIN_COL_WIDTH = 3
@@ -70,3 +72,59 @@ def format_table(rows: List[Dict[str, Optional[str]]],
             for i, col in enumerate(cols)) + "│")
     lines.append("└" + "┴".join("─" * (w + 2) for w in widths) + "┘")
     return "\n".join(lines)
+
+
+def render_listings_table(items: List[Dict[str, Optional[str]]]) -> str:
+    """Listing items → box table (fetch.ts:1180-1188 --table path):
+    None-valued keys are dropped per row before rendering."""
+    return format_table([
+        {k: v for k, v in item.items() if v is not None}
+        for item in items
+    ])
+
+
+def _escape_csv(s: Optional[str]) -> str:
+    if s is None:
+        return '""'
+    s = str(s)
+    if '"' in s or "," in s or "\n" in s or "\r" in s:
+        return '"' + s.replace('"', '""') + '"'
+    return '"' + s + '"'
+
+
+def format_listings_csv(items: List[Dict[str, Optional[str]]]) -> str:
+    """cli/utils.ts:733 — listing items → CSV (all cells quoted, keys
+    unioned in first-seen order, None cells empty-quoted)."""
+    if not items:
+        return ""
+    keys: List[str] = []
+    seen = set()
+    for item in items:
+        for k, v in item.items():
+            if v is not None and k not in seen:
+                seen.add(k)
+                keys.append(k)
+    lines = [",".join(keys)]
+    for item in items:
+        lines.append(",".join(_escape_csv(item.get(k)) for k in keys))
+    return "\n".join(lines) + "\n"
+
+
+def normalise_extracted_to_rows(extracted: Dict[str, Any]
+                                ) -> List[Dict[str, Optional[str]]]:
+    """cli/utils.ts:764 — flat extract result → row dicts: if every
+    value is a list, zip them into rows (first list's length governs);
+    otherwise one row, values stringified, None kept as None."""
+    values = list(extracted.values())
+    if values and all(isinstance(v, list) for v in values):
+        length = len(values[0])
+        rows = []
+        for i in range(length):
+            row = {}
+            for key, vals in extracted.items():
+                val = vals[i] if i < len(vals) else None
+                row[key] = str(val) if val is not None else None
+            rows.append(row)
+        return rows
+    return [{k: (str(v) if v is not None else None)
+             for k, v in extracted.items()}]
