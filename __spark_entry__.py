@@ -704,6 +704,96 @@ def _credibility_urls_parquet() -> str:
     return path
 
 
+_SOURCE_RANK_QUERY = "cerebras api rate limits"
+_SOURCE_RANK_NOW = "2026-08-01 00:00:00"
+
+
+def _source_rank_parquet() -> str:
+    """Deterministic (url, title, snippet, bm25, published) search-result
+    table exercising every source-scoring branch: all authority tiers,
+    docs/developer subdomains, entity-bearing domains for the fixed
+    query, multi-part TLDs, every freshness bucket (incl. NULL, future
+    and pre-1990 dates), and >2-per-domain groups for the dedup window."""
+    import datetime as _dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".contract_cache")
+    os.makedirs(cache, exist_ok=True)
+    path = os.path.join(cache, "source_rank_v1.parquet")
+    if not os.path.exists(path):
+        now = _dt.datetime.strptime(_SOURCE_RANK_NOW, "%Y-%m-%d %H:%M:%S")
+
+        def ago(days):
+            return (now - _dt.timedelta(days=days)).strftime(
+                "%Y-%m-%d %H:%M:%S")
+
+        hosts = [
+            # authority tiers
+            "https://cdc.gov/covid", "https://mit.edu/ai-course",
+            "https://mozilla.org/firefox", "https://github.com/org/repo",
+            "https://arxiv.org/abs/2406.01111",
+            "https://stackoverflow.com/questions/77",
+            "https://en.wikipedia.org/wiki/LSH",
+            "https://docs.unknownvendor.io/reference",
+            "https://developer.android.com/guide",
+            "https://api.payments.dev/v2", "https://support.widgetco.com/faq",
+            "https://reuters.com/tech/story", "https://bbc.co.uk/news/item",
+            "https://techcrunch.com/2026/01/01/ai",
+            "https://zdnet.com/article/chips",
+            # entity-bearing (query: cerebras api rate limits)
+            "https://cerebras.ai/pricing", "https://docs.cerebras.ai/api",
+            "https://cerebras.ai/blog/wafer",
+            "https://cerebras-fan.net/review",
+            # official paths on unknown hosts
+            "https://randomvendor.com/docs/start",
+            "https://othervendor.com/pricing",
+            "https://thirdvendor.com/blog/notes",
+            # multi-TLD + dedup groups
+            "https://news.sample.co.uk/a", "https://sport.sample.co.uk/b",
+            "https://weather.sample.co.uk/c", "https://sample.co.uk/d",
+        ]
+        # dense deterministic tail: repeating domains to exercise the
+        # per-domain window, cycling freshness buckets
+        for i in range(96):
+            d = f"site{i % 24}"
+            sub = ["", "www.", "app.", "cdn."][i % 4]
+            hosts.append(f"https://{sub}{d}.example/{'page%d' % i}")
+        dates = [None, ago(3), ago(15), ago(60), ago(200), ago(400),
+                 ago(-30), "1989-05-01 00:00:00"]
+        urls, titles, snippets, bm25s, published = [], [], [], [], []
+        for i, u in enumerate(hosts):
+            urls.append(u)
+            titles.append(f"Result {i}")
+            snippets.append(f"Snippet text number {i}")
+            bm25s.append(round((i * 37 % 100) / 100.0, 2))
+            published.append(dates[i % len(dates)])
+        tbl = pa.table({
+            "url": pa.array(urls, pa.string()),
+            "title": pa.array(titles, pa.string()),
+            "snippet": pa.array(snippets, pa.string()),
+            "bm25": pa.array(bm25s, pa.float64()),
+            "published": pa.array(published, pa.string()),
+        })
+        pq.write_table(tbl, path + ".tmp")
+        os.replace(path + ".tmp", path)
+    return path
+
+
+def _q_source_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-result ranking (source-scoring.ts port): authority tiers +
+    freshness buckets + primary-source boost + per-domain dedup window,
+    all Catalyst; the DuckDB oracle is generated from the same tier
+    table and the same folded query literals."""
+    from webpeel_spark.operators.source_rank import score_sources
+
+    src = spark.read.parquet(_source_rank_parquet())
+    return score_sources(src, _SOURCE_RANK_QUERY, _SOURCE_RANK_NOW) \
+        .orderBy(F.desc("final_score"), F.asc("url"))
+
+
 def _q_source_credibility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL credibility scoring (source-credibility.ts port) as a pure
     Catalyst projection — the DuckDB oracle is generated from the same
@@ -885,6 +975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_extract": _q_schema_extract,
         "multimodal_features": _q_multimodal_features,
         "source_credibility": _q_source_credibility,
+        "source_rank": _q_source_rank,
         "host_stats_salted": _q_host_stats_salted,
         "streaming_extract": _q_streaming_extract,
         "streaming_changes": _q_streaming_changes,
@@ -1006,6 +1097,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_dups": _simhash_oracle(6),
         "bm25_relevance": _relevance_oracle(),
         "source_credibility": _credibility_oracle(),
+        "source_rank": _source_rank_oracle(),
         "ann_lsh_topk": _ANN_TOPK_ORACLE,
         "ann_ivf_topk": _ANN_TOPK_ORACLE,
         "multimodal_features": f"""
@@ -1077,6 +1169,13 @@ def _simhash_oracle(max_hamming: int) -> str:
     from webpeel_spark.operators.dedup import simhash_oracle_sql
 
     return simhash_oracle_sql(max_hamming)
+
+
+def _source_rank_oracle() -> str:
+    from webpeel_spark.operators.source_rank import source_rank_oracle_sql
+
+    return source_rank_oracle_sql(_safe_path(_source_rank_parquet),
+                                  _SOURCE_RANK_QUERY, _SOURCE_RANK_NOW)
 
 
 def _credibility_oracle() -> str:

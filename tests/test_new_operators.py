@@ -193,3 +193,47 @@ def test_repetition_signals_gates(spark):
     assert rows[2]["repetition_pass"] is False
 
     assert rows[3]["top_2gram_fraction"] == 0.0
+
+
+def test_source_rank_matches_pure_port(spark):
+    """Catalyst source ranking == the pure source-scoring port (same
+    tier table, same query literals, fixed now) including the
+    per-domain dedup window."""
+    from datetime import datetime, timezone
+
+    from webpeel_spark.operators.source_rank import score_sources
+    from webpeel_spark.pure.source_scoring import score_fetched_sources
+
+    now_str = "2026-08-01 00:00:00"
+    now = datetime(2026, 8, 1, tzinfo=timezone.utc)
+    query = "cerebras api rate limits"
+    rows = [
+        ("https://cerebras.ai/pricing", "A", "s", 0.7, "2026-07-30 12:00:00"),
+        ("https://docs.cerebras.ai/api", "B", "s", 0.6, "2026-05-01 00:00:00"),
+        ("https://cerebras.ai/blog", "C", "s", 0.5, None),
+        ("https://cdc.gov/data", "D", "s", 0.4, "2024-01-01 00:00:00"),
+        ("https://randomblog.io/post", "E", "s", 0.9, "1989-05-01 00:00:00"),
+        ("https://en.wikipedia.org/wiki/AI", "F", "s", 0.3, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, title string, snippet string, bm25 double, "
+              "published string")
+    got = {r["url"]: r for r in score_sources(df, query, now_str).collect()}
+
+    # pure port (publishDate as ISO with T/Z so _parse_date accepts it)
+    sources = [
+        {"searchResult": {"url": u, "title": t, "snippet": s},
+         "bm25Score": b,
+         "metadata": ({"publishDate": p.replace(" ", "T") + "Z"}
+                      if p else {})}
+        for (u, t, s, b, p) in rows
+    ]
+    expected = score_fetched_sources(sources, query, now=now)
+
+    assert set(got) == {e["url"] for e in expected}
+    for e in expected:
+        g = got[e["url"]]
+        assert g["authority"] == e["authority"], e["url"]
+        assert g["freshness"] == e["freshness"], e["url"]
+        assert g["is_primary"] == e["isPrimarySource"], e["url"]
+        assert abs(g["final_score"] - e["finalScore"]) < 1e-6, e["url"]
