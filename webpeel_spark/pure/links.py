@@ -31,9 +31,18 @@ def extract_link_pairs_dom(root,
                            ) -> List[Dict[str, str]]:
     """DOM form of extract_link_pairs (reuses an existing parse — the
     extraction pipeline parses each page once and shares the root)."""
+    return link_pairs_from_anchors(select(root, "a[href]"), base_url)
+
+
+def link_pairs_from_anchors(anchors,
+                            base_url: Optional[str] = None
+                            ) -> List[Dict[str, str]]:
+    """Pair extraction over a pre-selected anchor list — lets the
+    pipeline share ONE a[href] walk with the url-only link extractor
+    (both run on every page; the walk is the common cost)."""
     seen = set()
     links: List[Dict[str, str]] = []
-    for a in select(root, "a[href]"):
+    for a in anchors:
         href = a.get("href") or ""
         if not href or href.startswith(_SKIP_PREFIXES):
             continue

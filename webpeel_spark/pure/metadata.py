@@ -353,12 +353,18 @@ def extract_links(html: str, base_url: str) -> List[str]:
 
 def extract_links_dom(root: Node, base_url: str) -> List[str]:
     """DOM form of extract_links (reuses an existing parse)."""
+    return links_from_anchors(select(root, "a[href]"), base_url)
+
+
+def links_from_anchors(anchors, base_url: str) -> List[str]:
+    """Link extraction over a pre-selected anchor list (shared-walk
+    form — see links.link_pairs_from_anchors)."""
     links: set = set()
     try:
         base = urlsplit(base_url)
     except ValueError:
         base = None
-    for a in select(root, "a[href]"):
+    for a in anchors:
         href = a.get("href")
         if not href:
             continue

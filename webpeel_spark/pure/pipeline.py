@@ -27,8 +27,8 @@ from .chunker import chunk_content
 from .extractors import extract_domain_data, get_domain_extractor
 from .jsonld import extract_jsonld_dom
 from .langdetect import detect_language_from_url, detect_language_ngram
-from .links import extract_link_pairs, extract_link_pairs_dom
-from .metadata import extract_links, extract_links_dom, extract_metadata
+from .links import link_pairs_from_anchors
+from .metadata import extract_metadata, links_from_anchors
 from .docx import is_docx_bytes
 from .pdfextract import is_pdf_bytes
 from .extractors.pdfurl import pdf_extract_result
@@ -283,11 +283,13 @@ def _html_branch(url: str, html: str, options: ExtractOptions,
     if len(html) > 100000:
         # link-extraction input cap (pipeline.ts:931-933) — the capped
         # string is a different document; parse it separately
-        links = extract_links(html[:100000], url)
-        link_pairs = extract_link_pairs(html[:100000], url)
+        capped_root = parse_html(html[:100000])
+        anchors = select(capped_root, "a[href]")
     else:
-        links = extract_links_dom(root, url)
-        link_pairs = extract_link_pairs_dom(root, url)
+        anchors = select(root, "a[href]")
+    # one a[href] walk feeds both the url-only list and {url,text} pairs
+    links = links_from_anchors(anchors, url)
+    link_pairs = link_pairs_from_anchors(anchors, url)
     result["title"] = title
     result["description"] = meta.description
     result["author"] = meta.author
