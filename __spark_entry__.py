@@ -704,6 +704,63 @@ def _credibility_urls_parquet() -> str:
     return path
 
 
+def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark 13-gram decontamination: docs 0-19 act as the planted
+    'eval set', so they (and true overlaps) must flag — the broadcast
+    semi-join + tiny match shuffle is the 100 TB plan shape."""
+    from webpeel_spark.operators.decontaminate import contamination_flags
+
+    docs = _docs(spark, sf_dir)
+    benchmark = docs.filter(F.col("doc_id") < 20)
+    return contamination_flags(docs, benchmark).orderBy("doc_id")
+
+
+_PII_ROWS = 120
+
+
+def _pii_parquet() -> str:
+    """Deterministic text table with planted emails / US phones / IPv4
+    addresses (and clean rows) for the PII scrubbing oracle."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".contract_cache")
+    os.makedirs(cache, exist_ok=True)
+    path = os.path.join(cache, "pii_%d_v1.parquet" % _PII_ROWS)
+    if not os.path.exists(path):
+        texts = []
+        for i in range(_PII_ROWS):
+            parts = [f"Document {i} body text with filler words here."]
+            if i % 3 == 0:
+                parts.append(f"Contact alice{i}@example-mail.com or "
+                             f"bob.smith+tag@corp.example.org today.")
+            if i % 4 == 0:
+                parts.append(f"Call (555) 01{i % 10}-{1000 + i} or "
+                             f"+1 555.867.530{i % 10} now.")
+            if i % 5 == 0:
+                parts.append(f"Server at 192.168.{i % 256}.{(i * 7) % 256} "
+                             f"and 10.0.0.{i % 200} responded.")
+            if i % 7 == 0:
+                parts.append("No private data in this sentence at all.")
+            texts.append(" ".join(parts))
+        tbl = pa.table({
+            "doc_id": pa.array(range(_PII_ROWS), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        })
+        pq.write_table(tbl, path + ".tmp")
+        os.replace(path + ".tmp", path)
+    return path
+
+
+def _q_pii_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII counts + redaction as a stateless codegen projection; the
+    DuckDB twin runs the same RE2-safe patterns with the 'g' flag."""
+    from webpeel_spark.operators.pii import pii_signals
+
+    return pii_signals(spark.read.parquet(_pii_parquet())).orderBy("doc_id")
+
+
 _SOURCE_RANK_QUERY = "cerebras api rate limits"
 _SOURCE_RANK_NOW = "2026-08-01 00:00:00"
 
@@ -976,6 +1033,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _q_multimodal_features,
         "source_credibility": _q_source_credibility,
         "source_rank": _q_source_rank,
+        "decontaminate": _q_decontaminate,
+        "pii_signals": _q_pii_signals,
         "host_stats_salted": _q_host_stats_salted,
         "streaming_extract": _q_streaming_extract,
         "streaming_changes": _q_streaming_changes,
@@ -1098,6 +1157,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_relevance": _relevance_oracle(),
         "source_credibility": _credibility_oracle(),
         "source_rank": _source_rank_oracle(),
+        "decontaminate": _decontaminate_oracle(),
+        "pii_signals": _pii_oracle(),
         "ann_lsh_topk": _ANN_TOPK_ORACLE,
         "ann_ivf_topk": _ANN_TOPK_ORACLE,
         "multimodal_features": f"""
@@ -1171,6 +1232,18 @@ def _simhash_oracle(max_hamming: int) -> str:
     return simhash_oracle_sql(max_hamming)
 
 
+def _decontaminate_oracle() -> str:
+    from webpeel_spark.operators.decontaminate import contamination_oracle_sql
+
+    return contamination_oracle_sql("doc_id < 20")
+
+
+def _pii_oracle() -> str:
+    from webpeel_spark.operators.pii import pii_oracle_sql
+
+    return pii_oracle_sql(_safe_path(_pii_parquet))
+
+
 def _source_rank_oracle() -> str:
     from webpeel_spark.operators.source_rank import source_rank_oracle_sql
 
@@ -1193,10 +1266,16 @@ def _safe_path(materialize) -> str:
     try:
         return fn()
     except Exception:
-        name = ("pages_%d_seed42.parquet" % _CORPUS_N
-                if fn is _pages_parquet else "multimodal_64_seed42_ascii.parquet")
+        fallbacks = {
+            _pages_parquet: "pages_%d_seed42.parquet" % _CORPUS_N,
+            _multimodal_parquet: "multimodal_64_seed42_ascii.parquet",
+            _credibility_urls_parquet: "credibility_urls_v1.parquet",
+            _source_rank_parquet: "source_rank_v1.parquet",
+            _pii_parquet: "pii_%d_v1.parquet" % _PII_ROWS,
+        }
         return os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            ".contract_cache", name)
+                            ".contract_cache",
+                            fallbacks.get(fn, "unknown.parquet"))
 
 
 def _relevance_oracle() -> str:

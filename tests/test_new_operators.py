@@ -237,3 +237,49 @@ def test_source_rank_matches_pure_port(spark):
         assert g["freshness"] == e["freshness"], e["url"]
         assert g["is_primary"] == e["isPrimarySource"], e["url"]
         assert abs(g["final_score"] - e["finalScore"]) < 1e-6, e["url"]
+
+
+def test_contamination_flags_planted_benchmark(spark):
+    """Docs sharing a 13-gram with the benchmark flag; others don't;
+    sub-13-word docs use the whole-text gram convention."""
+    from webpeel_spark.operators.decontaminate import contamination_flags
+
+    base = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliett kilo lima mike november oscar papa")   # 16 words
+    docs = spark.createDataFrame(
+        [(0, base),
+         (1, "prefix words " + base),          # shares 13-grams with 0
+         (2, "totally different content that never overlaps benchmark "
+             "text in any thirteen word window at all here today"),
+         (3, "short doc"),                      # whole-text gram
+         (4, "short doc")],                     # identical short doc
+        "doc_id long, text string")
+    benchmark = docs.filter("doc_id = 0 or doc_id = 3")
+    rows = {r["doc_id"]: r for r in
+            contamination_flags(docs, benchmark).collect()}
+    assert rows[0]["flagged"] is True           # benchmark flags itself
+    assert rows[1]["flagged"] is True           # overlapping 13-grams
+    assert rows[2]["flagged"] is False
+    assert rows[3]["flagged"] is True           # whole-text gram hit
+    assert rows[4]["flagged"] is True           # identical short doc
+    assert rows[1]["matched_grams"] >= 1
+
+
+def test_pii_signals_counts_and_redaction(spark):
+    from webpeel_spark.operators.pii import pii_signals
+
+    docs = spark.createDataFrame(
+        [(0, "Mail a@b.io and c.d+x@e-corp.org; call (555) 123-4567; "
+             "host 10.0.0.7 up"),
+         (1, "nothing sensitive here")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in pii_signals(docs).collect()}
+    assert rows[0]["n_emails"] == 2
+    assert rows[0]["n_phones"] == 1
+    assert rows[0]["n_ips"] == 1
+    assert rows[0]["has_pii"] is True
+    red = rows[0]["redacted"]
+    assert "<EMAIL>" in red and "<PHONE>" in red and "<IP>" in red
+    assert "a@b.io" not in red and "555" not in red and "10.0.0.7" not in red
+    assert rows[1]["has_pii"] is False
+    assert rows[1]["redacted"] == "nothing sensitive here"
