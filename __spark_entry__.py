@@ -243,6 +243,37 @@ def _q_extract_images(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 num_partitions=8)
 
 
+def _q_business_intel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-page business-intel signals (business-intel.ts analyzers)
+    over the synthetic corpus."""
+    from webpeel_spark.operators.extract import business_intel_pages
+
+    return business_intel_pages(_pages_df(spark, 120).select("url", "html"),
+                                num_partitions=8).orderBy("url")
+
+
+def _q_semantic_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured /diff-endpoint semantics over two extraction
+    snapshots (diff.ts pure core): JSON pages get dot-notation field
+    diffs, markdown pages LCS section diffs — the expensive UDF runs
+    only on fingerprint-changed rows."""
+    from webpeel_spark.operators.extract import (extract_pages,
+                                                 semantic_diff_snapshots)
+
+    pages = _pages_df(spark, 120).select("url", "html")
+    is_doc = F.col("url").endswith(".pdf") | F.col("url").endswith(".docx")
+    new_pages = pages.withColumn(
+        "html",
+        F.when((F.pmod(F.xxhash64("url"), F.lit(3)) == 0) & ~is_doc,
+               F.encode(F.regexp_replace(F.decode("html", "utf-8"),
+                                         "content", "content-v2"), "utf-8"))
+        .otherwise(F.col("html")),
+    )
+    old_ext = extract_pages(pages, num_partitions=8)
+    new_ext = extract_pages(new_pages, num_partitions=8)
+    return semantic_diff_snapshots(old_ext, new_ext).orderBy("url")
+
+
 def _q_change_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two extraction snapshots diffed by fingerprint (watch.ts /
     change-tracking.ts analog): ~10% urls removed, ~10% added, a third
@@ -1026,6 +1057,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_pairs": _q_link_pairs,
         "extract_images": _q_extract_images,
         "change_tracking": _q_change_tracking,
+        "semantic_diff": _q_semantic_diff,
+        "business_intel": _q_business_intel,
         "budget_distill": _q_budget_distill,
         "quick_answers": _q_quick_answers,
         "bm25_relevance": _q_bm25_relevance,

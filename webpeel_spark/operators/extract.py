@@ -438,6 +438,101 @@ def change_detection_with_diff(old: DataFrame, new: DataFrame) -> DataFrame:
     )
 
 
+BUSINESS_INTEL_SCHEMA = StructType([
+    StructField("url", StringType(), False),
+    StructField("name", StringType(), True),
+    StructField("industry", StringType(), True),
+    StructField("tech_stack", ArrayType(StringType()), False),
+    StructField("social_platforms", ArrayType(StringType()), False),
+    StructField("pricing_plans", IntegerType(), False),
+    StructField("founded", StringType(), True),
+])
+
+
+def business_intel_pages(df: DataFrame,
+                         num_partitions: Optional[int] = None) -> DataFrame:
+    """Per-page business-intelligence signals (business-intel.ts pure
+    analyzers): schema.org/OG company facts, tech-stack fingerprints,
+    social links, pricing plans, industry vote."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from webpeel_spark.pure.business_intel import business_intel
+
+        cols = [f.name for f in BUSINESS_INTEL_SCHEMA.fields]
+        for pdf in it:
+            out = []
+            for url, payload in zip(pdf["url"], pdf["html"]):
+                if payload is None:
+                    continue
+                if isinstance(payload, memoryview):
+                    payload = payload.tobytes()
+                try:
+                    html = payload.decode("utf-8", errors="replace")
+                    intel = business_intel(html)
+                except Exception:
+                    continue
+                out.append((url, intel.get("name"), intel.get("industry"),
+                            intel["tech_stack"],
+                            [s["platform"] for s in intel["social_media"]],
+                            len(intel["pricing"]), intel.get("founded")))
+            yield pd.DataFrame(out, columns=cols)
+
+    pruned = df.select("url", "html")
+    if num_partitions:
+        pruned = pruned.repartition(num_partitions, F.xxhash64("url"))
+    return pruned.mapInPandas(batches, BUSINESS_INTEL_SCHEMA)
+
+
+def semantic_diff_snapshots(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Structured semantic diff between two extraction snapshots — the
+    /diff endpoint's compute core (diff.ts) at corpus scale: JSON
+    content gets a dot-notation field diff, text/markdown an
+    LCS-sectioned diff keyed by the nearest heading.  Same plan shape
+    as change_detection_with_diff: fingerprint classify join, the
+    O(lines²) diff UDF only ever sees rows classified 'changed'."""
+    import pandas as pd
+
+    o = old.select(F.col("url"), F.col("fingerprint").alias("__fp_old"),
+                   F.col("content").alias("__c_old"))
+    n = new.select(F.col("url"), F.col("fingerprint").alias("__fp_new"),
+                   F.col("content").alias("__c_new"))
+    joined = o.join(n, "url", "inner")
+    classified = joined.withColumn(
+        "changed", F.col("__fp_old") != F.col("__fp_new"))
+
+    def diff_batches(batches):
+        from webpeel_spark.pure.semantic_diff import semantic_diff
+
+        for pdf in batches:
+            rows = []
+            for url, c_old, c_new in zip(pdf["url"], pdf["__c_old"],
+                                         pdf["__c_new"]):
+                d = semantic_diff(c_old or "", c_new or "")
+                rows.append((url, d["mode"], len(d["changes"]),
+                             d["summary"], d["lines_added"],
+                             d["lines_removed"]))
+            yield pd.DataFrame(rows, columns=[
+                "url", "mode", "n_changes", "summary",
+                "lines_added", "lines_removed"])
+
+    diffs = (classified.filter("changed")
+             .select("url", "__c_old", "__c_new")
+             .mapInPandas(diff_batches,
+                          "url string, mode string, n_changes int, "
+                          "summary string, lines_added int, "
+                          "lines_removed int"))
+    return (
+        classified.select("url", "changed")
+        .join(diffs, "url", "left")
+        .select("url", "changed", "mode",
+                F.coalesce("n_changes", F.lit(0)).alias("n_changes"),
+                F.coalesce("summary", F.lit("No changes detected."))
+                .alias("summary"),
+                F.coalesce("lines_added", F.lit(0)).alias("lines_added"),
+                F.coalesce("lines_removed", F.lit(0)).alias("lines_removed"))
+    )
+
+
 def extraction_metrics(result: DataFrame) -> DataFrame:
     """Job-level rollup (cleaning-stats analog, markdown.ts:59-157):
     hash-agg with partial+final combine — all built-in Catalyst."""
