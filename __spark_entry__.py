@@ -243,6 +243,59 @@ def _q_extract_images(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 num_partitions=8)
 
 
+def _serp_parquet() -> str:
+    """Deterministic synthetic Google-SERP pages (20 queries × organic
+    results, PAA, related, knowledge panels on a third of them)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".contract_cache")
+    os.makedirs(cache, exist_ok=True)
+    path = os.path.join(cache, "serp_20_v1.parquet")
+    if not os.path.exists(path):
+        urls, htmls = [], []
+        for q in range(20):
+            organic = "".join(
+                f'<div class="g"><a href="https://site{q}-{i}.example/p">'
+                f"<h3>Result {q}-{i}</h3></a>"
+                f'<div class="VwiC3b">Snippet {q} {i} text.</div></div>'
+                for i in range(1 + (q % 5)))
+            paa = "".join(
+                f'<div class="related-question-pair">'
+                f'<div data-q="Question {q}-{j} about topics?"></div>'
+                f'<div class="wDYxhc">Answer {q}-{j}.</div></div>'
+                for j in range(q % 3))
+            related = "".join(
+                f'<a class="k8XOCe" href="#">related {q} {k}</a>'
+                for k in range(q % 4))
+            kp = ""
+            if q % 3 == 0:
+                kp = (f'<div class="kp-wholepage"><h2>Entity {q}</h2>'
+                      f'<div class="wwUB2c">Organization</div></div>')
+            htmls.append(
+                f'<html><body><div id="result-stats">About '
+                f'{1000 + q * 37:,} results (0.{30 + q} seconds)</div>'
+                f'<div id="search">{organic}</div>{kp}{paa}{related}'
+                f"</body></html>".encode("utf-8"))
+            urls.append(f"https://serp.example/search?q=query{q}")
+        tbl = pa.table({"url": pa.array(urls, pa.string()),
+                        "html": pa.array(htmls, pa.binary())})
+        pq.write_table(tbl, path + ".tmp")
+        os.replace(path + ".tmp", path)
+    return path
+
+
+def _q_serp_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SERP block extraction (google-serp-parser.ts port) exploded to
+    one row per organic result."""
+    from webpeel_spark.operators.extract import serp_parse_pages
+
+    serp = spark.read.parquet(_serp_parquet())
+    return serp_parse_pages(serp, num_partitions=4) \
+        .orderBy("url", "position")
+
+
 def _q_business_intel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-page business-intel signals (business-intel.ts analyzers)
     over the synthetic corpus."""
@@ -1059,6 +1112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "change_tracking": _q_change_tracking,
         "semantic_diff": _q_semantic_diff,
         "business_intel": _q_business_intel,
+        "serp_parse": _q_serp_parse,
         "budget_distill": _q_budget_distill,
         "quick_answers": _q_quick_answers,
         "bm25_relevance": _q_bm25_relevance,
@@ -1191,6 +1245,7 @@ def oracle_sql() -> dict[str, str]:
         "source_credibility": _credibility_oracle(),
         "source_rank": _source_rank_oracle(),
         "decontaminate": _decontaminate_oracle(),
+        "serp_parse": _SERP_ORACLE,
         "pii_signals": _pii_oracle(),
         "ann_lsh_topk": _ANN_TOPK_ORACLE,
         "ann_ivf_topk": _ANN_TOPK_ORACLE,
@@ -1263,6 +1318,27 @@ def _simhash_oracle(max_hamming: int) -> str:
     from webpeel_spark.operators.dedup import simhash_oracle_sql
 
     return simhash_oracle_sql(max_hamming)
+
+
+# serp_parse oracle: the SERP corpus is generated from arithmetic on
+# (q, i), so the parser's output has planted ground truth — DuckDB
+# regenerates the expected rows from the same formulas (the structural
+# exactness trick the ANN oracles use).
+_SERP_ORACLE = """
+WITH pages AS (SELECT unnest(range(0, 20)) AS q),
+results AS (SELECT q, unnest(range(0, 1 + (q % 5))) AS i FROM pages)
+SELECT 'https://serp.example/search?q=query' || q AS url,
+       CAST(i + 1 AS INT) AS position,
+       'Result ' || q || '-' || i AS title,
+       'https://site' || q || '-' || i || '.example/p' AS result_url,
+       'Snippet ' || q || ' ' || i || ' text.' AS snippet,
+       CAST(q % 3 AS INT) AS n_paa,
+       CAST(q % 4 AS INT) AS n_related,
+       (q % 3) = 0 AS has_knowledge_panel,
+       format('{:,}', 1000 + q * 37) AS total_results
+FROM results
+ORDER BY url, position
+"""
 
 
 def _decontaminate_oracle() -> str:

@@ -438,6 +438,55 @@ def change_detection_with_diff(old: DataFrame, new: DataFrame) -> DataFrame:
     )
 
 
+SERP_SCHEMA = StructType([
+    StructField("url", StringType(), False),
+    StructField("position", IntegerType(), False),
+    StructField("title", StringType(), False),
+    StructField("result_url", StringType(), False),
+    StructField("snippet", StringType(), False),
+    StructField("n_paa", IntegerType(), False),
+    StructField("n_related", IntegerType(), False),
+    StructField("has_knowledge_panel", BooleanType(), False),
+    StructField("total_results", StringType(), True),
+])
+
+
+def serp_parse_pages(df: DataFrame,
+                     num_partitions: Optional[int] = None) -> DataFrame:
+    """Stored Google SERP pages → one row per organic result, with
+    page-level block counts (google-serp-parser.ts via the pure port)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from webpeel_spark.pure.serp import parse_google_serp
+
+        cols = [f.name for f in SERP_SCHEMA.fields]
+        for pdf in it:
+            out = []
+            for url, payload in zip(pdf["url"], pdf["html"]):
+                if payload is None:
+                    continue
+                if isinstance(payload, memoryview):
+                    payload = payload.tobytes()
+                try:
+                    html = payload.decode("utf-8", errors="replace")
+                    serp = parse_google_serp(html)
+                except Exception:
+                    continue
+                n_paa = len(serp.get("people_also_ask", []))
+                n_rel = len(serp.get("related_searches", []))
+                has_kp = "knowledge_panel" in serp
+                total = serp.get("total_results")
+                for o in serp["organic_results"]:
+                    out.append((url, o["position"], o["title"], o["url"],
+                                o["snippet"], n_paa, n_rel, has_kp, total))
+            yield pd.DataFrame(out, columns=cols)
+
+    pruned = df.select("url", "html")
+    if num_partitions:
+        pruned = pruned.repartition(num_partitions, F.xxhash64("url"))
+    return pruned.mapInPandas(batches, SERP_SCHEMA)
+
+
 BUSINESS_INTEL_SCHEMA = StructType([
     StructField("url", StringType(), False),
     StructField("name", StringType(), True),
