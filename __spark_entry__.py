@@ -296,6 +296,107 @@ def _q_serp_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("url", "position")
 
 
+def _cross_verify_parquet() -> str:
+    """Deterministic multi-engine search-result rows: 3 engines × 10
+    ranks over a 15-url pool (guaranteed overlaps), with url surface
+    forms varied (www., trailing slash, query string, http) so the
+    consensus normalization does real work."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".contract_cache")
+    os.makedirs(cache, exist_ok=True)
+    path = os.path.join(cache, "cross_verify_v1.parquet")
+    if not os.path.exists(path):
+        engines = ["alpha", "beta", "gamma"]
+        rows = {"engine": [], "engine_idx": [], "position": [],
+                "url": [], "title": []}
+        for e, engine in enumerate(engines):
+            for p in range(1, 11):
+                j = (e * 7 + p * 3) % 15
+                form = (e + p) % 3
+                if form == 0:
+                    url = f"https://site{j}.example/page"
+                elif form == 1:
+                    url = f"https://www.site{j}.example/page/"
+                else:
+                    url = f"http://site{j}.example/page?ref=serp"
+                rows["engine"].append(engine)
+                rows["engine_idx"].append(e)
+                rows["position"].append(p)
+                rows["url"].append(url)
+                rows["title"].append(f"Title {e}-{p}")
+        tbl = pa.table({
+            "engine": pa.array(rows["engine"], pa.string()),
+            "engine_idx": pa.array(rows["engine_idx"], pa.int32()),
+            "position": pa.array(rows["position"], pa.int32()),
+            "url": pa.array(rows["url"], pa.string()),
+            "title": pa.array(rows["title"], pa.string()),
+        })
+        pq.write_table(tbl, path + ".tmp")
+        os.replace(path + ".tmp", path)
+    return path
+
+
+def _sitemap_parquet() -> str:
+    """Deterministic sitemap corpus: 2 index files fanning out to 12
+    urlset sitemaps, each with an arithmetic url/lastmod/priority
+    pattern (priority only on every 2nd entry, lastmod every 3rd)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".contract_cache")
+    os.makedirs(cache, exist_ok=True)
+    path = os.path.join(cache, "sitemaps_v1.parquet")
+    if not os.path.exists(path):
+        urls, htmls = [], []
+        for d in range(2):
+            children = "".join(
+                f"<sitemap><loc>https://host{d}.example/sm{s}.xml</loc>"
+                f"</sitemap>" for s in range(6))
+            urls.append(f"https://host{d}.example/sitemap_index.xml")
+            htmls.append((f'<?xml version="1.0"?><sitemapindex>{children}'
+                          f"</sitemapindex>").encode())
+            for s in range(6):
+                entries = []
+                for i in range(3 + (s % 3)):
+                    lastmod = (f"<lastmod>2026-0{1 + i % 9}-15</lastmod>"
+                               if i % 3 == 0 else "")
+                    prio = (f"<priority>0.{5 + i % 5}</priority>"
+                            if i % 2 == 0 else "")
+                    entries.append(
+                        f"<url><loc>https://host{d}.example/p{s}-{i}</loc>"
+                        f"{lastmod}{prio}</url>")
+                urls.append(f"https://host{d}.example/sm{s}.xml")
+                htmls.append((f'<?xml version="1.0"?><urlset>'
+                              f"{''.join(entries)}</urlset>").encode())
+        tbl = pa.table({"url": pa.array(urls, pa.string()),
+                        "html": pa.array(htmls, pa.binary())})
+        pq.write_table(tbl, path + ".tmp")
+        os.replace(path + ".tmp", path)
+    return path
+
+
+def _q_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap entry explosion (sitemap.ts parse core) over stored
+    index + urlset documents; planted-arithmetic exact oracle."""
+    from webpeel_spark.operators.extract import sitemap_parse_pages
+
+    sm = spark.read.parquet(_sitemap_parquet())
+    return sitemap_parse_pages(sm, num_partitions=4) \
+        .orderBy("sitemap_url", "entry")
+
+
+def _q_cross_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-engine consensus (cross-verify.ts) as one grouped agg over
+    normalized urls; exact DuckDB twin."""
+    from webpeel_spark.operators.consensus import consensus_results
+
+    return consensus_results(spark.read.parquet(_cross_verify_parquet()))
+
+
 def _q_business_intel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-page business-intel signals (business-intel.ts analyzers)
     over the synthetic corpus."""
@@ -1113,6 +1214,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_diff": _q_semantic_diff,
         "business_intel": _q_business_intel,
         "serp_parse": _q_serp_parse,
+        "cross_verify": _q_cross_verify,
+        "sitemap_parse": _q_sitemap_parse,
         "budget_distill": _q_budget_distill,
         "quick_answers": _q_quick_answers,
         "bm25_relevance": _q_bm25_relevance,
@@ -1246,6 +1349,8 @@ def oracle_sql() -> dict[str, str]:
         "source_rank": _source_rank_oracle(),
         "decontaminate": _decontaminate_oracle(),
         "serp_parse": _SERP_ORACLE,
+        "cross_verify": _cross_verify_oracle(),
+        "sitemap_parse": _SITEMAP_ORACLE,
         "pii_signals": _pii_oracle(),
         "ann_lsh_topk": _ANN_TOPK_ORACLE,
         "ann_ivf_topk": _ANN_TOPK_ORACLE,
@@ -1347,6 +1452,43 @@ def _decontaminate_oracle() -> str:
     return contamination_oracle_sql("doc_id < 20")
 
 
+# sitemap_parse oracle: regenerate the planted arithmetic corpus
+# (same trick as serp_parse).
+_SITEMAP_ORACLE = """
+WITH dd AS (SELECT unnest(range(0, 2)) AS d),
+ss AS (SELECT d, unnest(range(0, 6)) AS s FROM dd),
+idx AS (
+  SELECT 'https://host' || d || '.example/sitemap_index.xml'
+           AS sitemap_url,
+         'index' AS kind,
+         'https://host' || d || '.example/sm' || s || '.xml' AS entry,
+         CAST(NULL AS VARCHAR) AS lastmod,
+         CAST(NULL AS VARCHAR) AS changefreq,
+         CAST(NULL AS DOUBLE) AS priority
+  FROM ss
+),
+us AS (
+  SELECT 'https://host' || d || '.example/sm' || s || '.xml'
+           AS sitemap_url,
+         'urlset' AS kind,
+         'https://host' || d || '.example/p' || s || '-' || i AS entry,
+         CASE WHEN i % 3 = 0
+              THEN '2026-0' || (1 + i % 9) || '-15' END AS lastmod,
+         CAST(NULL AS VARCHAR) AS changefreq,
+         CASE WHEN i % 2 = 0 THEN (5 + i % 5) / 10.0 END AS priority
+  FROM (SELECT d, s, unnest(range(0, 3 + (s % 3))) AS i FROM ss)
+)
+SELECT * FROM (SELECT * FROM idx UNION ALL SELECT * FROM us)
+ORDER BY sitemap_url, entry
+"""
+
+
+def _cross_verify_oracle() -> str:
+    from webpeel_spark.operators.consensus import consensus_oracle_sql
+
+    return consensus_oracle_sql(_safe_path(_cross_verify_parquet))
+
+
 def _pii_oracle() -> str:
     from webpeel_spark.operators.pii import pii_oracle_sql
 
@@ -1381,6 +1523,7 @@ def _safe_path(materialize) -> str:
             _credibility_urls_parquet: "credibility_urls_v1.parquet",
             _source_rank_parquet: "source_rank_v1.parquet",
             _pii_parquet: "pii_%d_v1.parquet" % _PII_ROWS,
+            _cross_verify_parquet: "cross_verify_v1.parquet",
         }
         return os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             ".contract_cache",

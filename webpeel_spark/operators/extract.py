@@ -438,6 +438,53 @@ def change_detection_with_diff(old: DataFrame, new: DataFrame) -> DataFrame:
     )
 
 
+SITEMAP_SCHEMA = StructType([
+    StructField("sitemap_url", StringType(), False),
+    StructField("kind", StringType(), False),
+    StructField("entry", StringType(), False),
+    StructField("lastmod", StringType(), True),
+    StructField("changefreq", StringType(), True),
+    StructField("priority", DoubleType(), True),
+])
+
+
+def sitemap_parse_pages(df: DataFrame,
+                        num_partitions: Optional[int] = None,
+                        max_urls: int = 10000) -> DataFrame:
+    """Stored sitemap XML → one row per entry (sitemap.ts parse core).
+    Index files yield kind='index' rows whose entry is the child
+    sitemap url — the reference's recursive fetch becomes a self-join
+    against the stored corpus when the child is present."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from webpeel_spark.pure.sitemap import parse_sitemap_xml
+
+        cols = [f.name for f in SITEMAP_SCHEMA.fields]
+        for pdf in it:
+            out = []
+            for url, payload in zip(pdf["url"], pdf["html"]):
+                if payload is None:
+                    continue
+                if isinstance(payload, memoryview):
+                    payload = payload.tobytes()
+                try:
+                    xml = payload.decode("utf-8", errors="replace")
+                    parsed = parse_sitemap_xml(xml, max_urls=max_urls)
+                except Exception:
+                    continue
+                for child in parsed["sitemaps"]:
+                    out.append((url, "index", child, None, None, None))
+                for e in parsed["urls"]:
+                    out.append((url, "urlset", e["url"], e.get("lastmod"),
+                                e.get("changefreq"), e.get("priority")))
+            yield pd.DataFrame(out, columns=cols)
+
+    pruned = df.select("url", "html")
+    if num_partitions:
+        pruned = pruned.repartition(num_partitions, F.xxhash64("url"))
+    return pruned.mapInPandas(batches, SITEMAP_SCHEMA)
+
+
 SERP_SCHEMA = StructType([
     StructField("url", StringType(), False),
     StructField("position", IntegerType(), False),
