@@ -339,6 +339,53 @@ def _cross_verify_parquet() -> str:
     return path
 
 
+def _transcripts_parquet() -> str:
+    """Deterministic transcript segments (15 videos; exact-binary 2.5s
+    starts/durations so ms rounding is engine-independent; video 0 has
+    no channel, videos ≥ 10 start past the hour for the H:MM:SS path)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".contract_cache")
+    os.makedirs(cache, exist_ok=True)
+    path = os.path.join(cache, "transcripts_v1.parquet")
+    if not os.path.exists(path):
+        rows = {"video_id": [], "title": [], "channel": [],
+                "seg_index": [], "start": [], "duration": [], "text": []}
+        for v in range(15):
+            base = 3600.0 if v >= 10 else 0.0
+            for i in range(2 + v % 4):
+                rows["video_id"].append(f"vid{v:02d}")
+                rows["title"].append("" if v % 5 == 0 else f"Video {v}")
+                rows["channel"].append("" if v == 0 else f"Channel {v % 3}")
+                rows["seg_index"].append(i)
+                rows["start"].append(base + i * 2.5)
+                rows["duration"].append(2.5)
+                rows["text"].append(f"Segment {v}-{i} spoken words here")
+        tbl = pa.table({
+            "video_id": pa.array(rows["video_id"], pa.string()),
+            "title": pa.array(rows["title"], pa.string()),
+            "channel": pa.array(rows["channel"], pa.string()),
+            "seg_index": pa.array(rows["seg_index"], pa.int32()),
+            "start": pa.array(rows["start"], pa.float64()),
+            "duration": pa.array(rows["duration"], pa.float64()),
+            "text": pa.array(rows["text"], pa.string()),
+        })
+        pq.write_table(tbl, path + ".tmp")
+        os.replace(path + ".tmp", path)
+    return path
+
+
+def _q_transcript_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRT/TXT/Markdown transcript formatting (transcript-export.ts) as
+    a grouped string aggregation — byte-exact DuckDB twin."""
+    from webpeel_spark.operators.transcripts import transcript_exports
+
+    return transcript_exports(
+        spark.read.parquet(_transcripts_parquet())).orderBy("video_id")
+
+
 def _sitemap_parquet() -> str:
     """Deterministic sitemap corpus: 2 index files fanning out to 12
     urlset sitemaps, each with an arithmetic url/lastmod/priority
@@ -1216,6 +1263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "serp_parse": _q_serp_parse,
         "cross_verify": _q_cross_verify,
         "sitemap_parse": _q_sitemap_parse,
+        "transcript_export": _q_transcript_export,
         "budget_distill": _q_budget_distill,
         "quick_answers": _q_quick_answers,
         "bm25_relevance": _q_bm25_relevance,
@@ -1351,6 +1399,7 @@ def oracle_sql() -> dict[str, str]:
         "serp_parse": _SERP_ORACLE,
         "cross_verify": _cross_verify_oracle(),
         "sitemap_parse": _SITEMAP_ORACLE,
+        "transcript_export": _transcripts_oracle(),
         "pii_signals": _pii_oracle(),
         "ann_lsh_topk": _ANN_TOPK_ORACLE,
         "ann_ivf_topk": _ANN_TOPK_ORACLE,
@@ -1489,6 +1538,12 @@ def _cross_verify_oracle() -> str:
     return consensus_oracle_sql(_safe_path(_cross_verify_parquet))
 
 
+def _transcripts_oracle() -> str:
+    from webpeel_spark.operators.transcripts import transcripts_oracle_sql
+
+    return transcripts_oracle_sql(_safe_path(_transcripts_parquet))
+
+
 def _pii_oracle() -> str:
     from webpeel_spark.operators.pii import pii_oracle_sql
 
@@ -1524,6 +1579,7 @@ def _safe_path(materialize) -> str:
             _source_rank_parquet: "source_rank_v1.parquet",
             _pii_parquet: "pii_%d_v1.parquet" % _PII_ROWS,
             _cross_verify_parquet: "cross_verify_v1.parquet",
+            _transcripts_parquet: "transcripts_v1.parquet",
         }
         return os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             ".contract_cache",

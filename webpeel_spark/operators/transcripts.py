@@ -1,0 +1,135 @@
+"""Corpus-scale transcript formatting — all-Catalyst twin of
+pure/transcript_export.py (transcript-export.ts).
+
+Transcripts are a first-class training-data modality (audio/video →
+aligned text segments); formatting millions of them is a grouped
+string aggregation, not per-row Python:
+
+    scan(video_id, seg_index, start, duration, text, title, channel)
+      → groupBy(video_id): ordered segment collect
+      → transform() index lambdas build SRT blocks / markdown lines
+      → array_join — everything whole-stage-codegen, one shuffle.
+
+``transcripts_oracle_sql`` renders the identical strings in DuckDB
+(list aggregation ordered by seg_index + list_transform over a range)
+so the driver check is byte-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _pad2(c: Column) -> Column:
+    return F.lpad(c.cast("string"), 2, "0")
+
+
+def _srt_ts(sec: Column) -> Column:
+    total_ms = F.round(F.greatest(sec, F.lit(0.0)) * 1000).cast("long")
+    return F.concat(
+        _pad2(F.floor(total_ms / 3600000)), F.lit(":"),
+        _pad2(F.floor(total_ms / 60000) % 60), F.lit(":"),
+        _pad2(F.floor(total_ms / 1000) % 60), F.lit(","),
+        F.lpad((total_ms % 1000).cast("string"), 3, "0"))
+
+
+def _readable_ts(sec: Column) -> Column:
+    total_sec = F.floor(F.greatest(sec, F.lit(0.0))).cast("long")
+    h = F.floor(total_sec / 3600)
+    m = F.floor(total_sec / 60) % 60
+    s = total_sec % 60
+    return F.when(h > 0, F.concat(h.cast("string"), F.lit(":"),
+                                  _pad2(m), F.lit(":"), _pad2(s))) \
+            .otherwise(F.concat(m.cast("string"), F.lit(":"), _pad2(s)))
+
+
+def transcript_exports(df: DataFrame) -> DataFrame:
+    """(video_id, title, channel, seg_index, start, duration, text) →
+    one row per video with srt / txt / markdown renderings."""
+    segs = F.sort_array(F.collect_list(
+        F.struct("seg_index", "start", "duration", "text")))
+
+    def srt_block(s: Column, i: Column) -> Column:
+        return F.concat(
+            (i + 1).cast("string"), F.lit("\n"),
+            _srt_ts(s.start), F.lit(" --> "),
+            _srt_ts(s.start + F.greatest(s.duration, F.lit(0.0))),
+            F.lit("\n"), s.text)
+
+    def md_line(s: Column) -> Column:
+        return F.concat(F.lit("**["), _readable_ts(s.start),
+                        F.lit("]** "), s.text)
+
+    grouped = df.groupBy("video_id").agg(
+        F.first("title").alias("title"),
+        F.first("channel").alias("channel"),
+        segs.alias("__segs"),
+    )
+    title = F.when(F.col("title") == "", "Transcript") \
+        .otherwise(F.col("title"))
+    header = F.concat(
+        F.lit("# "), title, F.lit("\n\n"),
+        F.when(F.col("channel") != "",
+               F.concat(F.lit("**Channel:** "), F.col("channel"),
+                        F.lit("\n\n"))).otherwise(F.lit("")),
+        F.lit("## Transcript\n\n"))
+    return grouped.select(
+        "video_id",
+        F.array_join(F.transform(F.col("__segs"), srt_block), "\n\n")
+        .alias("srt"),
+        F.array_join(F.transform(F.col("__segs"), lambda s: s.text), "\n")
+        .alias("txt"),
+        F.concat(header,
+                 F.array_join(F.transform(F.col("__segs"), md_line), "\n"))
+        .alias("markdown"),
+    )
+
+
+def _sql_srt_ts(ms: str) -> str:
+    return (f"lpad(CAST(({ms}) // 3600000 AS VARCHAR), 2, '0') || ':' || "
+            f"lpad(CAST(({ms}) // 60000 % 60 AS VARCHAR), 2, '0') || ':' || "
+            f"lpad(CAST(({ms}) // 1000 % 60 AS VARCHAR), 2, '0') || ',' || "
+            f"lpad(CAST(({ms}) % 1000 AS VARCHAR), 3, '0')")
+
+
+def transcripts_oracle_sql(parquet_path: str) -> str:
+    start_ms = "CAST(round(greatest(segs[i].start, 0) * 1000) AS BIGINT)"
+    end_ms = ("CAST(round((segs[i].start + greatest(segs[i].duration, 0)) "
+              "* 1000) AS BIGINT)")
+    tsec = "CAST(floor(greatest(s.start, 0)) AS BIGINT)"
+    readable = (
+        f"CASE WHEN {tsec} >= 3600 THEN CAST({tsec} // 3600 AS VARCHAR)"
+        f" || ':' || lpad(CAST({tsec} // 60 % 60 AS VARCHAR), 2, '0')"
+        f" || ':' || lpad(CAST({tsec} % 60 AS VARCHAR), 2, '0')"
+        f" ELSE CAST({tsec} // 60 AS VARCHAR)"
+        f" || ':' || lpad(CAST({tsec} % 60 AS VARCHAR), 2, '0') END")
+    return f"""
+WITH g AS (
+  SELECT video_id,
+         any_value(title) AS title,
+         any_value(channel) AS channel,
+         list(struct_pack(seg_index := seg_index, start := start,
+                          duration := duration, text := text)
+              ORDER BY seg_index) AS segs
+  FROM read_parquet('{parquet_path}')
+  GROUP BY video_id
+)
+SELECT video_id,
+  array_to_string(list_transform(range(1, len(segs) + 1), i ->
+    CAST(i AS VARCHAR) || chr(10) ||
+    {_sql_srt_ts(start_ms)} || ' --> ' || {_sql_srt_ts(end_ms)} ||
+    chr(10) || segs[i].text
+  ), chr(10) || chr(10)) AS srt,
+  array_to_string(list_transform(segs, s -> s.text), chr(10)) AS txt,
+  '# ' || CASE WHEN title = '' THEN 'Transcript' ELSE title END
+    || chr(10) || chr(10)
+    || CASE WHEN channel <> ''
+            THEN '**Channel:** ' || channel || chr(10) || chr(10)
+            ELSE '' END
+    || '## Transcript' || chr(10) || chr(10)
+    || array_to_string(list_transform(segs, s ->
+         '**[' || {readable} || ']** ' || s.text), chr(10)) AS markdown
+FROM g
+ORDER BY video_id
+"""
