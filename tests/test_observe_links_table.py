@@ -254,3 +254,43 @@ class TestObserve:
     def test_empty_page(self):
         r = observe_html("<html><body><p>nothing</p></body></html>")
         assert r["totalElements"] == 0
+
+
+class TestEnvelopeLinkPairs:
+    def test_envelope_matches_standalone_extractor(self):
+        """The pipeline's link_pairs column (shared anchor walk) must
+        equal the standalone links.ts port run on the same page."""
+        from webpeel_spark.pure.pipeline import extract_page
+        from webpeel_spark.sources.corpus import generate_rows
+
+        checked = 0
+        for row in generate_rows(40, 42):
+            result = extract_page(row["url"], row["html"])
+            if result["branch"] != "html":
+                assert result["link_pairs"] == []
+                continue
+            html = row["html"].decode("utf-8", errors="replace")
+            expected = extract_link_pairs(
+                html[:100000] if len(html) > 100000 else html, row["url"])
+            assert result["link_pairs"] == expected, row["url"]
+            if expected:
+                checked += 1
+        assert checked >= 5  # corpus genuinely exercises the path
+
+    def test_link_pairs_urls_subset_relationship(self):
+        """Every url in link_pairs resolves from the same anchors the
+        url-only list saw (pair list may keep non-http schemes the
+        url-only list drops — both faithful to their references)."""
+        from webpeel_spark.pure.pipeline import extract_page
+        from webpeel_spark.sources.corpus import generate_rows
+
+        for row in generate_rows(20, 42):
+            r = extract_page(row["url"], row["html"])
+            if r["branch"] != "html" or not r["links"]:
+                continue
+            pair_urls = {p["url"] for p in r["link_pairs"]}
+            # http(s) links in the url-only list come from the same
+            # anchor walk → each appears among the pair urls
+            for u in r["links"]:
+                if u.startswith(("http://", "https://")):
+                    assert u in pair_urls or u.rstrip("/") in pair_urls
