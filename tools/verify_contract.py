@@ -66,6 +66,13 @@ def main() -> int:
     failures = 0
     only = sys.argv[1:] or None
 
+    if len(qs) > 50:
+        print(f"FAIL  registry: {len(qs)} queries() entries — the "
+              f"driver evaluates only the first 50")
+        failures += 1
+    else:
+        print(f"ok    registry: {len(qs)}/50 queries() entries")
+
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -73,6 +80,14 @@ def main() -> int:
             sdf = fn(spark, SF_DIR)
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
+            # emulate the driver's pandas canonicalizer: it sorts the
+            # result with sort_values over ALL columns, which raises
+            # "unhashable type: 'list'" on ArrayType/MapType cells —
+            # catch that here before the driver does (round-3 lesson)
+            import pandas as _pd
+            _pdf = _pd.DataFrame(srows, columns=scols)
+            if len(_pdf):
+                _pdf.sort_values(by=list(scols), inplace=False)
         except Exception as e:
             print(f"FAIL  {name}: spark error {type(e).__name__}: {e}")
             failures += 1

@@ -83,7 +83,8 @@ WITH t AS (
 ), active AS (SELECT count(DISTINCT engine) AS n FROM t)
 SELECT norm_url AS url,
        arg_min(title, k) AS title,
-       list(engine ORDER BY engine_idx, position) AS appears_in,
+       array_to_string(list(engine ORDER BY engine_idx, position),
+                       ',') AS appears_in,
        round(count(*) * 1.0 / greatest((SELECT n FROM active), 1), 6)
          AS agreement_score,
        round(avg(position), 6) AS average_position
