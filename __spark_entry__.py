@@ -637,20 +637,127 @@ def _q_extract_listings(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   num_partitions=8)
 
 
+_PLANTED_AUTO_PAGES = 24
+
+
+def _planted_auto_page(p: int) -> tuple[str, str]:
+    """(url, html) for one planted auto-extract page.  Page type
+    cycles with p % 6 (pricing / contact / article / api-docs /
+    products / unknown+SPA) and item counts vary with q = p // 6, so
+    detection outcome, item count, headline and SPA flag are all
+    regenerable in SQL.  API paths are letter-coded (chr) because the
+    reference's URL-path detector only matches digit-free segments."""
+    t, q = p % 6, p // 6
+    if t == 0:
+        n = 2 + q % 3
+        cards = "".join(
+            f'<div class="plan-card"><h3>Tier {p} {k}</h3>'
+            f"<p>${10 + k}/mo</p><ul><li>Feature {p} {k} A</li></ul>"
+            f"<a>Sign up</a></div>" for k in range(n))
+        return (f"https://auto{p}.example/pricing",
+                f"<html><head><title>Pricing {p}</title></head>"
+                f"<body>{cards}</body></html>")
+    if t == 1:
+        n = 1 + q % 2
+        emails = " or ".join(f"team{p}x{k}@example{p}.com"
+                             for k in range(n))
+        return (f"https://auto{p}.example/contact",
+                f"<html><head><title>Contact {p}</title></head><body>"
+                f"<p>Email us at {emails} today.</p></body></html>")
+    if t == 2:
+        n = 1 + q % 3
+        secs = "".join(f"<h2>Section {p} {k}</h2><p>Body {p} {k} "
+                       f"text.</p>" for k in range(n))
+        return (f"https://auto{p}.example/blog/post",
+                f"<html><head><title>Auto Article {p}</title>"
+                f'<meta name="author" content="Writer {p}"></head>'
+                f"<body><article><h1>Auto Article {p}</h1>"
+                f"<p>Intro paragraph {p} opens the piece.</p>{secs}"
+                f"</article></body></html>")
+    if t == 3:
+        n = 1 + q % 3
+        methods = ["GET", "POST", "PUT"]
+        lines = "\n".join(
+            f"{methods[k]} /v1/res/{chr(97 + p % 24)}{chr(97 + k)}"
+            for k in range(n))
+        return (f"https://auto{p}.example/docs",
+                f"<html><head><title>Docs {p}</title></head><body>"
+                f"<pre><code>{lines}</code></pre></body></html>")
+    if t == 4:
+        n = 3 + q % 2
+        cards = "".join(
+            f'<div class="product-card"><h4>Gadget {p} {k}</h4>'
+            f'<p>${5 + k}.50</p><img src="/i/{p}-{k}.png">'
+            f'<a href="/buy/{p}-{k}">Buy</a></div>' for k in range(n))
+        return (f"https://auto{p}.example/shop",
+                f"<html><head><title>Shop {p}</title></head>"
+                f"<body>{cards}</body></html>")
+    spa = q % 2 == 1
+    body = ('<div id="root"></div>' if spa
+            else f"<p>Nothing here {p}.</p>")
+    return (f"https://auto{p}.example/misc",
+            f"<html><head><title>Misc {p}</title></head>"
+            f"<body>{body}</body></html>")
+
+
+def _planted_auto_parquet() -> str:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".contract_cache")
+    os.makedirs(cache, exist_ok=True)
+    path = os.path.join(cache, "planted_auto_%d_v1.parquet"
+                        % _PLANTED_AUTO_PAGES)
+    if not os.path.exists(path):
+        pairs = [_planted_auto_page(p) for p in range(_PLANTED_AUTO_PAGES)]
+        tbl = pa.table({
+            "url": pa.array([u for u, _ in pairs], pa.string()),
+            "html": pa.array([h.encode("utf-8") for _, h in pairs],
+                             pa.binary()),
+        })
+        pq.write_table(tbl, path + ".tmp")
+        os.replace(path + ".tmp", path)
+    return path
+
+
 def _q_auto_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic structured extraction (auto-extract.ts port): page-type
-    detection + typed field extraction over a corpus that includes
-    pricing / contact / api-docs / SPA-shell pages (auto_fraction
-    appends them; the base corpus supplies articles, products and
-    unknowns)."""
+    detection + typed field extraction over the planted six-type
+    corpus — detection outcome, item count, headline and SPA flag are
+    oracle-exact.  The full typed payload JSON is dropped at the
+    contract boundary (its detail is pinned by the 41-case reference
+    suite in tests/test_auto_extract_ref.py)."""
     from webpeel_spark.operators.extract import auto_extract_pages
-    from webpeel_spark.sources.corpus import generate_rows
 
-    rows = generate_rows(160, seed=42, listing_fraction=0.05,
-                         auto_fraction=0.15)
-    pages = spark.createDataFrame(
-        [(r["url"], r["html"]) for r in rows], "url string, html binary")
-    return auto_extract_pages(pages, num_partitions=8).orderBy("url")
+    pages = spark.read.parquet(_planted_auto_parquet())
+    return auto_extract_pages(pages, num_partitions=4) \
+        .drop("payload").orderBy("url")
+
+
+_AUTO_EXTRACT_ORACLE = f"""
+WITH pages AS (
+  SELECT p, p % 6 AS t, p // 6 AS q
+  FROM (SELECT unnest(range(0, {_PLANTED_AUTO_PAGES})) AS p)
+)
+SELECT 'https://auto' || p || '.example' ||
+         CASE t WHEN 0 THEN '/pricing' WHEN 1 THEN '/contact'
+                WHEN 2 THEN '/blog/post' WHEN 3 THEN '/docs'
+                WHEN 4 THEN '/shop' ELSE '/misc' END AS url,
+       CASE t WHEN 0 THEN 'pricing' WHEN 1 THEN 'contact'
+              WHEN 2 THEN 'article' WHEN 3 THEN 'api_docs'
+              WHEN 4 THEN 'products' ELSE 'unknown' END AS page_type,
+       CAST(CASE t WHEN 0 THEN 2 + q % 3 WHEN 1 THEN 1 + q % 2
+                   WHEN 2 THEN 1 + q % 3 WHEN 3 THEN 1 + q % 3
+                   WHEN 4 THEN 3 + q % 2 ELSE 0 END AS INT) AS n_items,
+       CASE t WHEN 0 THEN 'Tier ' || p || ' 0'
+              WHEN 1 THEN 'team' || p || 'x0@example' || p || '.com'
+              WHEN 2 THEN 'Auto Article ' || p
+              WHEN 3 THEN 'https://api.auto' || p || '.example'
+              WHEN 4 THEN 'Gadget ' || p || ' 0' END AS headline,
+       (t = 5 AND q % 2 = 1) AS is_spa
+FROM pages ORDER BY url
+"""
 
 
 def _q_schema_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -804,6 +911,163 @@ def _q_link_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("url", "link_url")
 
 
+_PLANTED_ART_PAGES = 24
+
+
+def _planted_article_html(p: int) -> str:
+    """One planted article: title/meta/paragraph text are arithmetic
+    in (p, s), so the FULL extraction envelope — markdown content
+    bytes, sha256 fingerprint, word/token counts, quality score,
+    metadata chains — is reconstructible in SQL.  This converts the
+    flagship extraction path from pytest-pinned to driver-proven:
+    the oracle regenerates the expected extracted text per url and
+    compares byte-identically (the north-rule per-row invariant)."""
+    n = 3 + p % 4 + (40 if p % 8 == 2 else 0)   # 3 long pages → 2 chunks
+    day = 1 + p % 28
+    paras = "".join(
+        f"<p>The planted paragraph {p} {s} is part of the body text "
+        f"here.</p>" for s in range(n))
+    return (
+        f"<html><head><title>Planted Article {p}</title>"
+        f'<meta name="description" content="Planted description {p} '
+        f'for the envelope oracle.">'
+        f'<meta name="author" content="Author {p}">'
+        f'<link rel="canonical" href="https://planted.example/canonical/{p}">'
+        f'<meta property="article:published_time" '
+        f'content="2024-03-{day:02d}T08:30:00.000Z">'
+        f"</head><body><article><h1>Planted Article {p}</h1>{paras}"
+        f'<p>See <a href="/ref/{p}">reference {p}</a> for details.</p>'
+        f"</article></body></html>")
+
+
+def _planted_articles_parquet() -> str:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".contract_cache")
+    os.makedirs(cache, exist_ok=True)
+    path = os.path.join(cache, "planted_articles_%d_v2.parquet"
+                        % _PLANTED_ART_PAGES)
+    if not os.path.exists(path):
+        urls = [f"https://planted.example/art{p}"
+                for p in range(_PLANTED_ART_PAGES)]
+        htmls = [_planted_article_html(p).encode("utf-8")
+                 for p in range(_PLANTED_ART_PAGES)]
+        tbl = pa.table({"url": pa.array(urls, pa.string()),
+                        "html": pa.array(htmls, pa.binary())})
+        pq.write_table(tbl, path + ".tmp")
+        os.replace(path + ".tmp", path)
+    return path
+
+
+def _q_extract_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full extraction envelope over the planted article corpus with
+    an EXACT DuckDB twin: content bytes, fingerprint, counts, quality
+    and metadata are all formula-reconstructed by the oracle, proving
+    the html→markdown pipeline byte-identical at the driver level."""
+    from webpeel_spark.operators.extract import extract_pages
+
+    pages = spark.read.parquet(_planted_articles_parquet())
+    out = extract_pages(pages, num_partitions=4)
+    return out.select(
+        "url", "status", "error", "branch", "extractor", "method",
+        "title", "content", "description", "author", "published",
+        "canonical", "language", "word_count", "token_estimate", "quality",
+        "link_count", "fingerprint", "content_len", "html_len",
+        "pruned_percent", "auth_required", "injection_detected",
+        F.size("chunks").alias("n_chunks"),
+    ).orderBy("url")
+
+
+# extract_planted oracle: rebuild BOTH the input html and the expected
+# markdown from the planting formulas, then derive every envelope
+# column the way the engine defines it (word split, ceil(len/4)
+# tokens, the 4-component quality score, sha256 fingerprint).
+_EXTRACT_PLANTED_ORACLE = f"""
+WITH pages AS (
+  SELECT p, 3 + (p % 4) + CASE WHEN p % 8 = 2 THEN 40 ELSE 0 END AS n,
+         1 + (p % 28) AS day
+  FROM (SELECT unnest(range(0, {_PLANTED_ART_PAGES})) AS p)
+),
+body AS (
+  SELECT p,
+    string_agg('<p>The planted paragraph ' || p || ' ' || s ||
+               ' is part of the body text here.</p>', '' ORDER BY s)
+      AS paras_html,
+    string_agg(e'\\n\\nThe planted paragraph ' || p || ' ' || s ||
+               ' is part of the body text here.', '' ORDER BY s)
+      AS paras_md
+  FROM (SELECT p, unnest(range(0, n)) AS s FROM pages) GROUP BY p
+),
+built AS (
+  SELECT g.p, g.day,
+    '<html><head><title>Planted Article ' || g.p || '</title>' ||
+    '<meta name="description" content="Planted description ' || g.p ||
+    ' for the envelope oracle.">' ||
+    '<meta name="author" content="Author ' || g.p || '">' ||
+    '<link rel="canonical" href="https://planted.example/canonical/' ||
+    g.p || '">' ||
+    '<meta property="article:published_time" content="2024-03-' ||
+    lpad(CAST(g.day AS VARCHAR), 2, '0') || 'T08:30:00.000Z">' ||
+    '</head><body><article><h1>Planted Article ' || g.p || '</h1>' ||
+    b.paras_html ||
+    '<p>See <a href="/ref/' || g.p || '">reference ' || g.p ||
+    '</a> for details.</p></article></body></html>' AS html,
+    '# Planted Article ' || g.p || b.paras_md ||
+    e'\\n\\nSee [reference ' || g.p || '](/ref/' || g.p ||
+    ') for details.' AS content
+  FROM pages g JOIN body b USING (p)
+),
+m AS (
+  SELECT p, day, content,
+         length(content) AS content_len,
+         length(html) AS html_len,
+         length(trim(regexp_replace(content,
+                 '[#*_\\[\\]()\\-`|>]', '', 'g'), e' \\t\\n\\r'))
+           AS text_len
+  FROM built
+)
+SELECT 'https://planted.example/art' || p AS url,
+  'ok' AS status, CAST(NULL AS VARCHAR) AS error, 'html' AS branch,
+  '' AS extractor, 'detected' AS method,
+  'Planted Article ' || p AS title,
+  content,
+  'Planted description ' || p || ' for the envelope oracle.'
+    AS description,
+  'Author ' || p AS author,
+  '2024-03-' || lpad(CAST(day AS VARCHAR), 2, '0') || 'T08:30:00.000Z'
+    AS published,
+  'https://planted.example/canonical/' || p AS canonical,
+  'en' AS language,
+  CAST(len(string_split_regex(trim(content), '\\s+')) AS INT)
+    AS word_count,
+  CAST(ceil(content_len / 4.0) AS INT) AS token_estimate,
+  round((
+    (CASE WHEN content_len * 1.0 / html_len < 0.01 THEN 0.3
+          WHEN content_len * 1.0 / html_len < 0.05 THEN 0.7
+          WHEN content_len * 1.0 / html_len < 0.40 THEN 1.0
+          WHEN content_len * 1.0 / html_len < 0.60 THEN 0.8
+          ELSE 0.5 END) * 0.3
+    + least((text_len * 1.0 / content_len) / 0.7, 1.0) * 0.3
+    + 0.2
+    + (CASE WHEN content_len < 50 THEN 0.3
+            WHEN content_len < 200 THEN 0.6
+            WHEN content_len < 50000 THEN 1.0 ELSE 0.8 END) * 0.2
+  ) * 100) / 100 AS quality,
+  CAST(1 AS INT) AS link_count,
+  sha256(content) AS fingerprint,
+  CAST(content_len AS BIGINT) AS content_len,
+  CAST(html_len AS BIGINT) AS html_len,
+  CAST(0 AS INT) AS pruned_percent,
+  false AS auth_required,
+  false AS injection_detected,
+  CAST(CASE WHEN ceil(content_len / 4.0) > 512 THEN 2 ELSE 1 END
+       AS INT) AS n_chunks
+FROM m ORDER BY url
+"""
+
+
 def _q_bm25_relevance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from webpeel_spark.operators.text_analysis import relevance_scores
 
@@ -811,11 +1075,15 @@ def _q_bm25_relevance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_schema_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CSS-selector/schema extraction over the synthetic pages corpus
-    (extract.ts:68-151 port) — one mapInPandas stage, exploded fields."""
+    """CSS-selector/schema extraction (extract.ts:68-151 port) — one
+    mapInPandas stage over the planted article corpus, so every
+    selector hit (title / h1 / canonical@href) and every
+    schema-inferred field (author / description meta chains) is
+    regenerated exactly by the DuckDB oracle.  Realistic-corpus
+    behavior stays pinned by tests (test_new_operators)."""
     import pandas as pd
 
-    pages = _pages_df(spark, 120).select("url", "html")
+    pages = spark.read.parquet(_planted_articles_parquet())
 
     def batches(it):
         from webpeel_spark.pure.schema_extract import extract_structured
@@ -833,13 +1101,29 @@ def _q_schema_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 out.append((url, r["title"] if isinstance(r["title"], str) else None,
                             r["h1"] if isinstance(r["h1"], str) else None,
+                            r["canonical"]
+                            if isinstance(r["canonical"], str) else None,
                             r["author"], r["description"]))
             yield pd.DataFrame(
-                out, columns=["url", "title", "h1", "author", "description"])
+                out, columns=["url", "title", "h1", "canonical",
+                              "author", "description"])
 
     return pages.mapInPandas(
-        batches, "url string, title string, h1 string, author string, "
-                 "description string")
+        batches, "url string, title string, h1 string, canonical string, "
+                 "author string, description string").orderBy("url")
+
+
+_SCHEMA_EXTRACT_ORACLE = f"""
+WITH pages AS (SELECT unnest(range(0, {_PLANTED_ART_PAGES})) AS p)
+SELECT 'https://planted.example/art' || p AS url,
+       'Planted Article ' || p AS title,
+       'Planted Article ' || p AS h1,
+       'https://planted.example/canonical/' || p AS canonical,
+       'Author ' || p AS author,
+       'Planted description ' || p || ' for the envelope oracle.'
+         AS description
+FROM pages ORDER BY url
+"""
 
 
 def _multimodal_parquet() -> str:
@@ -1281,6 +1565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_images": _q_extract_images,
         "schema_extract": _q_schema_extract,
         "auto_extract": _q_auto_extract,
+        "extract_planted": _q_extract_planted,
         # ── rows-only: extraction pipeline / streaming / lineage ────
         "extract_flagship": _q_extract_flagship,
         "extract_rollup": _q_extract_rollup,
@@ -1416,6 +1701,9 @@ def oracle_sql() -> dict[str, str]:
         "link_pairs": _LINK_PAIRS_ORACLE,
         "extract_images": _EXTRACT_IMAGES_ORACLE,
         "observe_elements": _OBSERVE_ORACLE,
+        "extract_planted": _EXTRACT_PLANTED_ORACLE,
+        "schema_extract": _SCHEMA_EXTRACT_ORACLE,
+        "auto_extract": _AUTO_EXTRACT_ORACLE,
         "transcript_export": _transcripts_oracle(),
         "pii_signals": _pii_oracle(),
         "ann_lsh_topk": _ANN_TOPK_ORACLE,
