@@ -1068,6 +1068,173 @@ FROM m ORDER BY url
 """
 
 
+_PLANTED_JOBS_PAGES = 20
+
+
+def _planted_jobs_page(p: int) -> tuple[str, str]:
+    """(search_url, markdown) for one planted job-board search page.
+    Source cycles with p // 5 (linkedin / glassdoor / indeed / upwork),
+    card count with p % 5 — every parsed card field is arithmetic in
+    (p, k) so the jobs_parse oracle regenerates the exploded rows."""
+    s, w = p // 5, p % 5
+    n = 2 + w % 3
+    if s == 0:  # linkedin markdown list
+        url = f"https://www.linkedin.com/jobs/search/?keywords=role{p}"
+        parts = [f"# {1000 + p * 13} jobs in Testville\n"]
+        for k in range(n):
+            sal = f"\n  ${90 + k},500 a year" if k % 2 == 0 else ""
+            rem = "\n  Remote friendly team" if k % 3 == 0 else ""
+            parts.append(
+                f"\n- [Job {p} {k}](https://www.linkedin.com/jobs/view/"
+                f"{p}00{k})\n"
+                f"  ### Role {p} {k}\n"
+                f"  #### [Company {p} {k}](https://example.com/c)\n"
+                f"  New York, NY {k + 1} days ago{sal}{rem}\n")
+        return url, "".join(parts)
+    if s == 1:  # glassdoor card list
+        url = f"https://www.glassdoor.com/Job/jobs.htm?sc.keyword=role{p}"
+        parts = [f"# {2000 + p * 7} jobs\n"]
+        for k in range(n):
+            rating = f"\n  4.{k % 10}" if k % 2 == 0 else ""
+            parts.append(
+                f"\n- Company {p} {k}{rating}\n"
+                f"  [Role {p} {k}](https://www.glassdoor.com/job-listing/"
+                f"role-{p}-{k})\n"
+                f"  Austin, TX\n"
+                f"  ${100 + k}K est.\n"
+                f"  The planted glassdoor snippet for card {p} {k} runs "
+                f"well past forty.\n"
+                f"  **Skills:** Python {p}, Spark {k}\n"
+                f"  {k + 2}d\n")
+        return url, "".join(parts)
+    if s == 2:  # indeed markdown mode
+        url = f"https://www.indeed.com/jobs?q=role{p}"
+        parts = [f"Showing 1 of {3000 + p * 11} jobs\n"]
+        for k in range(n):
+            jk = f"a{format(p, 'x')}b{format(k, 'x')}c0"
+            rem = ("\n  Remote position available today"
+                   if k % 3 == 0 else "")
+            parts.append(
+                f"\n- [Role {p} {k}](https://www.indeed.com/rc/clk?jk="
+                f"{jk}&from=serp)\n"
+                f"  Company {p} {k}\n"
+                f"  Boston, MA\n"
+                f"  ${80 + k},000 a year{rem}\n")
+        return url, "".join(parts)
+    url = f"https://www.upwork.com/nx/search/jobs/?q=role{p}"
+    parts = [f"{40 + p} jobs found\n"]
+    exps = ["Expert", "Intermediate", "Beginner"]
+    for k in range(n):
+        jt = "Hourly" if k % 2 == 0 else "Fixed-price"
+        parts.append(
+            f"\n- [Task {p} {k}](https://www.upwork.com/jobs/"
+            f"task-{p}-{k})\n"
+            f"  ${15 + k}/hr\n"
+            f"  {jt} job posting\n"
+            f"  {exps[k % 3]} level required\n"
+            f"  4.{k % 10} of 5 stars\n"
+            f"  ${10 + k}K+ total spent\n"
+            f"  This planted description line for task {p} {k} easily "
+            f"exceeds sixty characters.\n"
+            f"  Skills: Python {p}, ETL {k}\n"
+            f"  Posted {k + 1}d ago\n")
+    return url, "".join(parts)
+
+
+def _planted_jobs_parquet() -> str:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".contract_cache")
+    os.makedirs(cache, exist_ok=True)
+    path = os.path.join(cache, "planted_jobs_%d_v1.parquet"
+                        % _PLANTED_JOBS_PAGES)
+    if not os.path.exists(path):
+        pairs = [_planted_jobs_page(p) for p in range(_PLANTED_JOBS_PAGES)]
+        tbl = pa.table({
+            "url": pa.array([u for u, _ in pairs], pa.string()),
+            "content": pa.array([c for _, c in pairs], pa.string()),
+        })
+        pq.write_table(tbl, path + ".tmp")
+        os.replace(path + ".tmp", path)
+    return path
+
+
+def _q_jobs_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Job-board search parsing (jobs.ts:162-497 parse cores) exploded
+    one row per job card over the planted 4-source corpus — titles,
+    companies, salaries, dates, ratings, upwork budget/type/experience
+    fields and per-page totals are all oracle-exact."""
+    from webpeel_spark.operators.jobs import parse_job_pages
+
+    pages = spark.read.parquet(_planted_jobs_parquet())
+    return parse_job_pages(pages, num_partitions=4) \
+        .orderBy("url", "position")
+
+
+_JOBS_PARSE_ORACLE = f"""
+WITH pages AS (
+  SELECT p, p // 5 AS s, 2 + (p % 5) % 3 AS n
+  FROM (SELECT unnest(range(0, {_PLANTED_JOBS_PAGES})) AS p)
+),
+cards AS (SELECT p, s, unnest(range(0, n)) AS k FROM pages)
+SELECT
+  CASE s WHEN 0 THEN 'https://www.linkedin.com/jobs/search/?keywords=role' || p
+         WHEN 1 THEN 'https://www.glassdoor.com/Job/jobs.htm?sc.keyword=role' || p
+         WHEN 2 THEN 'https://www.indeed.com/jobs?q=role' || p
+         ELSE 'https://www.upwork.com/nx/search/jobs/?q=role' || p
+  END AS url,
+  CASE s WHEN 0 THEN 'linkedin' WHEN 1 THEN 'glassdoor'
+         WHEN 2 THEN 'indeed' ELSE 'upwork' END AS source,
+  CAST(k AS INT) AS position,
+  CASE WHEN s = 3 THEN 'Task ' || p || ' ' || k
+       ELSE 'Role ' || p || ' ' || k END AS title,
+  CASE WHEN s = 3 THEN '' ELSE 'Company ' || p || ' ' || k END AS company,
+  CASE s WHEN 0 THEN 'New York, NY' WHEN 1 THEN 'Austin, TX'
+         WHEN 2 THEN 'Boston, MA' ELSE 'Remote' END AS location,
+  CASE s WHEN 0 THEN CASE WHEN k % 2 = 0
+                          THEN '$' || (90 + k) || ',500 a year' END
+         WHEN 1 THEN '$' || (100 + k) || 'K'
+         WHEN 2 THEN '$' || (80 + k) || ',000 a year'
+         ELSE '$' || (15 + k) || '/hr' END AS salary,
+  CASE s WHEN 0 THEN k % 3 = 0 WHEN 1 THEN false
+         WHEN 2 THEN k % 3 = 0 ELSE true END AS remote,
+  CASE s WHEN 0 THEN (k + 1) || ' days ago'
+         WHEN 1 THEN (k + 2) || 'd'
+         WHEN 2 THEN CAST(NULL AS VARCHAR)
+         ELSE (k + 1) || 'd' END AS posted_at,
+  CASE s WHEN 0 THEN 'https://www.linkedin.com/jobs/view/' || p || '00' || k
+         WHEN 1 THEN 'https://www.glassdoor.com/job-listing/role-' || p
+                       || '-' || k
+         WHEN 2 THEN 'https://www.indeed.com/viewjob?jk=a'
+                       || lower(to_hex(p)) || 'b' || lower(to_hex(k))
+                       || 'c0'
+         ELSE 'https://www.upwork.com/jobs/task-' || p || '-' || k
+  END AS detail_url,
+  CASE s WHEN 1 THEN 'The planted glassdoor snippet for card ' || p ||
+                     ' ' || k || ' runs well past forty.'
+         WHEN 3 THEN 'This planted description line for task ' || p ||
+                     ' ' || k || ' easily exceeds sixty characters.'
+  END AS snippet,
+  CASE s WHEN 1 THEN 'Python ' || p || ',Spark ' || k
+         WHEN 3 THEN 'Python ' || p || ',ETL ' || k END AS skills,
+  CASE WHEN (s = 1 AND k % 2 = 0) OR s = 3
+       THEN CAST('4.' || (k % 10) AS DOUBLE) END AS rating,
+  CASE WHEN s = 3 THEN CASE WHEN k % 2 = 0 THEN 'hourly'
+                            ELSE 'fixed-price' END END AS job_type,
+  CASE WHEN s = 3 THEN CASE k % 3 WHEN 0 THEN 'Expert'
+                                  WHEN 1 THEN 'Intermediate'
+                                  ELSE 'Beginner' END
+  END AS experience_level,
+  CASE WHEN s = 3 THEN '$' || (10 + k) || 'K+' END AS client_spend,
+  CAST(CASE s WHEN 0 THEN 1000 + p * 13 WHEN 1 THEN 2000 + p * 7
+              WHEN 2 THEN 3000 + p * 11 ELSE 40 + p END AS INT)
+    AS total_found
+FROM cards ORDER BY url, position
+"""
+
+
 def _q_bm25_relevance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from webpeel_spark.operators.text_analysis import relevance_scores
 
@@ -1566,6 +1733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_extract": _q_schema_extract,
         "auto_extract": _q_auto_extract,
         "extract_planted": _q_extract_planted,
+        "jobs_parse": _q_jobs_parse,
         # ── rows-only: extraction pipeline / streaming / lineage ────
         "extract_flagship": _q_extract_flagship,
         "extract_rollup": _q_extract_rollup,
@@ -1704,6 +1872,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_planted": _EXTRACT_PLANTED_ORACLE,
         "schema_extract": _SCHEMA_EXTRACT_ORACLE,
         "auto_extract": _AUTO_EXTRACT_ORACLE,
+        "jobs_parse": _JOBS_PARSE_ORACLE,
         "transcript_export": _transcripts_oracle(),
         "pii_signals": _pii_oracle(),
         "ann_lsh_topk": _ANN_TOPK_ORACLE,
