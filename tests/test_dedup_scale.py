@@ -180,6 +180,48 @@ def test_simhash_band_plan_shapes():
     assert width == 2 and len(combos) == 32     # single-band fallback
 
 
+def test_simhash_band_plan_adapts_to_corpus_size():
+    """r4: below _SIMHASH_SMALL_N the plan stays at single-band tables
+    (8 × 8-bit keys — lossless for h ≤ 7, 3.5× fewer banding rows);
+    above, the Manku pair-tables return.  Unknown size keeps the
+    at-scale plan."""
+    from webpeel_spark.operators.dedup import (_SIMHASH_SMALL_N,
+                                               _simhash_band_plan)
+
+    width, combos = _simhash_band_plan(6, n_docs=_SIMHASH_SMALL_N)
+    assert (width, len(combos)) == (8, 8)
+    assert all(len(c) == 1 for c in combos)
+
+    width, combos = _simhash_band_plan(6, n_docs=_SIMHASH_SMALL_N + 1)
+    assert (width, len(combos)) == (8, 28)
+
+    width, combos = _simhash_band_plan(6, n_docs=None)
+    assert (width, len(combos)) == (8, 28)
+
+
+def test_simhash_regimes_agree(spark, monkeypatch):
+    """The single-band and pair-table regimes must return the SAME
+    pair set — exactness is the invariant the adaptive switch may not
+    touch.  Force each regime via the threshold constant."""
+    import webpeel_spark.operators.dedup as dedup
+
+    rows = [(i, f"planted simhash doc {i % 7} body words " * 6)
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def run():
+        return sorted(
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in dedup.simhash_near_duplicates(
+                df, max_hamming=6).collect())
+
+    monkeypatch.setattr(dedup, "_SIMHASH_SMALL_N", 10**9)
+    small_plan = run()
+    monkeypatch.setattr(dedup, "_SIMHASH_SMALL_N", 0)
+    large_plan = run()
+    assert small_plan == large_plan and len(small_plan) > 0
+
+
 def test_simhash_matches_bruteforce_mixed_corpus(spark):
     """Mixed corpus (exact dups + perturbations + distinct): the
     collapsed, band-pair plan returns exactly the brute-force

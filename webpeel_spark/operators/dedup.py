@@ -695,8 +695,17 @@ def simhash_signatures(df: DataFrame, text_col: str = "text",
         F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("simhash"))
 
 
+# below this corpus size the single-band plan (r=1: 8 tables × 8-bit
+# keys) is used: worst-case candidate volume n²/256 per table stays
+# ≤ ~12M rows total at n=20k, far under shuffle pain, and banding
+# explodes 3.5× fewer rows than the 28 pair-tables (the r3 bench paid
+# +13% warm for pair-tables on a 5k-doc corpus that never needed
+# them).  Both regimes are pigeonhole-exact for Hamming ≤ n_bands − r.
+_SIMHASH_SMALL_N = 20_000
+
+
 def _simhash_band_plan(max_hamming: int, max_tables: int = 128,
-                       max_r: int = 4):
+                       max_r: int = 4, n_docs: Optional[int] = None):
     """Manku-style band-combination plan for exact Hamming-≤h recall.
 
     Split the 64 bits into ``n_bands`` equal bands.  A pair at Hamming
@@ -712,6 +721,12 @@ def _simhash_band_plan(max_hamming: int, max_tables: int = 128,
     Returns (width, combos): combos is the list of band-index tuples;
     r is chosen as the largest value with r ≤ n_bands − h,
     C(n_bands, r) ≤ max_tables and r ≤ max_r.
+
+    r4: when ``n_docs`` is known and small (≤ _SIMHASH_SMALL_N) the
+    plan stays at r=1 — single-band tables are already lossless
+    (h ≤ n_bands − 1) and the wider key space buys nothing at toy
+    scale while tripling the banding-explode volume.  Recovers the
+    r3 +13% warm regression without giving up the at-scale guarantee.
     """
     from itertools import combinations
     from math import comb
@@ -720,6 +735,8 @@ def _simhash_band_plan(max_hamming: int, max_tables: int = 128,
     while n_bands <= max_hamming and n_bands < 64:
         n_bands *= 2
     width = 64 // n_bands
+    if n_docs is not None and n_docs <= _SIMHASH_SMALL_N:
+        max_r = 1
     r = 1
     while (r + 1 <= max_r and r + 1 <= n_bands - max_hamming
            and comb(n_bands, r + 1) <= max_tables):
@@ -752,8 +769,13 @@ def simhash_near_duplicates(df: DataFrame, text_col: str = "text",
     2. candidates via capped_bucket_pairs (count-agg + self-join — no
        collect_set, degenerate buckets dropped with a REPORTED metric);
     3. exact bit_count verify on the surviving candidates.
+
+    The band plan adapts to corpus size (one cheap metadata count, the
+    bm25 corpus-stats precedent): single-band tables below
+    _SIMHASH_SMALL_N docs, Manku pair-tables above — both lossless,
+    same output either way.
     """
-    width, combos = _simhash_band_plan(max_hamming)
+    width, combos = _simhash_band_plan(max_hamming, n_docs=df.count())
     mask = (1 << width) - 1
 
     if collapse_exact:
