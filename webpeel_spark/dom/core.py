@@ -1,7 +1,10 @@
 """Minimal DOM for server-side HTML extraction.
 
-A from-scratch, dependency-free DOM built on the stdlib ``html.parser``.
-Plays the role cheerio (parse5) plays in the reference engine
+A from-scratch, dependency-free DOM.  Tokenization is a single
+compiled-regex scanner (``fastparse.py`` — it replaced the original
+stdlib ``html.parser`` backend for ~2× parse throughput, see BENCH.md);
+tree construction lives here.  Plays the role cheerio (parse5) plays
+in the reference engine
 (/root/reference/src/core/readability.ts:571, markdown.ts:237): parse
 malformed real-world HTML into a navigable, mutable tree that supports
 the operations the extraction pipeline needs — select / text / remove /

@@ -1,0 +1,94 @@
+"""URL-map filtering at corpus scale (map.ts predicates, Catalyst).
+
+The reference filters a few thousand discovered URLs in one process;
+at 100 TB the discovered-URL table (sitemap entries unioned with
+extracted link pairs) is itself corpus-sized, so the predicates
+become whole-stage-codegen filters and the relevance score a literal
+when-chain — no UDF, no shuffle beyond the final ordering.
+
+Java ``rlike`` and JS ``RegExp`` agree on the simple path/extension
+patterns the reference feature is used with; patterns are still
+length-capped through ``pure.urlmap.safe_regex`` at plan-build time
+so a hostile pattern fails fast on the driver, mirroring map.ts.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from typing import Iterable, Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..pure.urlmap import safe_regex
+
+
+def _any_rlike(col: Column, patterns: Iterable[str]) -> Optional[Column]:
+    exprs = [col.rlike(p) for p in patterns]
+    if not exprs:
+        return None
+    return reduce(lambda a, b: a | b, exprs)
+
+
+def map_url_candidates(df: DataFrame,
+                       include_patterns: Iterable[str] = (),
+                       exclude_patterns: Iterable[str] = (),
+                       search: Optional[str] = None,
+                       content_types: Iterable[str] = (),
+                       max_urls: int = 5000,
+                       url_col: str = "url") -> DataFrame:
+    """(url [, title, description]) → filtered, scored, deduped and
+    sorted URL map (map.ts:102-160 semantics).  Output: (url, score)
+    ordered score desc (when searching) then url asc, capped at
+    ``max_urls`` — a TakeOrdered, not a full sort, at scale.
+
+    Dedup note: the reference keeps the FIRST-seen score for a
+    duplicated URL (map.ts:145-147), which has no meaning over an
+    unordered distributed table; the deterministic equivalent here is
+    max(score) per url."""
+    include_patterns = list(include_patterns)
+    exclude_patterns = list(exclude_patterns)
+    content_types = list(content_types)
+    for p in (*include_patterns, *exclude_patterns):
+        safe_regex(p)  # driver-side validation, reference error text
+
+    url = F.col(url_col)
+    cond = F.lit(True)
+    excl = _any_rlike(url, exclude_patterns)
+    if excl is not None:
+        cond = cond & ~excl
+    incl = _any_rlike(url, include_patterns)
+    if incl is not None:
+        cond = cond & incl
+    if content_types:
+        url_l = F.lower(url)
+        ext = F.lower(F.element_at(F.split(url, r"\."), -1))
+        ct = reduce(lambda a, b: a | b, [
+            (ext == t.lstrip(".").lower())
+            | url_l.contains(f".{t.lstrip('.').lower()}")
+            for t in content_types
+        ])
+        cond = cond & ct
+
+    terms = [t for t in search.lower().split() if t] if search else []
+    if terms:
+        title = (F.coalesce(F.lower(F.col("title")), F.lit(""))
+                 if "title" in df.columns else F.lit(""))
+        desc = (F.coalesce(F.lower(F.col("description")), F.lit(""))
+                if "description" in df.columns else F.lit(""))
+        url_l = F.lower(url)
+        score = reduce(lambda a, b: a + b, [
+            F.when(url_l.contains(t), 3).otherwise(0)
+            + F.when(title.contains(t), 2).otherwise(0)
+            + F.when(desc.contains(t), 1).otherwise(0)
+            for t in terms
+        ])
+    else:
+        score = F.lit(1)
+
+    out = (df.filter(cond)
+             .select(url.alias("url"), score.alias("score"))
+             .groupBy("url").agg(F.max("score").alias("score")))
+    order = ([F.desc("score"), F.asc("url")] if terms
+             else [F.asc("url")])
+    return out.orderBy(*order).limit(max_urls)
