@@ -214,10 +214,23 @@ def _q_extract_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_extract_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Job-level extraction rollup (extraction_metrics hash-agg) over
+    the planted article corpus — the aggregate oracle is the envelope
+    oracle wrapped in the same GROUP BY, so the rollup arithmetic is
+    exact.  Mixed-branch rollup behavior (pdf/docx/xml/json) remains
+    driver-evidenced through extract_flagship + checkpoint_lineage
+    and pytest.  Float avgs rounded to 4dp on both sides."""
     from webpeel_spark.operators.extract import extract_pages, extraction_metrics
 
-    out = extract_pages(_pages_df(spark).select("url", "html"), num_partitions=8)
-    return extraction_metrics(out)
+    out = extract_pages(spark.read.parquet(_planted_articles_parquet()),
+                        num_partitions=4)
+    m = extraction_metrics(out)
+    return m.select(
+        "branch", "status", "docs", "tokens",
+        F.round("avg_quality", 4).alias("avg_quality"),
+        "content_bytes", "input_bytes",
+        F.round("avg_pruned_pct", 4).alias("avg_pruned_pct"),
+    ).orderBy("branch", "status")
 
 
 def _q_extract_images(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -436,19 +449,100 @@ def _q_cross_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("appears_in", F.array_join("appears_in", ","))
 
 
+_PLANTED_BI_PAGES = 18
+
+
+def _planted_bi_page(p: int) -> tuple[str, str]:
+    """(url, html) for one planted business-intel page: JSON-LD
+    company facts, tech-script fingerprints, social links, pricing
+    lines and an industry keyword block, all arithmetic in p so the
+    oracle regenerates every analyzer output."""
+    url = f"https://biz{p}.example/"
+    tech = ['<script src="/static/react.min.js"></script>']
+    if p % 3 == 0:
+        tech.append('<link href="/wp-content/theme.css">')
+    if p % 2 == 0:
+        tech.append('<script src="https://js.stripe.com/v3/"></script>')
+    social = [f'<a href="https://twitter.com/bizco{p}">T</a>']
+    if p % 2 == 1:
+        social.append(
+            f'<a href="https://linkedin.com/company/bizco{p}">L</a>')
+    social.append(f'<a href="https://github.com/bizco{p}">G</a>')
+    ind = p % 3
+    if ind == 0:
+        words = "software saas platform cloud developer tools"
+    elif ind == 1:
+        words = "health medical patient clinic services"
+    else:
+        words = "travel hotel flight booking deals"
+    pricing = [f"Pro plan\n${20 + p}/mo", "Free tier"]
+    if p % 3 == 0:
+        pricing.append(f"Business tier\n${200 + p} annual")
+    body = "\n".join(pricing)
+    return url, (
+        "<html><head>"
+        f'<script type="application/ld+json">{{"@type":"Organization",'
+        f'"name":"BizCo {p}","foundingDate":"{1980 + p}"}}</script>'
+        + "".join(tech) + "</head><body>"
+        + "".join(social)
+        + f"<p>{words}</p>\n<div>\n{body}\n</div>"
+        + "</body></html>")
+
+
+def _planted_bi_parquet() -> str:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".contract_cache")
+    os.makedirs(cache, exist_ok=True)
+    path = os.path.join(cache, "planted_bi_%d_v1.parquet"
+                        % _PLANTED_BI_PAGES)
+    if not os.path.exists(path):
+        pairs = [_planted_bi_page(p) for p in range(_PLANTED_BI_PAGES)]
+        tbl = pa.table({
+            "url": pa.array([u for u, _ in pairs], pa.string()),
+            "html": pa.array([h.encode("utf-8") for _, h in pairs],
+                             pa.binary()),
+        })
+        pq.write_table(tbl, path + ".tmp")
+        os.replace(path + ".tmp", path)
+    return path
+
+
 def _q_business_intel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-page business-intel signals (business-intel.ts analyzers)
-    over the synthetic corpus."""
+    over the planted corpus — JSON-LD name/founded, industry vote,
+    tech-stack and social fingerprints (comma-joined; the contract
+    carries no ArrayType) and pricing-plan counts are oracle-exact.
+    Realistic-corpus behavior stays pinned by test_business_intel."""
     from webpeel_spark.operators.extract import business_intel_pages
 
-    out = business_intel_pages(_pages_df(spark, 120).select("url", "html"),
-                               num_partitions=8)
-    # serialize array columns for the driver's pandas canonicalizer
+    out = business_intel_pages(spark.read.parquet(_planted_bi_parquet()),
+                               num_partitions=4)
     return out.withColumn(
         "tech_stack", F.array_join("tech_stack", ",")
     ).withColumn(
         "social_platforms", F.array_join("social_platforms", ",")
     ).orderBy("url")
+
+
+_BUSINESS_INTEL_ORACLE = f"""
+WITH pages AS (SELECT unnest(range(0, {_PLANTED_BI_PAGES})) AS p)
+SELECT 'https://biz' || p || '.example/' AS url,
+       'BizCo ' || p AS name,
+       CASE p % 3 WHEN 0 THEN 'SaaS / Software'
+                  WHEN 1 THEN 'Healthcare' ELSE 'Travel' END AS industry,
+       'React' || CASE WHEN p % 2 = 0 THEN ',Stripe' ELSE '' END
+               || CASE WHEN p % 3 = 0 THEN ',WordPress' ELSE '' END
+         AS tech_stack,
+       'Twitter/X' || CASE WHEN p % 2 = 1 THEN ',LinkedIn' ELSE '' END
+                   || ',GitHub' AS social_platforms,
+       CAST(CASE WHEN p % 3 = 0 THEN 3 ELSE 2 END AS INT)
+         AS pricing_plans,
+       CAST(1980 + p AS VARCHAR) AS founded
+FROM pages ORDER BY url
+"""
 
 
 def _q_change_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1873,6 +1967,18 @@ def oracle_sql() -> dict[str, str]:
         "schema_extract": _SCHEMA_EXTRACT_ORACLE,
         "auto_extract": _AUTO_EXTRACT_ORACLE,
         "jobs_parse": _JOBS_PARSE_ORACLE,
+        "business_intel": _BUSINESS_INTEL_ORACLE,
+        "extract_rollup": f"""
+            SELECT branch, status,
+                   count(*) AS docs,
+                   CAST(sum(token_estimate) AS BIGINT) AS tokens,
+                   round(avg(quality), 4) AS avg_quality,
+                   CAST(sum(content_len) AS BIGINT) AS content_bytes,
+                   CAST(sum(html_len) AS BIGINT) AS input_bytes,
+                   round(avg(pruned_percent), 4) AS avg_pruned_pct
+            FROM ({_EXTRACT_PLANTED_ORACLE})
+            GROUP BY branch, status ORDER BY branch, status
+        """,
         "transcript_export": _transcripts_oracle(),
         "pii_signals": _pii_oracle(),
         "ann_lsh_topk": _ANN_TOPK_ORACLE,
