@@ -545,33 +545,39 @@ FROM pages ORDER BY url
 """
 
 
+_CHANGE_PAGES = 40
+
+
 def _q_change_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two extraction snapshots diffed by fingerprint (watch.ts /
-    change-tracking.ts analog): ~10% urls removed, ~10% added, a third
-    of the overlap content-modified.  r4 merges the former
-    ``semantic_diff`` query in: the same snapshot pair also flows
-    through ``semantic_diff_snapshots`` (diff.ts pure core — JSON
-    pages get dot-notation field diffs, markdown pages LCS section
-    diffs), so changed rows carry both the LCS line-diff counts AND
-    the structured diff mode/field-change count in one contract row."""
+    change-tracking.ts analog) over the planted article corpus with
+    index-arithmetic snapshot rules — 10% removed (p%10=0), 10% added
+    (p%10=9), a third of the overlap edited (p%3=0, one word in one
+    paragraph → exactly 1 LCS line addition+deletion and 1 semantic
+    text change) — so classification AND diff statistics are
+    oracle-exact.  Merges the former ``semantic_diff`` query: the same
+    snapshot pair also flows through ``semantic_diff_snapshots``
+    (diff.ts pure core), changed rows carrying both the LCS line-diff
+    counts and the structured diff mode/change count."""
     from webpeel_spark.operators.extract import (
         change_detection_with_diff, extract_pages, semantic_diff_snapshots,
     )
 
-    pages = _pages_df(spark, 160).select("url", "html")
-    b = F.pmod(F.xxhash64("url"), F.lit(10))
-    old_pages = pages.filter(b < 9)
-    # edit must land INSIDE the main content (an appended tail paragraph
-    # sits outside the detected <article> and never reaches the
-    # extracted text) — rewrite a common body word instead
-    is_doc = F.col("url").endswith(".pdf") | F.col("url").endswith(".docx")
-    new_pages = pages.filter(b > 0).withColumn(
+    pages = spark.read.parquet(
+        _planted_articles_parquet(_CHANGE_PAGES)).withColumn(
+        "__p", F.regexp_extract("url", r"art(\d+)$", 1).cast("int"))
+    old_pages = pages.filter(F.col("__p") % 10 != 9).select("url", "html")
+    # the edit lands INSIDE the extracted content: rewrite one word of
+    # paragraph 0 ("is part" → "was part") on every third page
+    new_pages = pages.filter(F.col("__p") % 10 != 0).withColumn(
         "html",
-        F.when((F.pmod(F.xxhash64("url"), F.lit(3)) == 0) & ~is_doc,
-               F.encode(F.regexp_replace(F.decode("html", "utf-8"),
-                                         "content", "content-v2"), "utf-8"))
+        F.when(F.col("__p") % 3 == 0,
+               F.encode(F.regexp_replace(
+                   F.decode("html", "utf-8"),
+                   r"paragraph (\d+) 0 is part",
+                   r"paragraph $1 0 was part"), "utf-8"))
         .otherwise(F.col("html")),
-    )
+    ).select("url", "html")
     old_ext = extract_pages(old_pages, num_partitions=8)
     new_ext = extract_pages(new_pages, num_partitions=8)
     changes = change_detection_with_diff(old_ext, new_ext).select(
@@ -583,6 +589,26 @@ def _q_change_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("diff_mode", F.lit("none")).alias("diff_mode"),
         F.coalesce("n_changes", F.lit(0)).alias("n_changes"),
     ).orderBy("url")
+
+
+_CHANGE_TRACKING_ORACLE = f"""
+WITH pages AS (SELECT unnest(range(0, {_CHANGE_PAGES})) AS p),
+cls AS (
+  SELECT p,
+         CASE WHEN p % 10 = 0 THEN 'removed'
+              WHEN p % 10 = 9 THEN 'added'
+              WHEN p % 3 = 0 THEN 'changed'
+              ELSE 'unchanged' END AS change
+  FROM pages)
+SELECT 'https://planted.example/art' || p AS url, change,
+       CAST(CASE WHEN change = 'changed' THEN 1 END AS INT) AS additions,
+       CAST(CASE WHEN change = 'changed' THEN 1 END AS INT) AS deletions,
+       CASE WHEN change = 'changed' THEN 'text' ELSE 'none' END
+         AS diff_mode,
+       CAST(CASE WHEN change = 'changed' THEN 1 ELSE 0 END AS INT)
+         AS n_changes
+FROM cls ORDER BY url
+"""
 
 
 def _q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -724,11 +750,86 @@ def _q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
                                        threshold=0.95, tables=8)
 
 
+_PLANTED_LISTING_PAGES = 21
+
+
+def _planted_listing_page(p: int) -> tuple[str, str]:
+    """(url, html) for one planted listing page: repeated same-signature
+    cards with arithmetic title/price/image/link/rating/description;
+    every 7th page has no listing pattern at all (the zero-row UDTF
+    path the reference documents, extract-listings.ts:483-500)."""
+    if p % 7 == 6:
+        return (f"https://listings{p}.example/search",
+                f"<html><body><p>No listings at all here {p}.</p>"
+                f"</body></html>")
+    n = 4 + p % 3
+    cards = "".join(
+        f'<li class="result-item">'
+        f'<h3><a href="/item/{p}-{k}">Listing {p} {k}</a></h3>'
+        f'<span class="price">${100 + 10 * k}</span>'
+        f'<img src="/pic/{p}-{k}.jpg">'
+        f'<span class="rating">{3 + k % 2}.5 stars</span>'
+        f'<p class="desc">Description text for listing {p} {k} goes '
+        f"right here.</p></li>" for k in range(n))
+    return (f"https://listings{p}.example/search",
+            f"<html><body><ul class='results'>{cards}</ul></body></html>")
+
+
+def _planted_listings_parquet() -> str:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".contract_cache")
+    os.makedirs(cache, exist_ok=True)
+    path = os.path.join(cache, "planted_listings_%d_v1.parquet"
+                        % _PLANTED_LISTING_PAGES)
+    if not os.path.exists(path):
+        pairs = [_planted_listing_page(p)
+                 for p in range(_PLANTED_LISTING_PAGES)]
+        tbl = pa.table({
+            "url": pa.array([u for u, _ in pairs], pa.string()),
+            "html": pa.array([h.encode("utf-8") for _, h in pairs],
+                             pa.binary()),
+        })
+        pq.write_table(tbl, path + ".tmp")
+        os.replace(path + ".tmp", path)
+    return path
+
+
 def _q_extract_listings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Listing auto-extraction (extract-listings.ts port) — the UDTF
+    shape over the planted corpus: container detection, per-card field
+    capture, url absolutization and the zero-row no-pattern path are
+    all oracle-exact.  Realistic corpora stay pinned by the 20-case
+    reference suite."""
     from webpeel_spark.operators.extract import extract_listings_pages
 
-    return extract_listings_pages(_pages_df(spark).select("url", "html"),
-                                  num_partitions=8)
+    pages = spark.read.parquet(_planted_listings_parquet())
+    return extract_listings_pages(pages, num_partitions=4) \
+        .orderBy("url", "item_index")
+
+
+_EXTRACT_LISTINGS_ORACLE = f"""
+WITH pages AS (
+  SELECT p, 4 + (p % 3) AS n
+  FROM (SELECT unnest(range(0, {_PLANTED_LISTING_PAGES})) AS p)
+  WHERE p % 7 <> 6
+),
+items AS (SELECT p, unnest(range(0, n)) AS k FROM pages)
+SELECT 'https://listings' || p || '.example/search' AS url,
+       CAST(k AS INT) AS item_index,
+       'Listing ' || p || ' ' || k AS title,
+       '$' || (100 + 10 * k) AS price,
+       'https://listings' || p || '.example/pic/' || p || '-' || k
+         || '.jpg' AS image,
+       'https://listings' || p || '.example/item/' || p || '-' || k
+         AS link,
+       (3 + k % 2) || '.5 stars' AS rating,
+       'Description text for listing ' || p || ' ' || k ||
+         ' goes right here.' AS description
+FROM items ORDER BY url, item_index
+"""
 
 
 _PLANTED_AUTO_PAGES = 24
@@ -866,21 +967,25 @@ def _q_schema_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
       (schema-templates → structural signals → BM25 quick-answer →
       schema-postprocess value extraction) with the 'article' template
       — this path also drives the quick-answer engine end-to-end, so
-      the retired ``quick_answers`` contract entry remains covered."""
+      the retired ``quick_answers`` contract entry remains covered.
+
+    Runs over the planted article corpus with an exact oracle; the
+    free-text tpl summary/tags fields are excluded from the contract
+    projection (char-budget truncation is not worth reconstructing in
+    SQL — the 45-case schema-postprocess ref suite pins them)."""
     import pandas as pd
 
     from webpeel_spark.operators.extract import extract_pages
 
-    out = extract_pages(_pages_df(spark, 160).select("url", "html"),
-                        num_partitions=8).select(
+    out = extract_pages(spark.read.parquet(_planted_articles_parquet()),
+                        num_partitions=4).select(
         "url", "title", F.col("content").alias("markdown"),
         "author", "published")
 
     schema = ("url string, sf_title string, sf_author string, "
               "sf_date string, sf_price string, sf_year double, "
               "sf_confidence double, tpl_title string, "
-              "tpl_author string, tpl_date string, tpl_summary string, "
-              "tpl_source string, tpl_tags string")
+              "tpl_author string, tpl_date string, tpl_source string")
     field_schema = {
         "type": "object",
         "properties": {"title": {"type": "string"},
@@ -917,12 +1022,11 @@ def _q_schema_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
                              float(year) if year is not None else None,
                              float(r["confidence"]),
                              t.get("title"), t.get("author"),
-                             t.get("date"), t.get("summary"),
-                             t.get("source"), t.get("tags")))
+                             t.get("date"), t.get("source")))
             yield pd.DataFrame(rows, columns=[
                 "url", "sf_title", "sf_author", "sf_date", "sf_price",
                 "sf_year", "sf_confidence", "tpl_title", "tpl_author",
-                "tpl_date", "tpl_summary", "tpl_source", "tpl_tags"])
+                "tpl_date", "tpl_source"])
 
     return out.mapInPandas(batches, schema).orderBy("url")
 
@@ -1034,20 +1138,18 @@ def _planted_article_html(p: int) -> str:
         f"</article></body></html>")
 
 
-def _planted_articles_parquet() -> str:
+def _planted_articles_parquet(n: int = _PLANTED_ART_PAGES) -> str:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          ".contract_cache")
     os.makedirs(cache, exist_ok=True)
-    path = os.path.join(cache, "planted_articles_%d_v2.parquet"
-                        % _PLANTED_ART_PAGES)
+    path = os.path.join(cache, "planted_articles_%d_v2.parquet" % n)
     if not os.path.exists(path):
-        urls = [f"https://planted.example/art{p}"
-                for p in range(_PLANTED_ART_PAGES)]
+        urls = [f"https://planted.example/art{p}" for p in range(n)]
         htmls = [_planted_article_html(p).encode("utf-8")
-                 for p in range(_PLANTED_ART_PAGES)]
+                 for p in range(n)]
         tbl = pa.table({"url": pa.array(urls, pa.string()),
                         "html": pa.array(htmls, pa.binary())})
         pq.write_table(tbl, path + ".tmp")
@@ -1372,6 +1474,24 @@ def _q_schema_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pages.mapInPandas(
         batches, "url string, title string, h1 string, canonical string, "
                  "author string, description string").orderBy("url")
+
+
+_SCHEMA_FIELDS_ORACLE = f"""
+WITH pages AS (SELECT unnest(range(0, {_PLANTED_ART_PAGES})) AS p)
+SELECT 'https://planted.example/art' || p AS url,
+       'Planted Article ' || p AS sf_title,
+       CAST(NULL AS VARCHAR) AS sf_author,
+       CAST(NULL AS VARCHAR) AS sf_date,
+       CAST(NULL AS VARCHAR) AS sf_price,
+       CAST(NULL AS DOUBLE) AS sf_year,
+       0.34 AS sf_confidence,
+       'Planted Article ' || p AS tpl_title,
+       'Author ' || p AS tpl_author,
+       '2024-03-' || lpad(CAST(1 + p % 28 AS VARCHAR), 2, '0')
+         AS tpl_date,
+       'Planted' AS tpl_source
+FROM pages ORDER BY url
+"""
 
 
 _SCHEMA_EXTRACT_ORACLE = f"""
@@ -1968,6 +2088,9 @@ def oracle_sql() -> dict[str, str]:
         "auto_extract": _AUTO_EXTRACT_ORACLE,
         "jobs_parse": _JOBS_PARSE_ORACLE,
         "business_intel": _BUSINESS_INTEL_ORACLE,
+        "change_tracking": _CHANGE_TRACKING_ORACLE,
+        "schema_fields": _SCHEMA_FIELDS_ORACLE,
+        "extract_listings": _EXTRACT_LISTINGS_ORACLE,
         "extract_rollup": f"""
             SELECT branch, status,
                    count(*) AS docs,
