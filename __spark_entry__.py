@@ -1780,10 +1780,16 @@ def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_streaming_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Structured Streaming extraction (availableNow) — rows-only: the
-    stream output is read back and must match batch extraction."""
+    """Structured Streaming extraction (availableNow) — rows-only but
+    SELF-VERIFYING since r4: the stream output is joined against a
+    batch extraction of the same corpus and every row carries
+    ``matches_batch`` (fingerprint + token_estimate equality).  The
+    correctness report shows 60 rows; the pytest streaming suite
+    asserts the flag is all-true, so a silent stream/batch divergence
+    fails the build even without a SQL oracle."""
     import tempfile
 
+    from webpeel_spark.operators.extract import extract_pages
     from webpeel_spark.sources.corpus import write_corpus_parquet
     from webpeel_spark.streaming.extract_stream import stream_extraction
 
@@ -1794,8 +1800,19 @@ def _q_streaming_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = stream_extraction(spark, inp, os.path.join(tmp, "out"),
                           os.path.join(tmp, "ck"))
     q.awaitTermination(300)
-    return spark.read.parquet(os.path.join(tmp, "out")).select(
-        "url", "status", "branch", "token_estimate").orderBy("url")
+    streamed = spark.read.parquet(os.path.join(tmp, "out")).select(
+        "url", "status", "branch", "token_estimate", "fingerprint")
+    batch = extract_pages(
+        spark.read.parquet(os.path.join(inp, "b0.parquet"))
+        .select("url", "html"), num_partitions=4).select(
+        "url", F.col("fingerprint").alias("__batch_fp"),
+        F.col("token_estimate").alias("__batch_te"))
+    return streamed.join(batch, "url", "left").select(
+        "url", "status", "branch", "token_estimate",
+        ((F.col("fingerprint") == F.col("__batch_fp"))
+         & (F.col("token_estimate") == F.col("__batch_te")))
+        .alias("matches_batch"),
+    ).orderBy("url")
 
 
 def _q_streaming_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
