@@ -578,8 +578,10 @@ def _q_change_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
                    r"paragraph $1 0 was part"), "utf-8"))
         .otherwise(F.col("html")),
     ).select("url", "html")
-    old_ext = extract_pages(old_pages, num_partitions=8)
-    new_ext = extract_pages(new_pages, num_partitions=8)
+    # both diff operators consume each snapshot — persist so the
+    # extraction UDF runs once per side, not once per consumer
+    old_ext = extract_pages(old_pages, num_partitions=8).persist()
+    new_ext = extract_pages(new_pages, num_partitions=8).persist()
     changes = change_detection_with_diff(old_ext, new_ext).select(
         "url", "change", "additions", "deletions")
     sem = semantic_diff_snapshots(old_ext, new_ext).select(
