@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import re
 from typing import Dict, List, Optional
-from urllib.parse import urljoin
+from .urlfast import fast_urljoin
 
 from ..dom import parse_html, select
 
@@ -49,7 +49,7 @@ def link_pairs_from_anchors(anchors,
         url = href
         if base_url and not _ABS_RE.match(href):
             try:
-                url = urljoin(base_url, href)
+                url = fast_urljoin(base_url, href)
             except ValueError:
                 continue  # skip unresolvable relative URLs
         if url not in seen:

@@ -23,6 +23,8 @@ from functools import lru_cache
 from typing import Dict, List, NamedTuple, Optional
 from urllib.parse import urljoin, urlsplit
 
+from .urlfast import fast_urljoin
+
 from ..dom import Node, parse_html, select, select_first
 
 # ── JS date shims ─────────────────────────────────────────────────────────
@@ -337,7 +339,7 @@ def _absolutize(href: str, base_url: str) -> Optional[str]:
             return None
         return href
     try:
-        absolute = urljoin(base_url, href)
+        absolute = fast_urljoin(base_url, href)
         parts = urlsplit(absolute)
     except ValueError:
         return None
