@@ -1856,8 +1856,13 @@ def _q_streaming_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_checkpoint_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Checkpointed run's progress table — rows-only: per-bucket lineage
-    (input snapshot id, url-hash range, counts, metrics)."""
+    """Checkpointed run's progress table over the planted article
+    corpus, bucketed by an explicit index expression (p % 8) instead
+    of the default url hash — so the per-bucket lineage metrics
+    (counts, token sums, avg quality) are regenerated exactly by the
+    oracle aggregating the envelope oracle by the same arithmetic.
+    Default url-hash bucketing + resume semantics stay pinned by the
+    pytest zero-work-resume test and the spark-submit demo."""
     import tempfile
 
     from webpeel_spark.plans.checkpoint import (
@@ -1865,10 +1870,11 @@ def _q_checkpoint_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     tmp = tempfile.mkdtemp(prefix="wp_ckpt_")
-    pages = _pages_df(spark, 80)
+    pages = spark.read.parquet(_planted_articles_parquet())
+    bucket = F.regexp_extract("url", r"art(\d+)$", 1).cast("int") % 8
     run_extraction_checkpointed(spark, pages, tmp, run_id="contract-run",
                                 num_buckets=8, buckets_per_commit=4,
-                                num_partitions=8)
+                                num_partitions=8, bucket_expr=bucket)
     return read_progress(spark, tmp).select(
         "run_id", "bucket", "row_count", "ok_count", "error_count",
         "token_sum", "avg_quality").orderBy("bucket")
@@ -2110,6 +2116,20 @@ def oracle_sql() -> dict[str, str]:
         "change_tracking": _CHANGE_TRACKING_ORACLE,
         "schema_fields": _SCHEMA_FIELDS_ORACLE,
         "extract_listings": _EXTRACT_LISTINGS_ORACLE,
+        "checkpoint_lineage": f"""
+            SELECT 'contract-run' AS run_id,
+                   CAST(CAST(regexp_extract(url, 'art(\\d+)$', 1) AS INT)
+                        % 8 AS INT) AS bucket,
+                   count(*) AS row_count,
+                   sum(CASE WHEN status = 'ok' THEN 1 ELSE 0 END)
+                     AS ok_count,
+                   sum(CASE WHEN status = 'error' THEN 1 ELSE 0 END)
+                     AS error_count,
+                   CAST(sum(token_estimate) AS BIGINT) AS token_sum,
+                   round(avg(quality), 4) AS avg_quality
+            FROM ({_EXTRACT_PLANTED_ORACLE})
+            GROUP BY 2 ORDER BY bucket
+        """,
         "extract_rollup": f"""
             SELECT branch, status,
                    count(*) AS docs,

@@ -99,6 +99,7 @@ def run_extraction_checkpointed(
     options=None,
     num_partitions: Optional[int] = None,
     input_snapshot_id: Optional[str] = None,
+    bucket_expr=None,
 ) -> dict:
     """Run (or resume) a checkpointed extraction job.
 
@@ -110,6 +111,15 @@ def run_extraction_checkpointed(
     on Iceberg pass the table's snapshot id; defaults to a fingerprint
     of the input plan so a changed input is visible in the progress
     table either way.
+
+    ``bucket_expr`` overrides the default ``pmod(xxhash64(url), n)``
+    bucket assignment with any deterministic int Column over the input
+    — e.g. an existing partition key on a pre-bucketed Iceberg table,
+    so resume units align with storage partitions and bucket filters
+    prune files instead of re-hashing every row.  The expression must
+    be computable from the ``url`` column alone (it is re-applied to
+    the extraction output, which carries url but no other input
+    columns).
     """
     if input_snapshot_id is None:
         import hashlib
@@ -125,9 +135,9 @@ def run_extraction_checkpointed(
     stale = stale_buckets(spark, out_dir, run_id, input_snapshot_id)
     all_buckets = [b for b in range(num_buckets) if b not in done]
 
-    bucketed = pages.withColumn(
-        "bucket", F.pmod(F.xxhash64("url"), F.lit(num_buckets)).cast("int")
-    )
+    if bucket_expr is None:
+        bucket_expr = F.pmod(F.xxhash64("url"), F.lit(num_buckets))
+    bucketed = pages.withColumn("bucket", bucket_expr.cast("int"))
 
     summary = {"run_id": run_id, "input_snapshot_id": input_snapshot_id,
                "skipped_buckets": sorted(done),
@@ -146,9 +156,7 @@ def run_extraction_checkpointed(
         extracted = extract_pages(
             subset.select("url", "html"), options=options,
             num_partitions=num_partitions,
-        ).withColumn(
-            "bucket", F.pmod(F.xxhash64("url"), F.lit(num_buckets)).cast("int")
-        )
+        ).withColumn("bucket", bucket_expr.cast("int"))
         extracted = extracted.cache()
         try:
             # lineage metrics per bucket — one hash-agg
