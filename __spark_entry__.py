@@ -1851,8 +1851,34 @@ def _q_streaming_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     q2 = stream_change_tracking(spark, inp, os.path.join(tmp, "out"),
                                 os.path.join(tmp, "ck"))
     q2.awaitTermination(300)
-    return spark.read.parquet(os.path.join(tmp, "out")).select(
-        "url", "change").orderBy("url", "change")
+    # r4: self-verifying — batch-extract both corpus versions and
+    # derive the expected label per url (first sighting 'added';
+    # second batch 'changed' iff the fingerprints differ), then flag
+    # every stream row against it.  Rows-only in the driver, but a
+    # divergence between the GroupState stream and batch extraction
+    # shows up as matches_batch=false in the correctness report.
+    from webpeel_spark.operators.extract import extract_pages
+
+    fp_a = extract_pages(
+        spark.read.parquet(os.path.join(inp, "b0.parquet"))
+        .select("url", "html"), num_partitions=4).select(
+        "url", F.col("fingerprint").alias("__fp_a"))
+    fp_b = extract_pages(
+        spark.read.parquet(os.path.join(inp, "b1.parquet"))
+        .select("url", "html"), num_partitions=4).select(
+        "url", F.col("fingerprint").alias("__fp_b"))
+    expected = fp_a.join(fp_b, "url").select(
+        "url", (F.col("__fp_a") != F.col("__fp_b")).alias("__edited"))
+    out = spark.read.parquet(os.path.join(tmp, "out")).select(
+        "url", "change")
+    return out.join(expected, "url", "left").select(
+        "url", "change",
+        F.when(F.col("change") == "added", F.lit(True))
+        .otherwise(F.col("change") ==
+                   F.when(F.col("__edited"), F.lit("changed"))
+                   .otherwise(F.lit("unchanged")))
+        .alias("matches_batch"),
+    ).orderBy("url", "change")
 
 
 def _q_checkpoint_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
