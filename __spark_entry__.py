@@ -215,14 +215,13 @@ def _q_extract_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_extract_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Job-level extraction rollup (extraction_metrics hash-agg) over
-    the planted article corpus — the aggregate oracle is the envelope
-    oracle wrapped in the same GROUP BY, so the rollup arithmetic is
-    exact.  Mixed-branch rollup behavior (pdf/docx/xml/json) remains
-    driver-evidenced through extract_flagship + checkpoint_lineage
-    and pytest.  Float avgs rounded to 4dp on both sides."""
+    the planted MIXED corpus (html + pdf + json branches) — the
+    aggregate oracle is the mixed envelope oracle wrapped in the same
+    GROUP BY, so per-branch rollup arithmetic is exact.  Float avgs
+    rounded to 4dp on both sides."""
     from webpeel_spark.operators.extract import extract_pages, extraction_metrics
 
-    out = extract_pages(spark.read.parquet(_planted_articles_parquet()),
+    out = extract_pages(spark.read.parquet(_planted_mixed_parquet()),
                         num_partitions=4)
     m = extraction_metrics(out)
     return m.select(
@@ -1159,14 +1158,60 @@ def _planted_articles_parquet(n: int = _PLANTED_ART_PAGES) -> str:
     return path
 
 
+_PLANTED_PDF_PAGES = 8
+_PLANTED_JSON_PAGES = 8
+
+
+def _planted_mixed_parquet() -> str:
+    """Planted mixed-branch corpus: the 24 articles plus 8 deterministic
+    PDFs (magic-byte routed through the layout-parse branch) and 8 JSON
+    payloads — so the envelope oracle proves BRANCH ROUTING and the
+    pdf/json output schemas, not just the html path."""
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from webpeel_spark.pure.pdfextract import make_pdf
+
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".contract_cache")
+    os.makedirs(cache, exist_ok=True)
+    path = os.path.join(cache, "planted_mixed_v1.parquet")
+    if not os.path.exists(path):
+        urls, htmls = [], []
+        for p in range(_PLANTED_ART_PAGES):
+            urls.append(f"https://planted.example/art{p}")
+            htmls.append(_planted_article_html(p).encode("utf-8"))
+        for q in range(_PLANTED_PDF_PAGES):
+            lines = [f"Planted pdf line {q} {k} with words."
+                     for k in range(2 + q % 3)]
+            urls.append(f"https://planted.example/doc{q}.pdf")
+            htmls.append(make_pdf([lines], title=f"Planted PDF {q}",
+                                  author=f"Author {q}"))
+        for j in range(_PLANTED_JSON_PAGES):
+            obj = {"id": j, "name": f"Planted JSON {j}",
+                   "items": [1, 2, 3]}
+            urls.append(f"https://planted.example/data{j}.json")
+            htmls.append(_json.dumps(obj).encode("utf-8"))
+        tbl = pa.table({"url": pa.array(urls, pa.string()),
+                        "html": pa.array(htmls, pa.binary())})
+        pq.write_table(tbl, path + ".tmp")
+        os.replace(path + ".tmp", path)
+    return path
+
+
 def _q_extract_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full extraction envelope over the planted article corpus with
-    an EXACT DuckDB twin: content bytes, fingerprint, counts, quality
-    and metadata are all formula-reconstructed by the oracle, proving
-    the html→markdown pipeline byte-identical at the driver level."""
+    """Full extraction envelope over the planted MIXED corpus (html
+    articles + magic-byte-routed PDFs + JSON payloads) with an EXACT
+    DuckDB twin: content bytes, fingerprint, counts, quality and
+    metadata are all formula-reconstructed per branch, proving the
+    pipeline (including content-type routing and the pdf/json
+    branches' shared output schema) byte-identical at the driver
+    level."""
     from webpeel_spark.operators.extract import extract_pages
 
-    pages = spark.read.parquet(_planted_articles_parquet())
+    pages = spark.read.parquet(_planted_mixed_parquet())
     out = extract_pages(pages, num_partitions=4)
     return out.select(
         "url", "status", "error", "branch", "extractor", "method",
@@ -1430,6 +1475,91 @@ SELECT
               WHEN 2 THEN 3000 + p * 11 ELSE 40 + p END AS INT)
     AS total_found
 FROM cards ORDER BY url, position
+"""
+
+
+def _extract_mixed_oracle() -> str:
+    """Envelope oracle over the mixed corpus: the html-article part is
+    _EXTRACT_PLANTED_ORACLE verbatim; pdf/json parts regenerate each
+    branch's content from the planting formulas.  PDF input byte
+    length is the one non-formula value (PDF xref/offset overhead) —
+    read from the corpus parquet itself, the multimodal-oracle
+    precedent.  The word-count offsets (-3 pdf, -2 json vs a plain
+    whitespace split) are the engine's markdown/pipe-token stripping,
+    constant for these fixed templates and pinned by the prototype
+    checks; everything else (sha256 fingerprints, ceil(len/4) tokens,
+    titles, authors, language) is first-principles arithmetic."""
+    path = _safe_path(_planted_mixed_parquet)
+    return f"""
+WITH pdfs AS (
+  SELECT q, 2 + q % 3 AS n
+  FROM (SELECT unnest(range(0, {_PLANTED_PDF_PAGES})) AS q)
+),
+pdfbody AS (
+  SELECT q, string_agg('Planted pdf line ' || q || ' ' || k ||
+                       ' with words.', e'\\n' ORDER BY k) AS body
+  FROM (SELECT q, unnest(range(0, n)) AS k FROM pdfs) GROUP BY q
+),
+pdfc AS (
+  SELECT q,
+         '# Planted PDF ' || q || e'\\n\\n**Author:** Author ' || q ||
+         ' | **Pages:** 1 | **Source:** https://planted.example/doc' ||
+         q || '.pdf' || e'\\n\\n' || body AS content
+  FROM pdfbody
+),
+sizes AS (SELECT url AS su, octet_length(html) AS src_len
+          FROM read_parquet('{path}')),
+pdfrows AS (
+  SELECT 'https://planted.example/doc' || q || '.pdf' AS url,
+         'ok' AS status, CAST(NULL AS VARCHAR) AS error,
+         'pdf' AS branch, 'pdf' AS extractor, 'pdf' AS method,
+         'Planted PDF ' || q AS title, content,
+         CAST(NULL AS VARCHAR) AS description,
+         'Author ' || q AS author,
+         CAST(NULL AS VARCHAR) AS published,
+         CAST(NULL AS VARCHAR) AS canonical,
+         'en' AS language,
+         CAST(len(string_split_regex(trim(content), '\\s+')) - 3
+              AS INT) AS word_count,
+         CAST(ceil(length(content) / 4.0) AS INT) AS token_estimate,
+         1.0 AS quality, CAST(0 AS INT) AS link_count,
+         sha256(content) AS fingerprint,
+         CAST(length(content) AS BIGINT) AS content_len,
+         CAST(s.src_len AS BIGINT) AS html_len,
+         CAST(0 AS INT) AS pruned_percent,
+         false AS auth_required, false AS injection_detected,
+         CAST(1 AS INT) AS n_chunks
+  FROM pdfc JOIN sizes s
+    ON s.su = 'https://planted.example/doc' || q || '.pdf'
+),
+jsonc AS (
+  SELECT j,
+         e'{{\\n  "id": ' || j || e',\\n  "name": "Planted JSON ' || j ||
+         e'",\\n  "items": [\\n    1,\\n    2,\\n    3\\n  ]\\n}}'
+           AS content,
+         '{{"id": ' || j || ', "name": "Planted JSON ' || j ||
+         '", "items": [1, 2, 3]}}' AS raw
+  FROM (SELECT unnest(range(0, {_PLANTED_JSON_PAGES})) AS j)
+),
+jsonrows AS (
+  SELECT 'https://planted.example/data' || j || '.json' AS url,
+         'ok', CAST(NULL AS VARCHAR), 'json', '', 'generic',
+         'JSON Response', content, CAST(NULL AS VARCHAR),
+         CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+         CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+         CAST(len(string_split_regex(trim(content), '\\s+')) - 2
+              AS INT),
+         CAST(ceil(length(content) / 4.0) AS INT),
+         1.0, CAST(0 AS INT), sha256(content),
+         CAST(length(content) AS BIGINT),
+         CAST(length(raw) AS BIGINT),
+         CAST(0 AS INT), false, false, CAST(1 AS INT)
+  FROM jsonc
+)
+SELECT * FROM ({_EXTRACT_PLANTED_ORACLE})
+UNION ALL SELECT * FROM pdfrows
+UNION ALL SELECT * FROM jsonrows
+ORDER BY url
 """
 
 
@@ -2134,7 +2264,7 @@ def oracle_sql() -> dict[str, str]:
         "link_pairs": _LINK_PAIRS_ORACLE,
         "extract_images": _EXTRACT_IMAGES_ORACLE,
         "observe_elements": _OBSERVE_ORACLE,
-        "extract_planted": _EXTRACT_PLANTED_ORACLE,
+        "extract_planted": _extract_mixed_oracle(),
         "schema_extract": _SCHEMA_EXTRACT_ORACLE,
         "auto_extract": _AUTO_EXTRACT_ORACLE,
         "jobs_parse": _JOBS_PARSE_ORACLE,
@@ -2164,7 +2294,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(content_len) AS BIGINT) AS content_bytes,
                    CAST(sum(html_len) AS BIGINT) AS input_bytes,
                    round(avg(pruned_percent), 4) AS avg_pruned_pct
-            FROM ({_EXTRACT_PLANTED_ORACLE})
+            FROM ({_extract_mixed_oracle()})
             GROUP BY branch, status ORDER BY branch, status
         """,
         "transcript_export": _transcripts_oracle(),
@@ -2428,6 +2558,7 @@ def _safe_path(materialize) -> str:
             _pii_parquet: "pii_%d_v1.parquet" % _PII_ROWS,
             _cross_verify_parquet: "cross_verify_v1.parquet",
             _transcripts_parquet: "transcripts_v1.parquet",
+            _planted_mixed_parquet: "planted_mixed_v1.parquet",
         }
         return os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             ".contract_cache",
