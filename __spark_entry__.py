@@ -1160,24 +1160,38 @@ def _planted_articles_parquet(n: int = _PLANTED_ART_PAGES) -> str:
 
 _PLANTED_PDF_PAGES = 8
 _PLANTED_JSON_PAGES = 8
+_PLANTED_DOCX_PAGES = 6
+_PLANTED_XML_PAGES = 6
+
+
+def _planted_xml_body(x: int) -> str:
+    n = 1 + x % 3
+    items = "".join(
+        f"<item><title>Entry {x} {k}</title>"
+        f"<description>Planted entry body {x} {k}.</description></item>"
+        for k in range(n))
+    return (f'<?xml version="1.0"?><rss version="2.0"><channel>'
+            f"<title>Planted Feed {x}</title>{items}</channel></rss>")
 
 
 def _planted_mixed_parquet() -> str:
-    """Planted mixed-branch corpus: the 24 articles plus 8 deterministic
-    PDFs (magic-byte routed through the layout-parse branch) and 8 JSON
-    payloads — so the envelope oracle proves BRANCH ROUTING and the
-    pdf/json output schemas, not just the html path."""
+    """Planted mixed-branch corpus: the 24 articles plus deterministic
+    PDFs (magic-byte routed through the layout-parse branch), DOCX
+    payloads (zip magic → WordML branch), RSS/XML feeds and JSON
+    payloads — so the envelope oracle proves the CONTENT-TYPE ROUTER
+    and every branch's output schema, not just the html path."""
     import json as _json
 
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    from webpeel_spark.pure.docx import make_docx
     from webpeel_spark.pure.pdfextract import make_pdf
 
     cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          ".contract_cache")
     os.makedirs(cache, exist_ok=True)
-    path = os.path.join(cache, "planted_mixed_v1.parquet")
+    path = os.path.join(cache, "planted_mixed_v2.parquet")
     if not os.path.exists(path):
         urls, htmls = [], []
         for p in range(_PLANTED_ART_PAGES):
@@ -1194,6 +1208,14 @@ def _planted_mixed_parquet() -> str:
                    "items": [1, 2, 3]}
             urls.append(f"https://planted.example/data{j}.json")
             htmls.append(_json.dumps(obj).encode("utf-8"))
+        for d in range(_PLANTED_DOCX_PAGES):
+            paras = [f"Planted docx paragraph {d} {k} holds plain words."
+                     for k in range(2 + d % 2)]
+            urls.append(f"https://planted.example/file{d}.docx")
+            htmls.append(make_docx(f"Planted DOCX {d}", paras))
+        for x in range(_PLANTED_XML_PAGES):
+            urls.append(f"https://planted.example/feed{x}.xml")
+            htmls.append(_planted_xml_body(x).encode("utf-8"))
         tbl = pa.table({"url": pa.array(urls, pa.string()),
                         "html": pa.array(htmls, pa.binary())})
         pq.write_table(tbl, path + ".tmp")
@@ -1555,10 +1577,68 @@ jsonrows AS (
          CAST(length(raw) AS BIGINT),
          CAST(0 AS INT), false, false, CAST(1 AS INT)
   FROM jsonc
+),
+docxc AS (
+  SELECT d, '# Planted DOCX ' || d || e'\\n\\n' ||
+         string_agg('Planted docx paragraph ' || d || ' ' || k ||
+                    ' holds plain words.', e'\\n\\n' ORDER BY k)
+           AS content
+  FROM (SELECT d, unnest(range(0, 2 + (d % 2))) AS k
+        FROM (SELECT unnest(range(0, {_PLANTED_DOCX_PAGES})) AS d))
+  GROUP BY d
+),
+docxrows AS (
+  SELECT 'https://planted.example/file' || d || '.docx' AS url,
+         'ok', CAST(NULL AS VARCHAR), 'docx', 'docx', 'docx',
+         'file' || d, content, CAST(NULL AS VARCHAR),
+         CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+         CAST(NULL AS VARCHAR), 'und',
+         CAST(len(string_split_regex(trim(content), '\\s+')) - 1
+              AS INT),
+         CAST(ceil(length(content) / 4.0) AS INT),
+         1.0, CAST(0 AS INT), sha256(content),
+         CAST(length(content) AS BIGINT),
+         CAST(s.src_len AS BIGINT),
+         CAST(0 AS INT), false, false, CAST(1 AS INT)
+  FROM docxc JOIN sizes s
+    ON s.su = 'https://planted.example/file' || d || '.docx'
+),
+xmlc AS (
+  SELECT x, 1 + x % 3 AS n,
+         '# Planted Feed ' || x || e'\\n\\n' ||
+         string_agg('## Entry ' || x || ' ' || k ||
+                    e'\\n\\nPlanted entry body ' || x || ' ' || k || '.',
+                    e'\\n\\n---\\n\\n' ORDER BY k) AS content,
+         '<?xml version="1.0"?><rss version="2.0"><channel>' ||
+         '<title>Planted Feed ' || x || '</title>' ||
+         string_agg('<item><title>Entry ' || x || ' ' || k ||
+                    '</title><description>Planted entry body ' || x ||
+                    ' ' || k || '.</description></item>', '' ORDER BY k)
+         || '</channel></rss>' AS raw
+  FROM (SELECT x, unnest(range(0, 1 + (x % 3))) AS k
+        FROM (SELECT unnest(range(0, {_PLANTED_XML_PAGES})) AS x))
+  GROUP BY x
+),
+xmlrows AS (
+  SELECT 'https://planted.example/feed' || x || '.xml' AS url,
+         'ok', CAST(NULL AS VARCHAR), 'xml', '', 'generic',
+         'Planted Feed ' || x, content, CAST(NULL AS VARCHAR),
+         CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+         CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+         CAST(len(string_split_regex(trim(content), '\\s+')) - 2 * n
+              AS INT),
+         CAST(ceil(length(content) / 4.0) AS INT),
+         0.9, CAST(0 AS INT), sha256(content),
+         CAST(length(content) AS BIGINT),
+         CAST(length(raw) AS BIGINT),
+         CAST(0 AS INT), false, false, CAST(n AS INT)
+  FROM xmlc
 )
 SELECT * FROM ({_EXTRACT_PLANTED_ORACLE})
 UNION ALL SELECT * FROM pdfrows
 UNION ALL SELECT * FROM jsonrows
+UNION ALL SELECT * FROM docxrows
+UNION ALL SELECT * FROM xmlrows
 ORDER BY url
 """
 
