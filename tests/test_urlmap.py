@@ -48,6 +48,12 @@ class TestShouldInclude:
         assert not should_include("https://x.com/file.html",
                                   content_types=["pdf"])
 
+    def test_content_type_dot_free_url_is_whole_ext(self):
+        # reference quirk: url.split('.').pop() on a dot-free string
+        # returns the whole string (map.ts:108)
+        assert should_include("pdf", content_types=["pdf"])
+        assert not should_include("nope", content_types=["pdf"])
+
 
 class TestRelevance:
     def test_weights(self):

@@ -72,7 +72,9 @@ def should_include(url: str,
     if include and not any(r.search(url) for r in include):
         return False
     if content_types:
-        ext = url.rsplit(".", 1)[-1].lower() if "." in url else ""
+        # NB reference uses url.split('.').pop(): a dot-free url's
+        # "extension" is the whole url (map.ts:108)
+        ext = url.rsplit(".", 1)[-1].lower()
         url_l = url.lower()
         for ctype in content_types:
             type_ext = ctype.lstrip(".").lower()
