@@ -1,0 +1,126 @@
+"""WARC reader suite: pure stream parser + Spark source round-trips."""
+
+from __future__ import annotations
+
+import io
+
+import pytest
+
+from webpeel_spark.pure.warc import (
+    iter_warc_path,
+    iter_warc_records,
+    iter_warc_responses,
+    write_warc,
+)
+
+
+def _pages(n, tag=""):
+    return [(f"https://warc{tag}.example/p{i}",
+             f"2024-05-{1 + i % 28:02d}T12:00:00Z",
+             f"<html><body><p>Planted warc page {tag} {i}.</p>"
+             f"</body></html>".encode())
+            for i in range(n)]
+
+
+class TestPure:
+    def test_plain_roundtrip(self, tmp_path):
+        path = str(tmp_path / "a.warc")
+        pages = _pages(5)
+        write_warc(path, pages)
+        recs = list(iter_warc_path(path))
+        assert len(recs) == 5
+        for (url, date, html), r in zip(pages, recs):
+            assert r.warc_type == "response"
+            assert r.target_uri == url
+            assert r.warc_date == date
+            assert r.http_status == 200
+            assert r.content_type == "text/html"
+            assert r.body == html
+
+    def test_gzip_roundtrip(self, tmp_path):
+        path = str(tmp_path / "b.warc.gz")
+        pages = _pages(7, "gz")
+        write_warc(path, pages)
+        recs = list(iter_warc_responses(path))
+        assert [r.target_uri for r in recs] == [u for u, _, _ in pages]
+        assert all(r.body == h for r, (_, _, h) in zip(recs, pages))
+
+    def test_non_response_records_skipped(self, tmp_path):
+        path = str(tmp_path / "c.warc")
+        info = (b"WARC/1.0\r\nWARC-Type: warcinfo\r\n"
+                b"Content-Length: 4\r\n\r\ninfo\r\n\r\n")
+        with open(path, "wb") as f:
+            f.write(info)
+        write_warc(str(tmp_path / "d.warc"), _pages(1))
+        with open(path, "ab") as f:
+            f.write(open(str(tmp_path / "d.warc"), "rb").read())
+        recs = list(iter_warc_path(path))
+        assert [r.warc_type for r in recs] == ["warcinfo", "response"]
+        assert len(list(iter_warc_responses(path))) == 1
+
+    def test_truncated_file_stops_cleanly(self, tmp_path):
+        path = str(tmp_path / "e.warc")
+        write_warc(path, _pages(2))
+        blob = open(path, "rb").read()
+        recs = list(iter_warc_records(io.BytesIO(blob[: len(blob) - 40])))
+        assert len(recs) in (1, 2)  # never raises, never loops
+
+    def test_non_200_filtered(self, tmp_path):
+        path = str(tmp_path / "f.warc")
+        html = b"<html>gone</html>"
+        http = (b"HTTP/1.1 404 Not Found\r\nContent-Type: text/html\r\n"
+                b"\r\n" + html)
+        rec = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+               b"WARC-Target-URI: https://x/404\r\n"
+               b"WARC-Date: 2024-05-01T00:00:00Z\r\n"
+               b"Content-Length: " + str(len(http)).encode() +
+               b"\r\n\r\n" + http + b"\r\n\r\n")
+        with open(path, "wb") as f:
+            f.write(rec)
+        assert list(iter_warc_path(path))[0].http_status == 404
+        assert list(iter_warc_responses(path)) == []
+
+
+class TestSparkSource:
+    @pytest.fixture(scope="class")
+    def spark(self):
+        from webpeel_spark.session import get_spark
+
+        s = get_spark(cores=4)
+        s.sparkContext.setLogLevel("ERROR")
+        return s
+
+    def test_read_warc_multiple_files(self, spark, tmp_path):
+        from webpeel_spark.sources.warc import read_warc
+
+        p1 = str(tmp_path / "s1.warc.gz")
+        p2 = str(tmp_path / "s2.warc")
+        write_warc(p1, _pages(9, "a"))
+        write_warc(p2, _pages(4, "b"))
+        df = read_warc(spark, [p1, p2])
+        rows = df.orderBy("url").collect()
+        assert len(rows) == 13
+        assert rows[0].url.startswith("https://warca.example/")
+        assert rows[0].warc_ts is not None
+        assert b"Planted warc page" in bytes(rows[0].html)
+
+    def test_glob_and_empty(self, spark, tmp_path):
+        from webpeel_spark.sources.warc import read_warc
+
+        write_warc(str(tmp_path / "g1.warc"), _pages(3, "g"))
+        df = read_warc(spark, str(tmp_path / "g*.warc"))
+        assert df.count() == 3
+        assert read_warc(spark, []).count() == 0
+
+    def test_composes_with_extraction(self, spark, tmp_path):
+        from webpeel_spark.operators.extract import extract_pages
+        from webpeel_spark.sources.warc import read_warc
+
+        path = str(tmp_path / "x.warc.gz")
+        write_warc(path, _pages(6, "x"))
+        out = extract_pages(read_warc(spark, path).select("url", "html"),
+                            num_partitions=2)
+        rows = out.select("url", "status", "branch", "word_count").collect()
+        assert len(rows) == 6
+        assert all(r.status == "ok" and r.branch == "html" for r in rows)
+        assert all(r.word_count > 0 for r in rows)
