@@ -26,7 +26,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--input", help="pages table path (parquet dir)")
+    ap.add_argument("--input", help="pages table path (parquet dir, "
+                    "or WARC glob with --input-format warc)")
+    ap.add_argument("--input-format", choices=["parquet", "warc"],
+                    default="parquet",
+                    help="'warc' reads .warc/.warc.gz segments directly "
+                    "(one task per segment, Common Crawl layout)")
     ap.add_argument("--output", help="output dir (data + _progress)")
     ap.add_argument("--run-id", default="run-0")
     ap.add_argument("--num-buckets", type=int, default=64)
@@ -76,7 +81,12 @@ def main() -> None:
              .config("spark.sql.execution.arrow.maxRecordsPerBatch", "128")
              .config("spark.sql.parquet.compression.codec", "zstd")
              .getOrCreate())
-    pages = spark.read.parquet(args.input)
+    if args.input_format == "warc":
+        from webpeel_spark.sources.warc import read_warc
+
+        pages = read_warc(spark, args.input)
+    else:
+        pages = spark.read.parquet(args.input)
     summary = run_extraction_checkpointed(
         spark, pages, args.output, run_id=args.run_id,
         num_buckets=args.num_buckets,
