@@ -112,6 +112,27 @@ class TestSparkSource:
         assert df.count() == 3
         assert read_warc(spark, []).count() == 0
 
+    def test_corrupted_gzip_segment_skipped(self, spark, tmp_path):
+        """BadGzipFile surfaces mid-iteration (lazy generator); the
+        source must keep good segments and records read before the
+        corruption point instead of failing the task."""
+        from webpeel_spark.sources.warc import read_warc
+
+        good = str(tmp_path / "good.warc.gz")
+        bad = str(tmp_path / "bad.warc.gz")
+        write_warc(good, _pages(5, "ok"))
+        with open(bad, "wb") as f:
+            f.write(b"\x1f\x8b" + bytes(range(100)))
+        # truncated-mid-member variant: valid records then garbage
+        half = str(tmp_path / "half.warc.gz")
+        write_warc(half, _pages(3, "h"))
+        with open(half, "ab") as f:
+            f.write(b"\x1f\x8b\x00garbage-tail")
+        rows = read_warc(spark, [good, bad, half]).collect()
+        urls = {r.url for r in rows}
+        assert {f"https://warcok.example/p{i}" for i in range(5)} <= urls
+        assert len(urls) >= 5  # half's prefix records may survive too
+
     def test_composes_with_extraction(self, spark, tmp_path):
         from webpeel_spark.operators.extract import extract_pages
         from webpeel_spark.sources.warc import read_warc

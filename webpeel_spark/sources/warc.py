@@ -59,20 +59,24 @@ def read_warc(spark: SparkSession, paths: Union[str, List[str]],
         for pdf in it:
             rows = []
             for path in pdf["path"]:
+                # generators raise lazily: a corrupted gzip member
+                # surfaces mid-ITERATION (BadGzipFile ⊂ OSError), so
+                # the guard must wrap the loop — records read before
+                # the corruption point are kept, the rest of the
+                # segment is skipped, the task survives
                 try:
-                    records = iter_warc_responses(path)
-                except OSError:
+                    for rec in iter_warc_responses(path):
+                        ts = pd.to_datetime(rec.warc_date, utc=True,
+                                            errors="coerce")
+                        rows.append((rec.target_uri,
+                                     None if ts is pd.NaT
+                                     else ts.tz_localize(None),
+                                     rec.body))
+                        if len(rows) >= _BATCH:
+                            yield pd.DataFrame(rows, columns=cols)
+                            rows = []
+                except (OSError, EOFError):
                     continue
-                for rec in records:
-                    ts = pd.to_datetime(rec.warc_date, utc=True,
-                                        errors="coerce")
-                    rows.append((rec.target_uri,
-                                 None if ts is pd.NaT
-                                 else ts.tz_localize(None),
-                                 rec.body))
-                    if len(rows) >= _BATCH:
-                        yield pd.DataFrame(rows, columns=cols)
-                        rows = []
             if rows:
                 yield pd.DataFrame(rows, columns=cols)
 
