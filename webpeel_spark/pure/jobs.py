@@ -464,10 +464,10 @@ _PARSERS = {"linkedin": parse_linkedin, "glassdoor": parse_glassdoor,
 def parse_job_search(content: str, search_url: str,
                      limit: int = 25) -> Dict[str, Any]:
     """Dispatch by host (jobs.ts searchJobs parse step): returns
-    {jobs, totalFound, source}.  Generic hosts fall back to the
-    LinkedIn-shaped markdown-list parser minus the host filter — the
-    reference returns an error for generic sources at fetch time, but
-    the batch engine classifies instead of raising."""
+    {jobs, totalFound, source}.  The reference raises for generic
+    sources at fetch time (jobs.ts:628-630); the batch engine
+    classifies instead — generic hosts yield an empty result with
+    source='generic' so one bad row never fails a corpus stage."""
     src = detect_source(search_url)
     parser = _PARSERS.get(src)
     if parser is None:
