@@ -2638,7 +2638,7 @@ def _safe_path(materialize) -> str:
             _pii_parquet: "pii_%d_v1.parquet" % _PII_ROWS,
             _cross_verify_parquet: "cross_verify_v1.parquet",
             _transcripts_parquet: "transcripts_v1.parquet",
-            _planted_mixed_parquet: "planted_mixed_v1.parquet",
+            _planted_mixed_parquet: "planted_mixed_v2.parquet",
         }
         return os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             ".contract_cache",

@@ -25,6 +25,7 @@ HREFS = [
     "relative/path", "../up", "./here", "?query", "#frag", "",
     "https://abs.example/x", "mailto:a@b", "javascript:void(0)",
     "/with space", "/trailing/", "/%20enc", "/a//b",
+    "/a\nb", "/a\tb", "/a\rb", "/\n", "\t/x",   # WHATWG-stripped
 ]
 
 
@@ -36,7 +37,7 @@ def test_exhaustive_case_table():
 
 
 @given(st.sampled_from(BASES),
-       st.text(alphabet=st.characters(min_codepoint=33,
+       st.text(alphabet=st.characters(min_codepoint=9,
                                       max_codepoint=126),
                max_size=40))
 @settings(max_examples=300, deadline=None)

@@ -65,6 +65,22 @@ class TestPure:
         recs = list(iter_warc_records(io.BytesIO(blob[: len(blob) - 40])))
         assert len(recs) in (1, 2)  # never raises, never loops
 
+    def test_unparseable_http_head_filtered(self, tmp_path):
+        """A response payload with no head/body separator parses to
+        status None — it must NOT reach the pages table (its body
+        would still contain raw HTTP header bytes)."""
+        path = str(tmp_path / "nohead.warc")
+        payload = b"HTTP/1.1 200 OK\nno-crlf-separator<html>x</html>"
+        rec = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+               b"WARC-Target-URI: https://x/nohead\r\n"
+               b"WARC-Date: 2024-05-01T00:00:00Z\r\n"
+               b"Content-Length: " + str(len(payload)).encode() +
+               b"\r\n\r\n" + payload + b"\r\n\r\n")
+        with open(path, "wb") as f:
+            f.write(rec)
+        assert list(iter_warc_path(path))[0].http_status is None
+        assert list(iter_warc_responses(path)) == []
+
     def test_non_200_filtered(self, tmp_path):
         path = str(tmp_path / "f.warc")
         html = b"<html>gone</html>"
@@ -132,6 +148,28 @@ class TestSparkSource:
         urls = {r.url for r in rows}
         assert {f"https://warcok.example/p{i}" for i in range(5)} <= urls
         assert len(urls) >= 5  # half's prefix records may survive too
+
+    def test_corrupted_deflate_data_skipped(self, spark, tmp_path):
+        """Flipping a byte INSIDE a member's deflate stream raises
+        zlib.error (not BadGzipFile) — the guard must cover it."""
+        import zlib
+
+        from webpeel_spark.pure.warc import iter_warc_responses
+        from webpeel_spark.sources.warc import read_warc
+
+        good = str(tmp_path / "ok.warc.gz")
+        write_warc(good, _pages(4, "z"))
+        corrupt = str(tmp_path / "corrupt.warc.gz")
+        blob = bytearray(open(good, "rb").read())
+        blob[len(blob) // 2] ^= 0xFF  # flip a mid-stream byte
+        with open(corrupt, "wb") as f:
+            f.write(bytes(blob))
+        # confirm the corruption actually raises zlib.error or OSError
+        with pytest.raises((zlib.error, OSError, EOFError)):
+            list(iter_warc_responses(corrupt))
+        rows = read_warc(spark, [good, corrupt]).collect()
+        assert {r.url for r in rows} >= {
+            f"https://warcz.example/p{i}" for i in range(4)}
 
     def test_composes_with_extraction(self, spark, tmp_path):
         from webpeel_spark.operators.extract import extract_pages

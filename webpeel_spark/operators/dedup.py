@@ -770,19 +770,26 @@ def simhash_near_duplicates(df: DataFrame, text_col: str = "text",
        collect_set, degenerate buckets dropped with a REPORTED metric);
     3. exact bit_count verify on the surviving candidates.
 
-    The band plan adapts to corpus size (one cheap metadata count, the
-    bm25 corpus-stats precedent): single-band tables below
+    The band plan adapts to corpus size: single-band tables below
     _SIMHASH_SMALL_N docs, Manku pair-tables above — both lossless,
-    same output either way.
+    same output either way.  The size comes from counting the
+    PERSISTED signature table (computed once, needed anyway), not the
+    raw input — a df.count() on arbitrary upstream lineage (e.g. text
+    straight out of the extraction UDF) would re-execute that whole
+    lineage as an extra job.
     """
-    width, combos = _simhash_band_plan(max_hamming, n_docs=df.count())
-    mask = (1 << width) - 1
-
     if collapse_exact:
         docs, groups = _collapse_exact_groups(df, text_col, id_col)
         sigs = simhash_signatures(docs, text_col="__text", id_col="id")
     else:
         sigs = simhash_signatures(df, text_col, id_col)
+    sigs = sigs.persist()
+    # materializes the signature UDF exactly once; banding + the
+    # candidate self-join below all reuse the cached (id, simhash)
+    # rows (narrow: 2 longs/row)
+    n_docs = sigs.count()
+    width, combos = _simhash_band_plan(max_hamming, n_docs=n_docs)
+    mask = (1 << width) - 1
 
     def band_key(i: int) -> Column:
         return F.shiftrightunsigned(F.col("simhash"), i * width) \
@@ -801,9 +808,10 @@ def simhash_near_duplicates(df: DataFrame, text_col: str = "text",
             F.struct(F.lit(t).alias("band"), combo_key(c).alias("key"))
             for t, c in enumerate(combos)
         ])).alias("bb"),
-    ).select("id", "simhash", "bb.band", "bb.key").persist()
-    # persisted: the self-join below would otherwise run the SimHash
-    # UDF twice over the full corpus
+    ).select("id", "simhash", "bb.band", "bb.key")
+    # no second persist needed: keyed recomputes as a narrow explode
+    # of the already-cached sigs rows, so the multi-consumer self-join
+    # never re-runs the SimHash UDF
 
     candidates = capped_bucket_pairs(keyed, ["band", "key"], bucket_cap,
                                      metrics=metrics,

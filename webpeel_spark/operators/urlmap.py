@@ -7,9 +7,14 @@ become whole-stage-codegen filters and the relevance score a literal
 when-chain — no UDF, no shuffle beyond the final ordering.
 
 Java ``rlike`` and JS ``RegExp`` agree on the simple path/extension
-patterns the reference feature is used with; patterns are still
-length-capped through ``pure.urlmap.safe_regex`` at plan-build time
-so a hostile pattern fails fast on the driver, mirroring map.ts.
+patterns the reference feature is used with.  Driver-side validation
+via ``pure.urlmap.safe_regex`` enforces the 200-char cap and Python
+regex syntax before the plan is built; note this is NOT a full
+guarantee for Java — a Python-valid construct Java rejects (e.g.
+``(?P<name>…)``) still fails at execution, and a handful of
+constructs differ semantically (Java ``$`` matches before a trailing
+newline).  For exotic patterns use the pure ``map_filter_sort`` path,
+which runs the reference's JS-equivalent ``re`` semantics exactly.
 """
 
 from __future__ import annotations

@@ -21,7 +21,7 @@ import re
 from datetime import datetime, timezone, timedelta
 from functools import lru_cache
 from typing import Dict, List, NamedTuple, Optional
-from urllib.parse import urljoin, urlsplit
+from urllib.parse import urlsplit
 
 from .urlfast import fast_urljoin
 

@@ -36,12 +36,16 @@ def fast_urljoin(base_url: str, href: str) -> str:
 
     The fast path requires: href starts with exactly one ``/`` (not
     protocol-relative ``//``), contains no dot segments (``..`` or
-    ``/.``) that urljoin would normalize away, and the base is a clean
-    absolute http(s) URL.  Everything else falls back to urljoin —
-    including relative-path refs, fragments, and malformed bases — so
-    the result is byte-identical in all cases."""
+    ``/.``) that urljoin would normalize away, no tab/CR/LF (urljoin
+    strips those per WHATWG — attribute values spanning lines exist
+    in real HTML), and the base is a clean absolute http(s) URL.
+    Everything else falls back to urljoin — including relative-path
+    refs, fragments, and malformed bases — so the result is
+    byte-identical in all cases."""
     if (href.startswith("/") and not href.startswith("//")
-            and ".." not in href and "/." not in href):
+            and ".." not in href and "/." not in href
+            and "\t" not in href and "\r" not in href
+            and "\n" not in href):
         origin = _origin(base_url)
         if origin is not None:
             return origin + href

@@ -121,10 +121,12 @@ def iter_warc_path(path: str) -> Iterator[WarcRecord]:
 
 def iter_warc_responses(path: str) -> Iterator[WarcRecord]:
     """Only 200-status response records with a target URI — the rows
-    an extraction corpus wants."""
+    an extraction corpus wants.  Records whose HTTP head failed to
+    parse (http_status None) are dropped too: their body would still
+    contain raw header bytes, which must not reach the pages table."""
     for rec in iter_warc_path(path):
         if (rec.warc_type == "response" and rec.target_uri
-                and (rec.http_status is None or rec.http_status == 200)):
+                and rec.http_status == 200):
             yield rec
 
 

@@ -18,6 +18,7 @@ work unchanged.
 from __future__ import annotations
 
 import glob as _glob
+import zlib
 from typing import Iterator, List, Optional, Union
 
 import pandas as pd
@@ -60,10 +61,12 @@ def read_warc(spark: SparkSession, paths: Union[str, List[str]],
             rows = []
             for path in pdf["path"]:
                 # generators raise lazily: a corrupted gzip member
-                # surfaces mid-ITERATION (BadGzipFile ⊂ OSError), so
-                # the guard must wrap the loop — records read before
-                # the corruption point are kept, the rest of the
-                # segment is skipped, the task survives
+                # surfaces mid-ITERATION — as BadGzipFile (⊂ OSError)
+                # for header corruption, zlib.error for corrupted
+                # deflate data, EOFError for truncation — so the guard
+                # must wrap the loop AND cover all three.  Records
+                # read before the corruption point are kept, the rest
+                # of the segment is skipped, the task survives.
                 try:
                     for rec in iter_warc_responses(path):
                         ts = pd.to_datetime(rec.warc_date, utc=True,
@@ -75,7 +78,7 @@ def read_warc(spark: SparkSession, paths: Union[str, List[str]],
                         if len(rows) >= _BATCH:
                             yield pd.DataFrame(rows, columns=cols)
                             rows = []
-                except (OSError, EOFError):
+                except (OSError, EOFError, zlib.error):
                     continue
             if rows:
                 yield pd.DataFrame(rows, columns=cols)
