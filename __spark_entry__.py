@@ -217,18 +217,20 @@ def _q_extract_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Job-level extraction rollup (extraction_metrics hash-agg) over
     the planted MIXED corpus (html + pdf + json branches) — the
     aggregate oracle is the mixed envelope oracle wrapped in the same
-    GROUP BY, so per-branch rollup arithmetic is exact.  Float avgs
-    rounded to 4dp on both sides."""
+    GROUP BY, so per-branch rollup arithmetic is exact.  Averages use
+    the order-invariant fixed-point formula (deterministic_avg /
+    _det_avg_sql) on both sides — round(avg(double),4) was
+    partition-order nondeterministic at rounding boundaries."""
     from webpeel_spark.operators.extract import extract_pages, extraction_metrics
 
     out = extract_pages(spark.read.parquet(_planted_mixed_parquet()),
                         num_partitions=4)
     m = extraction_metrics(out)
+    # avg_quality / avg_pruned_pct are already deterministic 4-dp
+    # values (operators.extract.deterministic_avg) — no extra rounding
     return m.select(
-        "branch", "status", "docs", "tokens",
-        F.round("avg_quality", 4).alias("avg_quality"),
-        "content_bytes", "input_bytes",
-        F.round("avg_pruned_pct", 4).alias("avg_pruned_pct"),
+        "branch", "status", "docs", "tokens", "avg_quality",
+        "content_bytes", "input_bytes", "avg_pruned_pct",
     ).orderBy("branch", "status")
 
 
@@ -1500,6 +1502,18 @@ FROM cards ORDER BY url, position
 """
 
 
+def _det_avg_sql(col: str, scale: int = 100) -> str:
+    """DuckDB twin of operators.extract.deterministic_avg: integer sum
+    of the fixed-point column, one IEEE double division to basis
+    points, round, divide by 10^4.  Every op is order-invariant and
+    bit-identical to the Spark expression (same operand order, same
+    IEEE arithmetic), unlike round(avg(double), 4) whose partial-agg
+    summation order flips boundary values between core counts."""
+    factor = 10000 // scale
+    return (f"round(CAST(sum(CAST(round({col} * {scale}) AS BIGINT)) "
+            f"AS DOUBLE) * {factor} / count(*)) / CAST(10000 AS DOUBLE)")
+
+
 def _extract_mixed_oracle() -> str:
     """Envelope oracle over the mixed corpus: the html-article part is
     _EXTRACT_PLANTED_ORACLE verbatim; pdf/json parts regenerate each
@@ -2362,7 +2376,7 @@ def oracle_sql() -> dict[str, str]:
                    sum(CASE WHEN status = 'error' THEN 1 ELSE 0 END)
                      AS error_count,
                    CAST(sum(token_estimate) AS BIGINT) AS token_sum,
-                   round(avg(quality), 4) AS avg_quality
+                   {_det_avg_sql('quality', 100)} AS avg_quality
             FROM ({_EXTRACT_PLANTED_ORACLE})
             GROUP BY 2 ORDER BY bucket
         """,
@@ -2370,10 +2384,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT branch, status,
                    count(*) AS docs,
                    CAST(sum(token_estimate) AS BIGINT) AS tokens,
-                   round(avg(quality), 4) AS avg_quality,
+                   {_det_avg_sql('quality', 100)} AS avg_quality,
                    CAST(sum(content_len) AS BIGINT) AS content_bytes,
                    CAST(sum(html_len) AS BIGINT) AS input_bytes,
-                   round(avg(pruned_percent), 4) AS avg_pruned_pct
+                   {_det_avg_sql('pruned_percent', 1)} AS avg_pruned_pct
             FROM ({_extract_mixed_oracle()})
             GROUP BY branch, status ORDER BY branch, status
         """,

@@ -6,7 +6,7 @@ from __future__ import annotations
 
 import re
 
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from webpeel_spark.pure.cross_verify import build_consensus, normalize_url
@@ -169,9 +169,21 @@ class TestConsensusProperties:
         assert 0 <= r["confidence"] <= 1
 
     @given(st.text(max_size=60))
+    @example("/")
+    @example("p//")
     @settings(max_examples=100, deadline=None)
-    def test_normalize_idempotent_on_parseable(self, path):
-        url = "https://www.example.com/" + re.sub(r"[?#\s]", "", path)
+    def test_normalize_strips_exactly_one_trailing_slash(self, path):
+        # Reference semantics (cross-verify.ts:117): hostname minus
+        # www + pathname with ONE trailing slash stripped — a "//"
+        # path yields "example.com/", not "example.com".  (The old
+        # invariant `not n.endswith("/")` was stronger than the
+        # reference and failed on the pinned examples above.)
+        cleaned = re.sub(r"[?#\s]", "", path)
+        url = "https://www.example.com/" + cleaned
         n = normalize_url(url)
-        assert n.startswith("example.com")
-        assert not n.endswith("/")
+        raw_path = "/" + cleaned
+        expected = "example.com" + (
+            raw_path[:-1] if raw_path.endswith("/") else raw_path)
+        assert n == expected
+        # idempotent: the scheme-less output passes through unchanged
+        assert normalize_url(n) == n

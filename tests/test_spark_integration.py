@@ -231,3 +231,47 @@ class TestExplainPlans:
         assert m, plan
         assert "url" in m.group(1) and "html" in m.group(1)
         assert "warc_ts" not in m.group(1) and "lang" not in m.group(1)
+
+
+class TestDeterministicAvg:
+    """The lineage/rollup averages must be invariant to partitioning —
+    round(avg(double), 4) was not (round-4 driver red at 32 cores,
+    green at local[8]); deterministic_avg aggregates exact integers."""
+
+    # 7×0.87 + 1×0.88: centisum 697 → 697·100/8 = 8712.5 basis points,
+    # exactly ON the rounding boundary that avg(double) flips across
+    BOUNDARY = [0.87] * 7 + [0.88]
+
+    def test_partition_invariant(self, spark):
+        from webpeel_spark.operators.extract import deterministic_avg
+
+        F = pyspark.sql.functions
+        vals = self.BOUNDARY * 3 + [0.13, 0.29, 0.41, 0.57] * 25
+        rows = [(i % 3, v) for i, v in enumerate(vals)]
+        results = set()
+        for parts in (1, 2, 7, 32):
+            df = spark.createDataFrame(
+                rows, "g int, quality double").repartition(parts)
+            out = (df.groupBy("g")
+                   .agg(deterministic_avg("quality").alias("aq"))
+                   .orderBy("g").collect())
+            results.add(tuple(r["aq"] for r in out))
+        assert len(results) == 1, results
+
+    def test_boundary_value_and_duckdb_parity(self, spark):
+        """The half-boundary rounds UP on both engines (Spark HALF_UP,
+        DuckDB half-away-from-zero — same for positives)."""
+        import duckdb
+
+        import __spark_entry__ as entry
+        from webpeel_spark.operators.extract import deterministic_avg
+
+        df = spark.createDataFrame([(v,) for v in self.BOUNDARY],
+                                   "quality double")
+        [r] = df.agg(deterministic_avg("quality").alias("aq")).collect()
+        assert r["aq"] == 0.8713
+
+        sql = (f"SELECT {entry._det_avg_sql('q', 100)} AS aq FROM "
+               f"(SELECT unnest($1::DOUBLE[]) AS q)")
+        got = duckdb.execute(sql, [self.BOUNDARY]).fetchone()[0]
+        assert got == r["aq"]

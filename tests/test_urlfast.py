@@ -26,6 +26,8 @@ HREFS = [
     "https://abs.example/x", "mailto:a@b", "javascript:void(0)",
     "/with space", "/trailing/", "/%20enc", "/a//b",
     "/a\nb", "/a\tb", "/a\rb", "/\n", "\t/x",   # WHATWG-stripped
+    "/p?", "/p#", "/p?#f", "/p?#", "/?", "/#",  # empty components:
+    "/p??", "/p##", "/p?q=1#",                  # urljoin drops ?/# markers
 ]
 
 

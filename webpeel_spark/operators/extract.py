@@ -19,10 +19,10 @@ there); this module is only Spark wiring:
 
 from __future__ import annotations
 
-from typing import Iterator, Optional
+from typing import Iterator, Optional, Union
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType, BooleanType, DoubleType, IntegerType, LongType, StringType,
@@ -629,14 +629,38 @@ def semantic_diff_snapshots(old: DataFrame, new: DataFrame) -> DataFrame:
     )
 
 
+def deterministic_avg(col: Union[str, Column], scale: int = 100) -> Column:
+    """Partition-order-invariant 4-decimal average of a fixed-point
+    column (aggregate expression; use inside ``.agg(...)``).
+
+    ``avg(double)`` sums doubles in whatever order the partial
+    aggregates arrive, so at a 4-dp rounding boundary the result flips
+    between runs / core counts (observed: the round-4 driver at 32
+    cores vs local[8]).  Instead sum the EXACT integer representation
+    (``quality`` is 2-decimal by construction → ``round(q*100)`` is an
+    integer; ``pruned_percent`` is already an int → scale=1), derive
+    basis points with one correctly-rounded IEEE division + one
+    round-to-integer, and divide by 10^4.  Every step is
+    order-independent and reproducible bit-for-bit by the DuckDB
+    oracles (same formula, same IEEE ops, same operand order).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    int_sum = F.sum(F.round(c * scale, 0).cast("long"))
+    bp = F.round(int_sum * F.lit(10000.0 / scale) / F.count(F.lit(1)), 0)
+    return bp / F.lit(10000.0)
+
+
 def extraction_metrics(result: DataFrame) -> DataFrame:
     """Job-level rollup (cleaning-stats analog, markdown.ts:59-157):
-    hash-agg with partial+final combine — all built-in Catalyst."""
+    hash-agg with partial+final combine — all built-in Catalyst.
+    Averages use :func:`deterministic_avg` so the rollup is invariant
+    to partitioning (contract queries put these at the oracle
+    boundary)."""
     return result.groupBy("branch", "status").agg(
         F.count("*").alias("docs"),
         F.sum("token_estimate").alias("tokens"),
-        F.avg("quality").alias("avg_quality"),
+        deterministic_avg("quality", 100).alias("avg_quality"),
         F.sum("content_len").alias("content_bytes"),
         F.sum("html_len").alias("input_bytes"),
-        F.avg("pruned_percent").alias("avg_pruned_pct"),
+        deterministic_avg("pruned_percent", 1).alias("avg_pruned_pct"),
     )

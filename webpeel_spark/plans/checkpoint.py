@@ -35,7 +35,7 @@ from typing import List, Optional
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.extract import extract_pages
+from ..operators.extract import deterministic_avg, extract_pages
 
 PROGRESS_SCHEMA = (
     "run_id string, input_snapshot_id string, bucket int, "
@@ -167,7 +167,10 @@ def run_extraction_checkpointed(
                     F.sum(F.when(F.col("status") == "error", 1).otherwise(0)).alias("error_count"),
                     F.sum("token_estimate").alias("token_sum"),
                     F.sum("content_len").alias("content_bytes"),
-                    F.round(F.avg("quality"), 4).alias("avg_quality"),
+                    # order-invariant 4-dp average (integer sum, one
+                    # IEEE division) — round(avg(double),4) flips at a
+                    # rounding boundary depending on partial-agg order
+                    deterministic_avg("quality", 100).alias("avg_quality"),
                     F.min(F.xxhash64("url")).alias("url_hash_min"),
                     F.max(F.xxhash64("url")).alias("url_hash_max"),
                 ).collect()

@@ -41,11 +41,18 @@ def fast_urljoin(base_url: str, href: str) -> str:
     in real HTML), and the base is a clean absolute http(s) URL.
     Everything else falls back to urljoin — including relative-path
     refs, fragments, and malformed bases — so the result is
-    byte-identical in all cases."""
+    byte-identical in all cases.
+
+    Empty trailing components also force the fallback: urljoin drops
+    an empty query/fragment marker (``/p?`` → ``/p``, ``/p#`` →
+    ``/p``, ``/p?#f`` → ``/p#f`` — urlunsplit omits empty parts), so
+    hrefs ending in ``?``/``#`` or containing ``?#`` are not
+    origin-concat-safe."""
     if (href.startswith("/") and not href.startswith("//")
             and ".." not in href and "/." not in href
             and "\t" not in href and "\r" not in href
-            and "\n" not in href):
+            and "\n" not in href
+            and not href.endswith(("?", "#")) and "?#" not in href):
         origin = _origin(base_url)
         if origin is not None:
             return origin + href
