@@ -587,11 +587,16 @@ def _q_change_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
         "url", "change", "additions", "deletions")
     sem = semantic_diff_snapshots(old_ext, new_ext).select(
         "url", F.col("mode").alias("diff_mode"), "n_changes")
-    return changes.join(sem, "url", "left").select(
+    out = changes.join(sem, "url", "left").select(
         "url", "change", "additions", "deletions",
         F.coalesce("diff_mode", F.lit("none")).alias("diff_mode"),
         F.coalesce("n_changes", F.lit(0)).alias("n_changes"),
-    ).orderBy("url")
+    ).localCheckpoint(eager=True)  # materialize, then release the
+    # snapshot caches — a .persist() with no unpersist leaks blocks
+    # across repeated contract runs in one session
+    old_ext.unpersist()
+    new_ext.unpersist()
+    return out.orderBy("url")
 
 
 _CHANGE_TRACKING_ORACLE = f"""
@@ -2005,24 +2010,57 @@ def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(mm).drop("features")
 
 
+def _streaming_input_parquet(src_parquet: str, dest: str,
+                             day: int, edit_third: bool = False) -> None:
+    """Write one streaming micro-batch file from a planted (url, html)
+    parquet: PAGES_SCHEMA columns added (fixed deterministic warc_ts,
+    null text/lang).  ``edit_third=True`` applies the index-arithmetic
+    edit the change-tracking oracles pin: on every third page (p%3=0,
+    p from the url) paragraph 0's "is part" becomes "was part" — the
+    same byte edit the batch ``change_tracking`` query makes in SQL."""
+    import datetime
+    import re as _re
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(src_parquet)
+    urls, htmls = t["url"].to_pylist(), t["html"].to_pylist()
+    if edit_third:
+        for i, u in enumerate(urls):
+            p = int(_re.search(r"art(\d+)$", u).group(1))
+            if p % 3 == 0:
+                htmls[i] = htmls[i].replace(
+                    b"paragraph %d 0 is part" % p,
+                    b"paragraph %d 0 was part" % p)
+    ts = [datetime.datetime(2024, 3, day)] * len(urls)
+    pq.write_table(pa.table({
+        "url": pa.array(urls, pa.string()),
+        "warc_ts": pa.array(ts, pa.timestamp("us")),
+        "html": pa.array(htmls, pa.binary()),
+        "text": pa.array([None] * len(urls), pa.string()),
+        "lang": pa.array([None] * len(urls), pa.string()),
+    }), dest)
+
+
 def _q_streaming_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Structured Streaming extraction (availableNow) — rows-only but
-    SELF-VERIFYING since r4: the stream output is joined against a
-    batch extraction of the same corpus and every row carries
-    ``matches_batch`` (fingerprint + token_estimate equality).  The
-    correctness report shows 60 rows; the pytest streaming suite
-    asserts the flag is all-true, so a silent stream/batch divergence
-    fails the build even without a SQL oracle."""
+    """Structured Streaming extraction (availableNow) over the planted
+    MIXED corpus — all five content-type branches flow through the
+    STREAM and the DuckDB envelope oracle regenerates every output
+    column exactly (r5: planted oracle replaces the r4 rows-only
+    self-check; ``matches_batch`` — fingerprint + token equality vs a
+    batch extraction of the same files — is kept and oracled as
+    constant true)."""
     import tempfile
 
     from webpeel_spark.operators.extract import extract_pages
-    from webpeel_spark.sources.corpus import write_corpus_parquet
     from webpeel_spark.streaming.extract_stream import stream_extraction
 
     tmp = tempfile.mkdtemp(prefix="wp_stream_")
     inp = os.path.join(tmp, "in")
     os.makedirs(inp)
-    write_corpus_parquet(os.path.join(inp, "b0.parquet"), 60, seed=9)
+    _streaming_input_parquet(_planted_mixed_parquet(),
+                             os.path.join(inp, "b0.parquet"), day=1)
     q = stream_extraction(spark, inp, os.path.join(tmp, "out"),
                           os.path.join(tmp, "ck"))
     q.awaitTermination(300)
@@ -2034,7 +2072,7 @@ def _q_streaming_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "url", F.col("fingerprint").alias("__batch_fp"),
         F.col("token_estimate").alias("__batch_te"))
     return streamed.join(batch, "url", "left").select(
-        "url", "status", "branch", "token_estimate",
+        "url", "status", "branch", "token_estimate", "fingerprint",
         ((F.col("fingerprint") == F.col("__batch_fp"))
          & (F.col("token_estimate") == F.col("__batch_te")))
         .alias("matches_batch"),
@@ -2042,16 +2080,17 @@ def _q_streaming_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_streaming_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stateful streaming change tracking (applyInPandasWithState):
-    batch 1 → all 'added'; batch 2 re-runs the SAME stream checkpoint
-    with a third of the pages edited → 'changed'/'unchanged' against
-    per-url fingerprint GroupState restored across the restart."""
+    """Stateful streaming change tracking (applyInPandasWithState)
+    over the planted article corpus: batch 1 → all 'added'; batch 2
+    re-runs the SAME stream checkpoint with every third page edited
+    (p%3=0, the change-tracking arithmetic) → 'changed'/'unchanged'
+    against per-url fingerprint GroupState restored across the
+    restart.  r5: exact DuckDB oracle — labels are index arithmetic
+    and both fingerprints are sha256 over the planted content formula
+    (edited pages: one-word replace in paragraph 0), so the GroupState
+    path is byte-identity-checked, not just self-consistent."""
     import tempfile
 
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
-    from webpeel_spark.sources.corpus import write_corpus_parquet
     from webpeel_spark.streaming.extract_stream import (
         stream_change_tracking,
     )
@@ -2059,49 +2098,19 @@ def _q_streaming_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="wp_state_")
     inp = os.path.join(tmp, "in")
     os.makedirs(inp)
-    write_corpus_parquet(os.path.join(inp, "b0.parquet"), 30, seed=17)
+    src = _planted_articles_parquet()
+    _streaming_input_parquet(src, os.path.join(inp, "b0.parquet"), day=1)
     q = stream_change_tracking(spark, inp, os.path.join(tmp, "out"),
                                os.path.join(tmp, "ck"))
     q.awaitTermination(300)
-    t = pq.read_table(os.path.join(inp, "b0.parquet"))
-    htmls, urls = t["html"].to_pylist(), t["url"].to_pylist()
-    for i in range(0, len(htmls), 3):
-        if b"content" in (htmls[i] or b"") and not urls[i].endswith(
-                (".pdf", ".docx")):
-            htmls[i] = htmls[i].replace(b"content", b"content-v2")
-    t2 = t.set_column(t.schema.get_field_index("html"), "html",
-                      pa.array(htmls, pa.binary()))
-    pq.write_table(t2, os.path.join(inp, "b1.parquet"))
+    _streaming_input_parquet(src, os.path.join(inp, "b1.parquet"),
+                             day=2, edit_third=True)
     q2 = stream_change_tracking(spark, inp, os.path.join(tmp, "out"),
                                 os.path.join(tmp, "ck"))
     q2.awaitTermination(300)
-    # r4: self-verifying — batch-extract both corpus versions and
-    # derive the expected label per url (first sighting 'added';
-    # second batch 'changed' iff the fingerprints differ), then flag
-    # every stream row against it.  Rows-only in the driver, but a
-    # divergence between the GroupState stream and batch extraction
-    # shows up as matches_batch=false in the correctness report.
-    from webpeel_spark.operators.extract import extract_pages
-
-    fp_a = extract_pages(
-        spark.read.parquet(os.path.join(inp, "b0.parquet"))
-        .select("url", "html"), num_partitions=4).select(
-        "url", F.col("fingerprint").alias("__fp_a"))
-    fp_b = extract_pages(
-        spark.read.parquet(os.path.join(inp, "b1.parquet"))
-        .select("url", "html"), num_partitions=4).select(
-        "url", F.col("fingerprint").alias("__fp_b"))
-    expected = fp_a.join(fp_b, "url").select(
-        "url", (F.col("__fp_a") != F.col("__fp_b")).alias("__edited"))
-    out = spark.read.parquet(os.path.join(tmp, "out")).select(
-        "url", "change")
-    return out.join(expected, "url", "left").select(
+    return spark.read.parquet(os.path.join(tmp, "out")).select(
         "url", "change",
-        F.when(F.col("change") == "added", F.lit(True))
-        .otherwise(F.col("change") ==
-                   F.when(F.col("__edited"), F.lit("changed"))
-                   .otherwise(F.lit("unchanged")))
-        .alias("matches_batch"),
+        F.col("fingerprint_new").alias("fingerprint"),
     ).orderBy("url", "change")
 
 
@@ -2366,6 +2375,32 @@ def oracle_sql() -> dict[str, str]:
         "change_tracking": _CHANGE_TRACKING_ORACLE,
         "schema_fields": _SCHEMA_FIELDS_ORACLE,
         "extract_listings": _EXTRACT_LISTINGS_ORACLE,
+        "streaming_extract": f"""
+            SELECT url, status, branch, token_estimate, fingerprint,
+                   true AS matches_batch
+            FROM ({_extract_mixed_oracle()}) ORDER BY url
+        """,
+        "streaming_changes": f"""
+            WITH env AS (
+              SELECT url, content, fingerprint,
+                     CAST(regexp_extract(url, 'art(\\d+)$', 1) AS INT)
+                       AS p
+              FROM ({_EXTRACT_PLANTED_ORACLE})
+            )
+            SELECT url, change, fingerprint FROM (
+              SELECT url, 'added' AS change, fingerprint FROM env
+              UNION ALL
+              SELECT url,
+                     CASE WHEN p % 3 = 0 THEN 'changed'
+                          ELSE 'unchanged' END AS change,
+                     CASE WHEN p % 3 = 0
+                          THEN sha256(replace(content,
+                               'paragraph ' || p || ' 0 is part',
+                               'paragraph ' || p || ' 0 was part'))
+                          ELSE fingerprint END AS fingerprint
+              FROM env
+            ) ORDER BY url, change
+        """,
         "checkpoint_lineage": f"""
             SELECT 'contract-run' AS run_id,
                    CAST(CAST(regexp_extract(url, 'art(\\d+)$', 1) AS INT)

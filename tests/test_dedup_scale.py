@@ -376,3 +376,29 @@ def test_connected_components_long_chain_fails_loudly(spark):
     rows = connected_components(edges, vertices,
                                 max_iterations=n).collect()
     assert {r["cluster"] for r in rows} == {0}
+
+
+def test_lsh_operators_release_caches(spark):
+    """The LSH operators persist internal intermediates (signatures,
+    exact-dup group maps); they must unpersist them before returning —
+    a leaked .persist() accumulates blocks across repeated calls in a
+    long-lived session (ADVICE r4)."""
+    from webpeel_spark.operators.dedup import (
+        minhash_near_duplicates,
+        ngram_jaccard_pairs,
+        simhash_near_duplicates,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon zeta {i % 4} common tail "
+              f"words shared across near duplicate documents {i % 4}")
+         for i in range(40)],
+        "doc_id long, text string")
+
+    spark.catalog.clearCache()  # caches from earlier tests in the module
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    for op in (minhash_near_duplicates, simhash_near_duplicates,
+               ngram_jaccard_pairs):
+        out = op(docs)
+        out.count()  # materialized results must still be actionable
+        assert cm.isEmpty(), f"{op.__name__} leaked cached plans"

@@ -91,6 +91,35 @@ class TestMapFilterSort:
         r = map_filter_sort(ROWS, max_urls=2)
         assert r["total"] == 2
 
+    # expected order generated with Node's actual localeCompare:
+    # case-insensitive primary, lowercase before uppercase on ties
+    # (punctuation-collation divergence is documented in _locale_key)
+    LOCALE_CASES = [
+        "https://B.example/x", "https://a.example/y",
+        "https://A.example/x", "https://a.example/x",
+        "https://b.example/w", "HTTPS://a.example/z",
+    ]
+    LOCALE_EXPECTED = [
+        "https://a.example/x", "https://A.example/x",
+        "https://a.example/y", "HTTPS://a.example/z",
+        "https://b.example/w", "https://B.example/x",
+    ]
+
+    def test_mixed_case_locale_order(self):
+        r = map_filter_sort([(u, None, None) for u in self.LOCALE_CASES])
+        assert r["urls"] == self.LOCALE_EXPECTED
+
+    def test_mixed_case_locale_order_spark(self):
+        pytest.importorskip("pyspark")
+        from webpeel_spark.operators.urlmap import map_url_candidates
+        from webpeel_spark.session import get_spark
+
+        spark = get_spark(cores=2)
+        df = spark.createDataFrame([(u,) for u in self.LOCALE_CASES],
+                                   "url string")
+        out = map_url_candidates(df).collect()
+        assert [r.url for r in out] == self.LOCALE_EXPECTED
+
 
 class TestSparkParity:
     def test_catalyst_matches_pure(self):

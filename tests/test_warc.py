@@ -183,3 +183,46 @@ class TestSparkSource:
         assert len(rows) == 6
         assert all(r.status == "ok" and r.branch == "html" for r in rows)
         assert all(r.word_count > 0 for r in rows)
+
+
+class TestPathExpansion:
+    """Typo'd inputs fail loudly; manifests expand (ADVICE r4)."""
+
+    def test_glob_miss_raises(self, tmp_path):
+        from webpeel_spark.sources.warc import _expand
+
+        with pytest.raises(FileNotFoundError, match="matched no files"):
+            _expand(str(tmp_path / "nope-*.warc.gz"))
+
+    def test_missing_literal_path_fails_in_task(self, tmp_path):
+        """A literal (non-glob) path passes expansion but the eager
+        open inside the task raises — no silent empty table."""
+        from webpeel_spark.pure.warc import iter_warc_responses
+
+        with pytest.raises(FileNotFoundError):
+            iter_warc_responses(str(tmp_path / "missing.warc"))
+
+    def test_remote_scheme_passthrough(self):
+        from webpeel_spark.sources.warc import _expand
+
+        p = "s3a://commoncrawl/crawl-data/seg-*.warc.gz"
+        assert _expand(p) == [p]
+
+    def test_manifest_expansion(self, tmp_path):
+        import gzip as _gz
+
+        from webpeel_spark.sources.warc import _expand
+
+        m = tmp_path / "warc.paths.gz"
+        with _gz.open(m, "wt") as f:
+            f.write("crawl-data/seg-0.warc.gz\n\ncrawl-data/seg-1.warc.gz\n")
+        got = _expand(str(m), manifest_prefix="s3a://commoncrawl/")
+        assert got == ["s3a://commoncrawl/crawl-data/seg-0.warc.gz",
+                       "s3a://commoncrawl/crawl-data/seg-1.warc.gz"]
+
+    def test_plain_manifest(self, tmp_path):
+        from webpeel_spark.sources.warc import _expand
+
+        m = tmp_path / "warc.paths"
+        m.write_text("a.warc\nb.warc\n")
+        assert _expand(str(m)) == ["a.warc", "b.warc"]

@@ -164,6 +164,28 @@ def capped_bucket_pairs(keyed: DataFrame, key_cols: List[str],
     )
 
 
+def _finalize_pairs(out: DataFrame, *cached: DataFrame) -> DataFrame:
+    """Materialize the (small) verified-pairs result and release the
+    operator's internal caches.
+
+    The LSH operators persist intermediates (signature tables, the
+    exact-dup group map) consumed by several downstream joins; left
+    persisted, repeated calls in a long-lived session accumulate
+    cached blocks until eviction pressure degrades the very joins the
+    caches speed up.  ``localCheckpoint(eager=True)`` cuts the result
+    free of that lineage so the caches can be dropped immediately —
+    and unlike ``persist``, checkpoint blocks are reclaimed by the
+    ContextCleaner when the returned DataFrame is garbage-collected.
+    Pair output is orders of magnitude smaller than the corpus; at
+    10^12-row scale prefer writing pairs straight to a table (same
+    note as the signature-table alternative above).
+    """
+    out = out.localCheckpoint(eager=True)
+    for df in cached:
+        df.unpersist()
+    return out
+
+
 def _collapse_exact_groups(df: DataFrame, text_col: str, id_col: str):
     """Exact-duplicate collapse pre-pass shared by the LSH operators.
 
@@ -321,8 +343,10 @@ def minhash_near_duplicates(
         .select("id_a", "id_b", "jaccard")
     )
     if not collapse_exact:
-        return rep_pairs
-    return _expand_group_pairs(rep_pairs, groups, "jaccard", 1.0)
+        return _finalize_pairs(rep_pairs, sigs)
+    return _finalize_pairs(
+        _expand_group_pairs(rep_pairs, groups, "jaccard", 1.0),
+        sigs, groups)
 
 
 def ngram_jaccard_pairs(
@@ -362,6 +386,7 @@ def ngram_jaccard_pairs(
         ).alias("sh"),
         (F.col(block_col) if block_col else F.lit(0)).alias("blk"),
     ).withColumn("n", F.size("sh")).persist()
+    cached_base = base  # `base` is rebound below; unpersist THIS frame
 
     if size_blocking and 0 < min_jaccard < 1:
         log_r = math.log(1.0 / min_jaccard)
@@ -396,7 +421,7 @@ def ngram_jaccard_pairs(
 
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.col("n_a") + F.col("n_b") - inter
-    return (
+    out = (
         joined
         .filter((F.col("n_a") >= F.col("n_b") * min_jaccard)
                 & (F.col("n_b") >= F.col("n_a") * min_jaccard))
@@ -404,6 +429,7 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= min_jaccard)
         .select("id_a", "id_b", "jaccard")
     )
+    return _finalize_pairs(out, cached_base)
 
 
 def connected_components(edges: DataFrame, vertices: DataFrame,
@@ -823,5 +849,7 @@ def simhash_near_duplicates(df: DataFrame, text_col: str = "text",
         .select("id_a", "id_b", "hamming")
     )
     if not collapse_exact:
-        return rep_pairs
-    return _expand_group_pairs(rep_pairs, groups, "hamming", 0)
+        return _finalize_pairs(rep_pairs, sigs)
+    return _finalize_pairs(
+        _expand_group_pairs(rep_pairs, groups, "hamming", 0),
+        sigs, groups)

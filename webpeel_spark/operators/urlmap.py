@@ -94,6 +94,14 @@ def map_url_candidates(df: DataFrame,
     out = (df.filter(cond)
              .select(url.alias("url"), score.alias("score"))
              .groupBy("url").agg(F.max("score").alias("score")))
-    order = ([F.desc("score"), F.asc("url")] if terms
-             else [F.asc("url")])
+    # localeCompare-approximate collation (pure._locale_key twin):
+    # case-insensitive primary, lowercase-first tie-break — a cheap
+    # codegen translate(), not a UDF
+    import string as _string
+    case_flip = F.translate(
+        F.col("url"),
+        _string.ascii_lowercase + _string.ascii_uppercase,
+        _string.ascii_uppercase + _string.ascii_lowercase)
+    url_order = [F.asc(F.lower(F.col("url"))), F.asc(case_flip)]
+    order = ([F.desc("score"), *url_order] if terms else url_order)
     return out.orderBy(*order).limit(max_urls)

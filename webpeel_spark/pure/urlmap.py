@@ -109,6 +109,18 @@ def map_filter_sort(rows: Iterable[Tuple[str, Optional[str], Optional[str]]],
         scored[url] = calculate_relevance(terms, url, title, description)
 
     items = sorted(scored.items(),
-                   key=(lambda kv: (-kv[1], kv[0])) if search
-                   else (lambda kv: kv[0]))
+                   key=(lambda kv: (-kv[1], _locale_key(kv[0]))) if search
+                   else (lambda kv: _locale_key(kv[0])))
     return {"urls": [u for u, _ in items], "total": len(scored)}
+
+
+def _locale_key(url: str) -> Tuple[str, str]:
+    """ASCII approximation of map.ts:160's ``localeCompare`` ordering:
+    primary case-insensitive (casefold), ties between case variants
+    broken lowercase-first (ICU tertiary weight — ``swapcase`` flips
+    ASCII case so 'x' sorts before 'X' ordinally).  Known residual
+    divergence: ICU's variable punctuation weighting (``_`` < ``-`` <
+    ``.`` in ICU vs ordinal ``-`` < ``.`` < ``_``) and non-ASCII
+    collation — membership and scores are unaffected either way (the
+    cap applies before the sort)."""
+    return (url.casefold(), url.swapcase())

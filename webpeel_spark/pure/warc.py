@@ -113,21 +113,50 @@ def iter_warc_records(stream: BinaryIO) -> Iterator[WarcRecord]:
 
 
 def iter_warc_path(path: str) -> Iterator[WarcRecord]:
-    """Iterate records from a .warc or .warc.gz file path."""
+    """Iterate records from a .warc or .warc.gz file path.
+
+    The file is opened EAGERLY (at call time, not first ``next()``):
+    a missing/unreadable path raises immediately instead of being
+    swallowed by a caller's mid-iteration corruption guard —
+    ``FileNotFoundError``/``PermissionError`` are ``OSError``
+    subclasses, the same base class as ``gzip.BadGzipFile``."""
     opener = gzip.open if path.endswith(".gz") else open
-    with opener(path, "rb") as fh:
-        yield from iter_warc_records(fh)
+    fh = opener(path, "rb")
+
+    def gen() -> Iterator[WarcRecord]:
+        with fh:
+            yield from iter_warc_records(fh)
+
+    return gen()
 
 
 def iter_warc_responses(path: str) -> Iterator[WarcRecord]:
     """Only 200-status response records with a target URI — the rows
     an extraction corpus wants.  Records whose HTTP head failed to
     parse (http_status None) are dropped too: their body would still
-    contain raw header bytes, which must not reach the pages table."""
-    for rec in iter_warc_path(path):
-        if (rec.warc_type == "response" and rec.target_uri
-                and rec.http_status == 200):
-            yield rec
+    contain raw header bytes, which must not reach the pages table.
+    Opens eagerly (see iter_warc_path)."""
+    records = iter_warc_path(path)
+
+    def gen() -> Iterator[WarcRecord]:
+        for rec in records:
+            if (rec.warc_type == "response" and rec.target_uri
+                    and rec.http_status == 200):
+                yield rec
+
+    return gen()
+
+
+def read_manifest(path: str, prefix: str = "") -> list:
+    """Segment paths from a Common-Crawl-style manifest
+    (``warc.paths`` / ``warc.paths.gz``: one relative segment path per
+    line).  ``prefix`` rebases the relative entries onto a bucket or
+    mirror root (e.g. ``s3a://commoncrawl/``) — at real CC scale the
+    segment list comes from this published manifest, not from a
+    filesystem glob."""
+    opener = gzip.open if path.endswith(".gz") else open
+    with opener(path, "rt") as fh:
+        return [prefix + line.strip() for line in fh if line.strip()]
 
 
 # ── writer (tests / fixtures only) ──────────────────────────────────────

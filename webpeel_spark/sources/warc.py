@@ -29,24 +29,57 @@ _PAGES_SCHEMA = "url string, warc_ts timestamp, html binary"
 _BATCH = 64  # pages per yielded Arrow batch — bounds task memory
 
 
-def _expand(paths: Union[str, List[str]]) -> List[str]:
+def _expand(paths: Union[str, List[str]],
+            manifest_prefix: str = "") -> List[str]:
+    """Segment list from path specs.
+
+    - ``warc.paths`` / ``*.paths.gz`` entries are Common-Crawl-style
+      MANIFESTS (one segment path per line, rebased onto
+      ``manifest_prefix``) — the object-store-correct listing at real
+      CC scale, where millions of segments live behind ``s3a://`` and
+      a filesystem glob cannot enumerate them;
+    - entries with a ``://`` scheme pass through verbatim (resolved by
+      whatever filesystem the executor's opener reaches);
+    - local glob patterns expand; a pattern matching NOTHING raises
+      instead of silently producing an empty pages table (a typo'd
+      path must fail the run, not succeed with zero rows);
+    - literal local paths pass through — a missing file now fails at
+      open time inside the task (the corruption guard no longer
+      swallows ``FileNotFoundError``).
+    """
     if isinstance(paths, str):
         paths = [paths]
     out: List[str] = []
     for p in paths:
-        hits = sorted(_glob.glob(p))
-        out.extend(hits if hits else [p])
+        base = p[:-3] if p.endswith(".gz") else p
+        if base.endswith(".paths"):
+            from webpeel_spark.pure.warc import read_manifest
+            out.extend(read_manifest(p, manifest_prefix))
+        elif "://" in p:
+            out.append(p)
+        elif _glob.has_magic(p):
+            hits = sorted(_glob.glob(p))
+            if not hits:
+                raise FileNotFoundError(
+                    f"WARC glob matched no files: {p!r}")
+            out.extend(hits)
+        else:
+            out.append(p)
     return out
 
 
 def read_warc(spark: SparkSession, paths: Union[str, List[str]],
-              num_partitions: Optional[int] = None) -> DataFrame:
+              num_partitions: Optional[int] = None,
+              manifest_prefix: str = "") -> DataFrame:
     """(url, warc_ts, html) rows from .warc / .warc.gz files.
 
     Each input file is one unit of parallelism; ``num_partitions``
     spreads files across tasks (default: one partition per file, the
-    right shape when files are segment-sized)."""
-    files = _expand(paths)
+    right shape when files are segment-sized).  ``paths`` may include
+    ``warc.paths(.gz)`` manifest files (Common Crawl's published
+    segment listing) — their entries are rebased onto
+    ``manifest_prefix`` (e.g. ``s3a://commoncrawl/``)."""
+    files = _expand(paths, manifest_prefix)
     if not files:
         return spark.createDataFrame([], _PAGES_SCHEMA)
     n = num_partitions or len(files)
@@ -56,19 +89,27 @@ def read_warc(spark: SparkSession, paths: Union[str, List[str]],
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from webpeel_spark.pure.warc import iter_warc_responses
 
+        import gzip
+        import logging
+
         cols = ["url", "warc_ts", "html"]
         for pdf in it:
             rows = []
             for path in pdf["path"]:
-                # generators raise lazily: a corrupted gzip member
-                # surfaces mid-ITERATION — as BadGzipFile (⊂ OSError)
-                # for header corruption, zlib.error for corrupted
-                # deflate data, EOFError for truncation — so the guard
-                # must wrap the loop AND cover all three.  Records
-                # read before the corruption point are kept, the rest
-                # of the segment is skipped, the task survives.
+                # open EAGERLY, outside the corruption guard: a
+                # missing/unreadable segment (FileNotFoundError /
+                # PermissionError — OSError subclasses, like
+                # BadGzipFile) must FAIL the task, not be mistaken for
+                # corruption and skipped into an empty pages table.
+                records = iter_warc_responses(path)
+                # a corrupted gzip member surfaces mid-iteration — as
+                # BadGzipFile for header corruption, zlib.error for
+                # corrupted deflate data, EOFError for truncation.
+                # Records read before the corruption point are kept,
+                # the rest of the segment is skipped WITH A LOG LINE,
+                # and the task survives.
                 try:
-                    for rec in iter_warc_responses(path):
+                    for rec in records:
                         ts = pd.to_datetime(rec.warc_date, utc=True,
                                             errors="coerce")
                         rows.append((rec.target_uri,
@@ -78,7 +119,10 @@ def read_warc(spark: SparkSession, paths: Union[str, List[str]],
                         if len(rows) >= _BATCH:
                             yield pd.DataFrame(rows, columns=cols)
                             rows = []
-                except (OSError, EOFError, zlib.error):
+                except (gzip.BadGzipFile, zlib.error, EOFError) as e:
+                    logging.getLogger("webpeel_spark.warc").warning(
+                        "skipping corrupted tail of WARC segment %s "
+                        "(%s: %s)", path, type(e).__name__, e)
                     continue
             if rows:
                 yield pd.DataFrame(rows, columns=cols)
