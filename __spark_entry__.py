@@ -1662,10 +1662,84 @@ ORDER BY url
 """
 
 
-def _q_bm25_relevance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from webpeel_spark.operators.text_analysis import relevance_scores
+def _planted_evidence_parquet() -> str:
+    """Planted evidence-selection corpus: 6 queries (factual /
+    comparison / exploratory by q%3) × 5 sources each, every score
+    input arithmetic in (q, s) so the DuckDB oracle regenerates the
+    selected blocks bit-exactly:
 
-    return relevance_scores(_docs(spark, sf_dir), _BM25_QUERY).limit(50)
+    - content = 'widget{q} ' × (s+1) + fixed filler → single block,
+      degenerate BM25 (n=1, dl==avgdl) exactly like the proven
+      relevance oracle;
+    - hosts pick authority tiers: .gov 1.0 / plain .5 / docs. 0.9 /
+      .edu 0.95 / repeat-domain .5 (source-scoring.ts tier table);
+    - s=0 carries structured JSON (+0.5 source signal → combined 0.3,
+      the only has_structured_signal block);
+    - s=3 content is a fetch_failed placeholder with a usable snippet
+      → exercises the snippet fallback through the operator;
+    - s=4 has zero query terms → always ranked last and excluded by
+      max_blocks=4, so selection is exactly rank ≤ 4."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".contract_cache")
+    os.makedirs(cache, exist_ok=True)
+    path = os.path.join(cache, "planted_evidence_v1.parquet")
+    if not os.path.exists(path):
+        filler = "alpha beta gamma delta epsilon zeta eta theta."
+        rows = {k: [] for k in ("query", "url", "title", "content",
+                                "snippet", "structured")}
+        for q in range(6):
+            if q % 3 == 0:
+                query = f"price limits for widget{q}"
+            elif q % 3 == 1:
+                query = f"widget{q} versus gadget{q} review"
+            else:
+                query = f"explain how widget{q} works"
+            hosts = [f"data-widget{q}.gov", f"widget{q}.example",
+                     f"docs.widget{q}.example", f"widget{q}-info.edu",
+                     f"widget{q}.example"]
+            for s in range(5):
+                body = (f"widget{q} " * (s + 1) + filler if s < 4
+                        else filler)
+                rows["query"].append(query)
+                rows["url"].append(f"https://{hosts[s]}/w{q}s{s}")
+                rows["title"].append(f"Planted Evidence {q} {s}")
+                rows["content"].append("fetch_failed" if s == 3
+                                       else body)
+                rows["snippet"].append(body if s == 3 else "")
+                rows["structured"].append('{"price":%d}' % q
+                                          if s == 0 else None)
+        pq.write_table(pa.table({
+            "query": pa.array(rows["query"], pa.string()),
+            "url": pa.array(rows["url"], pa.string()),
+            "title": pa.array(rows["title"], pa.string()),
+            "content": pa.array(rows["content"], pa.string()),
+            "snippet": pa.array(rows["snippet"], pa.string()),
+            "structured": pa.array(rows["structured"], pa.string()),
+        }), path + ".tmp")
+        os.replace(path + ".tmp", path)
+    return path
+
+
+def _q_selective_evidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level selective evidence aggregation
+    (selective-evidence.ts:310-508 via operators/evidence.py) over the
+    planted corpus — query classification, degenerate-BM25 sigmoid,
+    authority tiers, structured signals, snippet fallback and top-k
+    selection all regenerated bit-exactly by the oracle.  The BM25
+    block machinery this exercises superseded the retired
+    bm25_relevance slot (COVERAGE.md round-5 trim; the 40-case ref
+    suite and bm25_rank still pin the standalone scorer)."""
+    from webpeel_spark.operators.evidence import select_evidence_blocks
+
+    src = spark.read.parquet(_planted_evidence_parquet())
+    return select_evidence_blocks(src, max_blocks=4).select(
+        "query", "rank", "source_url", "score",
+        "has_structured_signal", "content_mode", "text",
+        "policy_type", "total_candidates", "sources_used",
+    ).orderBy("query", "rank")
 
 
 def _q_schema_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2218,7 +2292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_parse": _q_sitemap_parse,
         "cross_verify": _q_cross_verify,
         "transcript_export": _q_transcript_export,
-        "bm25_relevance": _q_bm25_relevance,
+        "selective_evidence": _q_selective_evidence,
         "multimodal_features": _q_multimodal_features,
         "source_credibility": _q_source_credibility,
         "source_rank": _q_source_rank,
@@ -2357,7 +2431,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": _dedup_clusters_oracle(0.3),
         "ngram_jaccard": _jaccard_oracle(0.35, same_col="lang"),
         "simhash_near_dups": _simhash_oracle(6),
-        "bm25_relevance": _relevance_oracle(),
+        "selective_evidence": _selective_evidence_oracle(),
         "source_credibility": _credibility_oracle(),
         "source_rank": _source_rank_oracle(),
         "decontaminate": _decontaminate_oracle(),
@@ -2698,6 +2772,64 @@ def _relevance_oracle() -> str:
     from webpeel_spark.operators.text_analysis import relevance_oracle_sql
 
     return relevance_oracle_sql(_BM25_QUERY, limit=50)
+
+
+def _selective_evidence_oracle() -> str:
+    """Bit-exact DuckDB twin of _q_selective_evidence: every constant
+    CAST to DOUBLE so each op is the same IEEE operation in the same
+    order as pure/selective_evidence.py (decimal×decimal in DuckDB is
+    exact and diverges from binary doubles by an ulp — verified).
+    Selection = rank ≤ 4 because the planted corpus guarantees no
+    per-domain cap hit, no char-budget truncation, no diversity swap
+    and no score ties (see _planted_evidence_parquet)."""
+    return """
+WITH qs AS (
+  SELECT q, s
+  FROM (SELECT unnest(range(0, 6)) AS q),
+       (SELECT unnest(range(0, 5)) AS s)
+), c AS (
+  SELECT q, s,
+    CASE CAST(q % 3 AS INT)
+      WHEN 0 THEN 'price limits for widget' || q
+      WHEN 1 THEN 'widget' || q || ' versus gadget' || q || ' review'
+      ELSE 'explain how widget' || q || ' works' END AS query,
+    CASE CAST(q % 3 AS INT) WHEN 0 THEN 'factual'
+      WHEN 1 THEN 'comparison' ELSE 'exploratory' END AS policy_type,
+    'https://' || CASE s
+      WHEN 0 THEN 'data-widget' || q || '.gov'
+      WHEN 1 THEN 'widget' || q || '.example'
+      WHEN 2 THEN 'docs.widget' || q || '.example'
+      WHEN 3 THEN 'widget' || q || '-info.edu'
+      ELSE 'widget' || q || '.example' END
+      || '/w' || q || 's' || s AS source_url,
+    repeat('widget' || q || ' ', CAST(s + 1 AS INT))
+      || 'alpha beta gamma delta epsilon zeta eta theta.' AS text,
+    s = 0 AS has_structured_signal,
+    CASE WHEN s = 3 THEN 'snippet' ELSE 'content' END AS content_mode,
+    (CASE WHEN s = 4 THEN 0.0 ELSE
+       2 / (1 + exp(-(ln(0.5/1.5 + 1) * ((s+1) * 2.5)
+                      / ((s+1) + 1.5)) * 4)) - 1 END)
+    * CAST(CASE CAST(q % 3 AS INT) WHEN 0 THEN 0.40
+           WHEN 1 THEN 0.45 ELSE 0.50 END AS DOUBLE)
+    + CAST(CASE s WHEN 0 THEN 1.0 WHEN 1 THEN 0.5 WHEN 2 THEN 0.9
+           WHEN 3 THEN 0.95 ELSE 0.5 END AS DOUBLE)
+    * CAST(CASE CAST(q % 3 AS INT) WHEN 0 THEN 0.35
+           WHEN 1 THEN 0.25 ELSE 0.20 END AS DOUBLE)
+    + CAST(CASE WHEN s = 0 THEN 0.3 ELSE 0.0 END AS DOUBLE)
+    * CAST(CASE CAST(q % 3 AS INT) WHEN 0 THEN 0.25
+           WHEN 1 THEN 0.15 ELSE 0.10 END AS DOUBLE) AS score
+  FROM qs
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY q ORDER BY score DESC)
+         AS rnk
+  FROM c
+)
+SELECT query, CAST(rnk AS INT) AS rank, source_url, score,
+       has_structured_signal, content_mode, text, policy_type,
+       CAST(5 AS INT) AS total_candidates,
+       CAST(4 AS INT) AS sources_used
+FROM ranked WHERE rnk <= 4 ORDER BY query, rank
+"""
 
 
 def _quality_oracle() -> str:

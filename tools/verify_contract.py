@@ -58,7 +58,11 @@ def main() -> int:
         if os.path.exists(path):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
 
-    spark = get_spark(cores=8)
+    # default 8 for gate speed; the evaluation driver runs 32 — set
+    # SPARK_GRAFT_VERIFY_CPUS=32 to reproduce its partial-agg
+    # partitioning when chasing partition-order-sensitive reds
+    spark = get_spark(cores=int(os.environ.get(
+        "SPARK_GRAFT_VERIFY_CPUS", "8")))
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = entrymod.queries()
