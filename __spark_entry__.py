@@ -130,12 +130,18 @@ def _q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.value is 2-decimal by construction → order-invariant
+    fixed-point average (COVERAGE.md round-5 float-determinism rule;
+    round(avg(double),2) flips boundary values with partial-agg
+    order)."""
+    from webpeel_spark.operators.extract import deterministic_avg
+
     return (
         _events(spark, sf_dir)
         .groupBy("event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.avg("value"), 2).alias("avg_value"),
+            deterministic_avg("value", 100).alias("avg_value"),
             F.countDistinct("user_id").alias("n_users"),
         )
         .orderBy("event_type")
@@ -162,12 +168,18 @@ def _q_salted_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _events(spark, sf_dir)
     hot = find_hot_keys(ev, "user_id", threshold_fraction=0.005)
+    # 2-decimal values summed as exact centi-integers: sum(double) is
+    # partial-agg-order sensitive in its last bits, which a trailing
+    # round(, 2) turns into a boundary flip (float-determinism rule)
     return salted_key_agg(
         ev, "user_id",
-        {"n_events": ("count", "*"), "total_value": ("sum", F.col("value"))},
+        {"n_events": ("count", "*"),
+         "total_centi": ("sum",
+                         F.round(F.col("value") * 100, 0).cast("long"))},
         hot,
     ).select(
-        "user_id", "n_events", F.round("total_value", 2).alias("total_value")
+        "user_id", "n_events",
+        (F.col("total_centi") / F.lit(100.0)).alias("total_value"),
     ).orderBy("user_id")
 
 
@@ -2409,10 +2421,10 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY cosine_sim DESC, e.vec_id ASC
             LIMIT 10
         """,
-        "event_rollup": """
+        "event_rollup": f"""
             SELECT event_type,
                    count(*) AS n_events,
-                   round(avg(value), 2) AS avg_value,
+                   {_det_avg_sql('value', 100)} AS avg_value,
                    count(DISTINCT user_id) AS n_users
             FROM events GROUP BY event_type ORDER BY event_type
         """,
@@ -2539,7 +2551,8 @@ def oracle_sql() -> dict[str, str]:
         "salted_event_rollup": """
             SELECT user_id,
                    count(*) AS n_events,
-                   round(sum(value), 2) AS total_value
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+                     / CAST(100 AS DOUBLE) AS total_value
             FROM events GROUP BY user_id ORDER BY user_id
         """,
     }
@@ -2766,12 +2779,6 @@ def _safe_path(materialize) -> str:
         return os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             ".contract_cache",
                             fallbacks.get(fn, "unknown.parquet"))
-
-
-def _relevance_oracle() -> str:
-    from webpeel_spark.operators.text_analysis import relevance_oracle_sql
-
-    return relevance_oracle_sql(_BM25_QUERY, limit=50)
 
 
 def _selective_evidence_oracle() -> str:

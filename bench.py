@@ -81,11 +81,12 @@ def _run_extraction(spark, pages_path: str, cores: int) -> dict:
 def _bench_queries(spark, sf_dir: str) -> dict:
     """Headline operator queries (same code paths as the driver contract).
 
-    Each query runs twice: the first (cold) run pays one-time JVM
-    codegen/JIT for its expressions — a fixed cost that amortizes to
-    zero over a long cluster job — and the second (warm) run is the
-    steady-state number.  Both are reported; ``queries`` carries warm
-    (the number that scales), ``queries_cold`` the first-run wall."""
+    Each query runs three times: the first (cold) run pays one-time
+    JVM codegen/JIT for its expressions — a fixed cost that amortizes
+    to zero over a long cluster job — and ``queries`` carries the MIN
+    of the two subsequent warm runs (the steady-state number; see the
+    inline comment for why one warm pass is not enough).
+    ``queries_cold`` carries the first-run wall."""
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()

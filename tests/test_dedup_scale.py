@@ -402,3 +402,23 @@ def test_lsh_operators_release_caches(spark):
         out = op(docs)
         out.count()  # materialized results must still be actionable
         assert cm.isEmpty(), f"{op.__name__} leaked cached plans"
+
+
+def test_lsh_materialize_false_keeps_lazy_lineage(spark):
+    """materialize=False returns a lazy, recomputable plan (cluster
+    jobs that fear unreplicated checkpoint blocks) — results identical
+    to the default path."""
+    from webpeel_spark.operators.dedup import simhash_near_duplicates
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta {i % 3} shared near duplicate "
+             f"text body {i % 3}") for i in range(24)],
+        "doc_id long, text string")
+    eager = {(r["id_a"], r["id_b"]) for r in
+             simhash_near_duplicates(docs).collect()}
+    lazy_df = simhash_near_duplicates(docs, materialize=False)
+    assert not lazy_df._jdf.queryExecution().analyzed().toString() \
+        .startswith("LogicalRDD")  # still a plan, not checkpoint blocks
+    lazy = {(r["id_a"], r["id_b"]) for r in lazy_df.collect()}
+    assert lazy == eager
+    spark.catalog.clearCache()  # materialize=False leaves caches to caller

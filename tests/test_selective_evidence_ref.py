@@ -490,3 +490,30 @@ class TestSparkOperator:
                .collect()}
         assert "[1]" in ctx["price limits for widget0"]
         assert "URL:" in ctx["how does widget1 work"]
+
+    def test_empty_selection_yields_empty_context_row(self):
+        """A query whose sources are all unusable must still appear in
+        format_evidence_contexts with context '' — the reference
+        returns '' for an empty selection, it does not drop the query
+        (r5 review finding)."""
+        import pytest
+
+        pytest.importorskip("pyspark")
+        from webpeel_spark.operators.evidence import (
+            format_evidence_contexts,
+        )
+        from webpeel_spark.session import get_spark
+
+        spark = get_spark(cores=4)
+        df = spark.createDataFrame(
+            [("dead query", "https://a.example/x", "T", "fetch_failed",
+              "tiny", None),
+             ("live query", "https://b.example/y", "T",
+              "Plenty of good evidence content about the live query "
+              "topic right here.", "", None)],
+            "query string, url string, title string, content string, "
+            "snippet string, structured string")
+        ctx = {r["query"]: r["context"]
+               for r in format_evidence_contexts(df).collect()}
+        assert ctx["dead query"] == ""
+        assert "URL:" in ctx["live query"]

@@ -226,3 +226,31 @@ class TestPathExpansion:
         m = tmp_path / "warc.paths"
         m.write_text("a.warc\nb.warc\n")
         assert _expand(str(m)) == ["a.warc", "b.warc"]
+
+    def test_remote_manifest_via_hadoop_fs(self, tmp_path):
+        """A manifest behind a URL scheme is read through the Hadoop
+        FS API (file:// locally; same code path as s3a://) — it must
+        not be handed to local gzip.open (ADVICE r5 review)."""
+        import gzip as _gz
+
+        from webpeel_spark.session import get_spark
+        from webpeel_spark.sources.warc import _expand, read_warc
+
+        spark = get_spark(cores=2)
+
+        seg = str(tmp_path / "m1.warc")
+        write_warc(seg, _pages(3, "m"))
+        m = tmp_path / "warc.paths.gz"
+        with _gz.open(m, "wt") as f:
+            f.write("m1.warc\n")
+        got = _expand(f"file://{m}", manifest_prefix=str(tmp_path) + "/",
+                      spark=spark)
+        assert got == [seg]
+        assert read_warc(spark, f"file://{m}",
+                         manifest_prefix=str(tmp_path) + "/").count() == 3
+
+    def test_remote_manifest_without_spark_raises(self):
+        from webpeel_spark.sources.warc import _expand
+
+        with pytest.raises(ValueError, match="SparkSession"):
+            _expand("s3a://bucket/warc.paths.gz")

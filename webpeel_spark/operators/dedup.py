@@ -164,7 +164,8 @@ def capped_bucket_pairs(keyed: DataFrame, key_cols: List[str],
     )
 
 
-def _finalize_pairs(out: DataFrame, *cached: DataFrame) -> DataFrame:
+def _finalize_pairs(out: DataFrame, *cached: DataFrame,
+                    materialize: bool = True) -> DataFrame:
     """Materialize the (small) verified-pairs result and release the
     operator's internal caches.
 
@@ -176,10 +177,19 @@ def _finalize_pairs(out: DataFrame, *cached: DataFrame) -> DataFrame:
     free of that lineage so the caches can be dropped immediately —
     and unlike ``persist``, checkpoint blocks are reclaimed by the
     ContextCleaner when the returned DataFrame is garbage-collected.
-    Pair output is orders of magnitude smaller than the corpus; at
-    10^12-row scale prefer writing pairs straight to a table (same
-    note as the signature-table alternative above).
+    Pair output is orders of magnitude smaller than the corpus.
+
+    Trade-off (``materialize=False`` path): localCheckpoint blocks are
+    UNREPLICATED and sever the recomputation lineage — on a real
+    cluster, losing an executor after the operator returns fails later
+    actions on the result instead of recomputing, and the whole job
+    runs at call time even if the caller narrows the result first.  A
+    long-lived cluster job should pass ``materialize=False`` through
+    the operator and either write the pairs straight to a table (the
+    durable equivalent) or manage the lazy plan's caches itself.
     """
+    if not materialize:
+        return out
     out = out.localCheckpoint(eager=True)
     for df in cached:
         df.unpersist()
@@ -258,6 +268,7 @@ def minhash_near_duplicates(
     seed: int = 7,
     collapse_exact: bool = True,
     bucket_cap: int = 2000,
+    materialize: bool = True,
     metrics: Optional[dict] = None,
 ) -> DataFrame:
     """Near-duplicate pairs: (id_a, id_b, jaccard) with jaccard ≥ threshold.
@@ -343,10 +354,11 @@ def minhash_near_duplicates(
         .select("id_a", "id_b", "jaccard")
     )
     if not collapse_exact:
-        return _finalize_pairs(rep_pairs, sigs)
+        return _finalize_pairs(rep_pairs, sigs,
+                               materialize=materialize)
     return _finalize_pairs(
         _expand_group_pairs(rep_pairs, groups, "jaccard", 1.0),
-        sigs, groups)
+        sigs, groups, materialize=materialize)
 
 
 def ngram_jaccard_pairs(
@@ -357,6 +369,7 @@ def ngram_jaccard_pairs(
     min_jaccard: float = 0.5,
     block_col: Optional[str] = None,
     size_blocking: bool = True,
+    materialize: bool = True,
 ) -> DataFrame:
     """Exact pairwise n-gram Jaccard with LOSSLESS size-band blocking.
 
@@ -429,7 +442,7 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= min_jaccard)
         .select("id_a", "id_b", "jaccard")
     )
-    return _finalize_pairs(out, cached_base)
+    return _finalize_pairs(out, cached_base, materialize=materialize)
 
 
 def connected_components(edges: DataFrame, vertices: DataFrame,
@@ -775,7 +788,8 @@ def simhash_near_duplicates(df: DataFrame, text_col: str = "text",
                             max_hamming: int = 3,
                             bucket_cap: int = 10000,
                             metrics: Optional[dict] = None,
-                            collapse_exact: bool = True) -> DataFrame:
+                            collapse_exact: bool = True,
+                            materialize: bool = True) -> DataFrame:
     """Near-dup pairs by SimHash banding, then exact popcount verify.
 
     Scale shape (the round-2 8×8-bit single-band keys were the last
@@ -849,7 +863,8 @@ def simhash_near_duplicates(df: DataFrame, text_col: str = "text",
         .select("id_a", "id_b", "hamming")
     )
     if not collapse_exact:
-        return _finalize_pairs(rep_pairs, sigs)
+        return _finalize_pairs(rep_pairs, sigs,
+                               materialize=materialize)
     return _finalize_pairs(
         _expand_group_pairs(rep_pairs, groups, "hamming", 0),
-        sigs, groups)
+        sigs, groups, materialize=materialize)

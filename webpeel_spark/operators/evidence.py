@@ -34,6 +34,26 @@ OUTPUT_SCHEMA = (
 )
 
 
+def _group_sources(pdf, query_col: str, order_col: str,
+                   columns: Iterable[str]):
+    """(query, sources-in-deterministic-order) from one pandas group."""
+    has_snippet = "snippet" in columns
+    has_structured = "structured" in columns
+    pdf = pdf.sort_values(order_col, kind="mergesort")
+    query = pdf[query_col].iloc[0]
+    sources = []
+    for _, row in pdf.iterrows():
+        sources.append({
+            "url": row["url"],
+            "title": row.get("title") or "",
+            "content": row.get("content") or "",
+            "snippet": (row.get("snippet") or "") if has_snippet else "",
+            "structured": (row.get("structured") or None)
+            if has_structured else None,
+        })
+    return query, sources
+
+
 def select_evidence_blocks(df: DataFrame, query_col: str = "query",
                            max_blocks: int = 12, max_chars: int = 6000,
                            policy_override: Optional[Dict[str, Any]] = None,
@@ -45,25 +65,13 @@ def select_evidence_blocks(df: DataFrame, query_col: str = "query",
     falls back per getBestEvidenceText.  Output: OUTPUT_SCHEMA."""
     import pandas as pd
 
-    has_snippet = "snippet" in df.columns
-    has_structured = "structured" in df.columns
+    cols = list(df.columns)  # NOT df itself — a DataFrame in the
+    # closure drags SparkContext into the worker pickle (SPARK-5063)
 
     def run(pdf: "pd.DataFrame") -> "pd.DataFrame":
         from webpeel_spark.pure.selective_evidence import select_evidence
 
-        pdf = pdf.sort_values(order_col, kind="mergesort")
-        query = pdf[query_col].iloc[0]
-        sources = []
-        for _, row in pdf.iterrows():
-            sources.append({
-                "url": row["url"],
-                "title": row.get("title") or "",
-                "content": row.get("content") or "",
-                "snippet": (row.get("snippet") or "") if has_snippet
-                else "",
-                "structured": (row.get("structured") or None)
-                if has_structured else None,
-            })
+        query, sources = _group_sources(pdf, query_col, order_col, cols)
         r = select_evidence(query, sources, max_blocks=max_blocks,
                             max_chars=max_chars,
                             policy_override=policy_override)
@@ -80,33 +88,32 @@ def select_evidence_blocks(df: DataFrame, query_col: str = "query",
 
 
 def format_evidence_contexts(df: DataFrame, query_col: str = "query",
-                             **kwargs) -> DataFrame:
+                             max_blocks: int = 12, max_chars: int = 6000,
+                             policy_override: Optional[Dict[str, Any]]
+                             = None,
+                             order_col: str = "url") -> DataFrame:
     """One formatted LLM-context string per query
-    (formatEvidenceForLLM over the selected blocks)."""
+    (formatEvidenceForLLM over the selection, one applyInPandas
+    pass).  Grouping happens on the INPUT rows, so a query whose
+    selection is empty (all sources unusable) still yields a
+    ``(query, '')`` row — the reference returns '' for an empty
+    selection, it does not drop the query."""
     import pandas as pd
 
-    selected = select_evidence_blocks(df, query_col, **kwargs)
+    cols = list(df.columns)  # see run(): no DataFrame in the closure
 
     def fmt(pdf: "pd.DataFrame") -> "pd.DataFrame":
         from webpeel_spark.pure.selective_evidence import (
-            SelectedBlock, SelectionResult, classify_query,
-            format_evidence_for_llm,
+            format_evidence_for_llm, select_evidence,
         )
 
-        pdf = pdf.sort_values("rank")
-        query = pdf["query"].iloc[0]
-        blocks = [SelectedBlock(r["text"], r["source_url"],
-                                r["source_title"], r["score"],
-                                bool(r["has_structured_signal"]),
-                                r["content_mode"])
-                  for _, r in pdf.iterrows()]
-        result = SelectionResult(blocks, int(pdf["total_candidates"]
-                                             .iloc[0]),
-                                 int(pdf["sources_used"].iloc[0]),
-                                 classify_query(query))
+        query, sources = _group_sources(pdf, query_col, order_col, cols)
+        r = select_evidence(query, sources, max_blocks=max_blocks,
+                            max_chars=max_chars,
+                            policy_override=policy_override)
         return pd.DataFrame(
-            [(query, format_evidence_for_llm(result))],
+            [(query, format_evidence_for_llm(r))],
             columns=["query", "context"])
 
-    return selected.groupBy("query").applyInPandas(
+    return df.groupBy(query_col).applyInPandas(
         fmt, "query string, context string")

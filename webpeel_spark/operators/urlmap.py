@@ -96,7 +96,12 @@ def map_url_candidates(df: DataFrame,
              .groupBy("url").agg(F.max("score").alias("score")))
     # localeCompare-approximate collation (pure._locale_key twin):
     # case-insensitive primary, lowercase-first tie-break — a cheap
-    # codegen translate(), not a UDF
+    # codegen translate(), not a UDF.  ASCII-scoped: for non-ASCII
+    # urls this diverges from the pure path (lower() vs casefold —
+    # 'ß'→'ss' — and translate() can't swap accented case), so mixed-
+    # script corpora may order differently here than map_filter_sort;
+    # membership only shifts when the cap truncates inside such a tie
+    # region.  Full ICU collation is not worth a UDF in this sort.
     import string as _string
     case_flip = F.translate(
         F.col("url"),

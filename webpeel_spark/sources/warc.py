@@ -29,8 +29,30 @@ _PAGES_SCHEMA = "url string, warc_ts timestamp, html binary"
 _BATCH = 64  # pages per yielded Arrow batch — bounds task memory
 
 
+def _remote_manifest_lines(spark: SparkSession, path: str) -> List[str]:
+    """Read a small manifest file from any Hadoop-visible filesystem
+    (s3a://, hdfs://, file://) on the driver — CC's warc.paths.gz is a
+    few MB, so one driver-side read is the right shape; the segments
+    it lists stay executor-side."""
+    import gzip
+
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    stream = fs.open(p)
+    baos = jvm.java.io.ByteArrayOutputStream()
+    jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, baos, 65536, True)
+    data = bytes(baos.toByteArray())
+    if path.endswith(".gz"):
+        data = gzip.decompress(data)
+    return [l.strip() for l in data.decode("utf-8").splitlines()
+            if l.strip()]
+
+
 def _expand(paths: Union[str, List[str]],
-            manifest_prefix: str = "") -> List[str]:
+            manifest_prefix: str = "",
+            spark: Optional[SparkSession] = None) -> List[str]:
     """Segment list from path specs.
 
     - ``warc.paths`` / ``*.paths.gz`` entries are Common-Crawl-style
@@ -53,8 +75,19 @@ def _expand(paths: Union[str, List[str]],
     for p in paths:
         base = p[:-3] if p.endswith(".gz") else p
         if base.endswith(".paths"):
-            from webpeel_spark.pure.warc import read_manifest
-            out.extend(read_manifest(p, manifest_prefix))
+            # manifest check comes BEFORE the scheme passthrough: a
+            # remote manifest (s3a://…/warc.paths.gz) is read on the
+            # driver via the Hadoop FS API, local ones with gzip/open
+            if "://" in p:
+                if spark is None:
+                    raise ValueError(
+                        f"remote manifest {p!r} needs a SparkSession "
+                        f"(Hadoop FS read) — call through read_warc")
+                out.extend(manifest_prefix + l
+                           for l in _remote_manifest_lines(spark, p))
+            else:
+                from webpeel_spark.pure.warc import read_manifest
+                out.extend(read_manifest(p, manifest_prefix))
         elif "://" in p:
             out.append(p)
         elif _glob.has_magic(p):
@@ -77,9 +110,10 @@ def read_warc(spark: SparkSession, paths: Union[str, List[str]],
     spreads files across tasks (default: one partition per file, the
     right shape when files are segment-sized).  ``paths`` may include
     ``warc.paths(.gz)`` manifest files (Common Crawl's published
-    segment listing) — their entries are rebased onto
-    ``manifest_prefix`` (e.g. ``s3a://commoncrawl/``)."""
-    files = _expand(paths, manifest_prefix)
+    segment listing) — local or behind any Hadoop filesystem — whose
+    entries are rebased onto ``manifest_prefix`` (e.g.
+    ``s3a://commoncrawl/``)."""
+    files = _expand(paths, manifest_prefix, spark)
     if not files:
         return spark.createDataFrame([], _PAGES_SCHEMA)
     n = num_partitions or len(files)
