@@ -45,6 +45,10 @@ class ExtractOptions(NamedTuple):
     chunk_max_tokens: int = 512
     chunk_overlap: int = 50
     budget_tokens: int = 0         # distillToBudget target (0 = off)
+    caption_images: bool = False   # heuristic alt-text enhancement
+    # (pipeline.ts:853-860 captionImages opt-in; appended LAST so the
+    # positional options-tuple contract through the Arrow UDF is
+    # unchanged for existing callers)
 
 
 DEFAULT_OPTIONS = ExtractOptions()
@@ -272,6 +276,13 @@ def _wrap_fragment_dom(node):
 def _html_branch(url: str, html: str, options: ExtractOptions,
                  result: Dict[str, Any]) -> Dict[str, Any]:
     result["branch"] = "html"
+
+    if options.caption_images:
+        # pipeline.ts:853-860 — runs BEFORE any conversion, so
+        # metadata, links and both output modes see the enhanced alts
+        from .image_caption import enhance_image_alt_text
+
+        html = enhance_image_alt_text(html)
 
     # ONE full-document parse, shared by links / JSON-LD / main-content
     # detection / conversion (the reference re-loads cheerio per stage;
