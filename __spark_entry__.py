@@ -1531,6 +1531,19 @@ def _det_avg_sql(col: str, scale: int = 100) -> str:
             f"AS DOUBLE) * {factor} / count(*)) / CAST(10000 AS DOUBLE)")
 
 
+def _det_avg_bp_sql(col: str, scale: int = 100) -> str:
+    """DuckDB twin of operators.extract.deterministic_avg_bp: BIGINT
+    basis points via pure integer arithmetic — ``//`` is DuckDB's
+    integer division, matching Spark SQL ``div``.  No IEEE double is
+    produced on either side, so the driver's full-precision float
+    hashing cannot diverge from the 6-sig-digit local gate (round-6
+    rule after two rounds of checkpoint_lineage hash-red on a double
+    column that verified bit-identical locally)."""
+    factor = 10000 // scale
+    return (f"CAST((sum(CAST(round({col} * {scale}) AS BIGINT)) "
+            f"* {factor} + count(*) // 2) // count(*) AS BIGINT)")
+
+
 def _extract_mixed_oracle() -> str:
     """Envelope oracle over the mixed corpus: the html-article part is
     _EXTRACT_PLANTED_ORACLE verbatim; pdf/json parts regenerate each
@@ -1838,7 +1851,14 @@ def _multimodal_parquet() -> str:
     cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          ".contract_cache")
     os.makedirs(cache, exist_ok=True)
-    path = os.path.join(cache, "multimodal_64_seed42_ascii.parquet")
+    # v2 (round 6): image-kind payloads now carry a REAL GIF89a header
+    # whose dimension bytes are (a) formula-derived from item_id so the
+    # oracle states width/height as ground truth and (b) drawn from the
+    # DuckDB-safe alphabet so the sha256 byte-identity check still
+    # holds; audio/video payloads start with 'z' so no magic-byte
+    # sniffer can fire on random filler.  Filename bumped so a stale
+    # .contract_cache from an earlier round can never be read.
+    path = os.path.join(cache, "multimodal_64_seed42_ascii_v2.parquet")
     if not os.path.exists(path):
         rng = random.Random(42)
         kinds = ["image", "audio", "video"]
@@ -1852,8 +1872,13 @@ def _multimodal_parquet() -> str:
             ids.append(i)
             kind_col.append(kinds[i % 3])
             n = rng.randint(64, 512)
-            payloads.append(bytes(rng.choice(alphabet)
-                                  for _ in range(n)))
+            filler = bytes(rng.choice(alphabet) for _ in range(n))
+            if i % 3 == 0:  # image: GIF header, dims formula-planted
+                dims = bytes((65 + i % 26, 97 + (i * 7) % 26,
+                              48 + i % 10, 65 + (i * 3) % 26))
+                payloads.append(b"GIF89a" + dims + filler)
+            else:
+                payloads.append(b"z" + filler)
         tbl = pa.table({
             "item_id": pa.array(ids, pa.int64()),
             "kind": pa.array(kind_col, pa.string()),
@@ -2088,8 +2113,10 @@ def _q_source_credibility(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched multimodal feature plumbing; the oracle recomputes
-    n_bytes + sha256 over the same payload parquet, checking the bytes
-    survive the binary→Arrow→pandas→hash path unchanged."""
+    n_bytes + sha256 over the same payload parquet (bytes survive the
+    binary→Arrow→pandas→hash path unchanged) and states width/height/
+    format as item_id formulas — the Spark side must recover them by
+    actually parsing the planted GIF headers (pure/imagemeta.py)."""
     from webpeel_spark.operators.multimodal import extract_features
 
     mm = spark.read.parquet(_multimodal_parquet())
@@ -2222,7 +2249,7 @@ def _q_checkpoint_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 num_partitions=8, bucket_expr=bucket)
     return read_progress(spark, tmp).select(
         "run_id", "bucket", "row_count", "ok_count", "error_count",
-        "token_sum", "avg_quality").orderBy("bucket")
+        "token_sum", "avg_quality_bp").orderBy("bucket")
 
 
 def _pages_parquet() -> str:
@@ -2497,7 +2524,7 @@ def oracle_sql() -> dict[str, str]:
                    sum(CASE WHEN status = 'error' THEN 1 ELSE 0 END)
                      AS error_count,
                    CAST(sum(token_estimate) AS BIGINT) AS token_sum,
-                   {_det_avg_sql('quality', 100)} AS avg_quality
+                   {_det_avg_bp_sql('quality', 100)} AS avg_quality_bp
             FROM ({_EXTRACT_PLANTED_ORACLE})
             GROUP BY 2 ORDER BY bucket
         """,
@@ -2520,6 +2547,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT item_id, kind,
                    CAST(octet_length(payload) AS BIGINT) AS n_bytes,
                    sha256(CAST(payload AS VARCHAR)) AS sha256,
+                   CASE WHEN kind = 'image' THEN 'gif' END AS format,
+                   CAST(CASE WHEN kind = 'image'
+                        THEN 65 + item_id % 26
+                             + 256 * (97 + (item_id * 7) % 26)
+                        END AS INT) AS width,
+                   CAST(CASE WHEN kind = 'image'
+                        THEN 48 + item_id % 10
+                             + 256 * (65 + (item_id * 3) % 26)
+                        END AS INT) AS height,
                    'ok' AS status
             FROM '{_safe_path(_multimodal_parquet)}'
             ORDER BY item_id

@@ -3,7 +3,15 @@
 Runs every ``queries()`` entry on Spark at sf0.01 and, where an
 ``oracle_sql()`` entry exists, the same SQL on DuckDB over the parquet
 tables; compares row count + order-insensitive value hash with columns
-sorted by name (floats normalized to 6 significant decimals).
+sorted by name.
+
+Floats hash at FULL precision (``repr``) by default — strictly
+stronger than any float canonicalization the driver could apply, so a
+one-ulp divergence fails HERE first instead of only in the driver's
+run (round-6 rule: checkpoint_lineage was driver-red twice while the
+old 6-sig-digit normalization stayed green).  Set
+``SPARK_GRAFT_FLOAT_NORM=6g`` to reproduce the legacy lenient mode
+when triaging whether a red is an ulp or a real value difference.
 """
 
 from __future__ import annotations
@@ -25,6 +33,9 @@ TABLES = ("region nation customer supplier part orders lineitem events "
           "documents embeddings").split()
 
 
+_FLOAT_NORM = os.environ.get("SPARK_GRAFT_FLOAT_NORM", "repr")
+
+
 def _norm(v):
     if v is None:
         return "NULL"
@@ -33,7 +44,9 @@ def _norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        return f"{v:.6g}"
+        if _FLOAT_NORM == "6g":
+            return f"{v:.6g}"
+        return repr(v)
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(_norm(x) for x in v) + "]"
     return str(v)

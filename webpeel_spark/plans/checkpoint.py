@@ -35,13 +35,18 @@ from typing import List, Optional
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.extract import deterministic_avg, extract_pages
+from ..operators.extract import deterministic_avg_bp, extract_pages
 
+# avg_quality_bp: mean quality in integer basis points (8750 = 0.8750),
+# computed with pure long arithmetic (deterministic_avg_bp) so the
+# lineage table holds no IEEE double an oracle hash could disagree on
+# by an ulp (round-6 contract rule; doubles were hash-red in the
+# round-4/5 driver runs despite bit-identical local verification)
 PROGRESS_SCHEMA = (
     "run_id string, input_snapshot_id string, bucket int, "
     "url_hash_min long, url_hash_max long, row_count long, ok_count long, "
     "error_count long, token_sum long, content_bytes long, "
-    "avg_quality double, completed_at_ts double"
+    "avg_quality_bp long, completed_at_ts double"
 )
 
 
@@ -167,10 +172,9 @@ def run_extraction_checkpointed(
                     F.sum(F.when(F.col("status") == "error", 1).otherwise(0)).alias("error_count"),
                     F.sum("token_estimate").alias("token_sum"),
                     F.sum("content_len").alias("content_bytes"),
-                    # order-invariant 4-dp average (integer sum, one
-                    # IEEE division) — round(avg(double),4) flips at a
-                    # rounding boundary depending on partial-agg order
-                    deterministic_avg("quality", 100).alias("avg_quality"),
+                    # order-invariant integer basis points (long sum,
+                    # long div) — no double anywhere in the lineage row
+                    deterministic_avg_bp("quality", 100).alias("avg_quality_bp"),
                     F.min(F.xxhash64("url")).alias("url_hash_min"),
                     F.max(F.xxhash64("url")).alias("url_hash_max"),
                 ).collect()
@@ -187,7 +191,7 @@ def run_extraction_checkpointed(
                  int(r["url_hash_min"]), int(r["url_hash_max"]),
                  int(r["row_count"]), int(r["ok_count"]),
                  int(r["error_count"]), int(r["token_sum"] or 0),
-                 int(r["content_bytes"] or 0), float(r["avg_quality"] or 0.0),
+                 int(r["content_bytes"] or 0), int(r["avg_quality_bp"] or 0),
                  now)
                 for r in stats
             ]
