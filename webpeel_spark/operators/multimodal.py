@@ -1,11 +1,16 @@
 """Multimodal column plumbing — image/audio/video as opaque binary.
 
-Real decode libraries (PIL/ffmpeg/etc.) are NOT in this container, so
-the decode kernels are stubbed: ``decode_stub=True`` (default) produces
-a deterministic fake feature vector from the bytes; ``decode_stub=False``
-raises NotImplementedError at the decode site.  Everything Spark-side —
-schema, Arrow batch shape, ``mapInPandas`` signature, partitioning — is
-real and tested; swapping in a real decoder is a one-function change.
+Real pixel/sample decode libraries (PIL/ffmpeg/etc.) are NOT in this
+container, so the FEATURE kernels are stubbed: ``decode_stub=True``
+(default) produces a deterministic fake feature vector from the bytes;
+``decode_stub=False`` raises NotImplementedError at the decode site.
+Header METADATA decode is real as of round 6: every payload is sniffed
+by magic bytes (pure/imagemeta.py, stdlib-only) and image rows carry
+(format, width, height) — the fields a training pipeline actually
+filters on (min-resolution gates, format routing).  Everything
+Spark-side — schema, Arrow batch shape, ``mapInPandas`` signature,
+partitioning — is real and tested; swapping in a pixel decoder is a
+one-function change.
 
 Schema convention for a multimodal table:
     (item_id: long, kind: string, payload: binary,
@@ -30,6 +35,9 @@ FEATURE_SCHEMA = StructType([
     StructField("kind", StringType()),
     StructField("n_bytes", LongType()),
     StructField("sha256", StringType()),
+    StructField("format", StringType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
     StructField("features", ArrayType(FloatType())),
     StructField("status", StringType()),
 ])
@@ -62,7 +70,8 @@ def extract_features(df: DataFrame, decode_stub: bool = True,
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        rows = []
+        from ..pure.imagemeta import parse_image_header
+
         for pdf in batches:
             rows = []
             for item_id, kind, payload in zip(
@@ -72,6 +81,7 @@ def extract_features(df: DataFrame, decode_stub: bool = True,
                     payload = b""
                 elif isinstance(payload, memoryview):
                     payload = payload.tobytes()
+                meta = parse_image_header(payload)
                 try:
                     if decode_stub:
                         feats = _fake_features(payload, feature_dim).tolist()
@@ -83,11 +93,16 @@ def extract_features(df: DataFrame, decode_stub: bool = True,
                     status = f"unimplemented: {e}"
                 rows.append((
                     int(item_id), kind, len(payload),
-                    hashlib.sha256(payload).hexdigest(), feats, status,
+                    hashlib.sha256(payload).hexdigest(),
+                    meta["format"] if meta else None,
+                    meta["width"] if meta else None,
+                    meta["height"] if meta else None,
+                    feats, status,
                 ))
             yield pd.DataFrame(
                 rows,
-                columns=["item_id", "kind", "n_bytes", "sha256", "features", "status"],
+                columns=["item_id", "kind", "n_bytes", "sha256",
+                         "format", "width", "height", "features", "status"],
             )
 
     pruned = df.select("item_id", "kind", "payload")
