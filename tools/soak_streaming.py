@@ -1,0 +1,146 @@
+"""Streaming change-tracking soak (round-6 directive): run
+``stream_change_tracking`` over a two-snapshot 96k-page corpus and
+report per-snapshot throughput plus state-store size — the 96k batch
+soak exercises the stateless path only; this proves the stateful
+``applyInPandasWithState`` operator holds the same scale without state
+blowup.
+
+    python tools/soak_streaming.py [--pages 96000] [--cores 16]
+
+Snapshot 1 = the deterministic bench corpus with a fixed day-1
+timestamp; snapshot 2 = the same pages at day 2 with a visible text
+edit on every third url (hash-selected), so the second pass exercises
+all three labels (changed / unchanged; 'added' covered by pass 1)
+against 96k fingerprints of persisted GroupState.  Prints ONE JSON
+line; numbers land in BENCH.md's soak section.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import _corpus_parquet  # noqa: E402
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
+
+
+def _write_snapshot(spark, corpus_path: str, input_dir: str, name: str,
+                    day: int, edit_third: bool) -> None:
+    """One streaming input file-set: PAGES_SCHEMA columns, fixed
+    deterministic timestamp, optional day-2 edit (an existing word in
+    the BODY TEXT is mutated — injected markup near the container edge
+    gets stripped as boilerplate by candidate selection/pruning, so
+    only an edit to text the extractor actually keeps reliably moves
+    the fingerprint; hash-selected rows whose kept content happens not
+    to contain the word, and the PDF/DOCX payloads, stay unedited and
+    correctly count as 'unchanged')."""
+    from pyspark.sql import functions as F
+
+    pages = spark.read.parquet(corpus_path).select("url", "html")
+    ts = F.to_timestamp(F.lit(f"2024-03-0{day} 12:00:00"))
+    html = F.col("html")
+    if edit_third:
+        as_str = F.col("html").cast("string")
+        edited = F.encode(
+            F.regexp_replace(as_str, "corpus", "korpus"), "UTF-8")
+        html = F.when(
+            (F.pmod(F.xxhash64("url"), F.lit(3)) == 0)
+            & as_str.contains("corpus"), edited).otherwise(F.col("html"))
+    df = pages.select(
+        "url", ts.alias("warc_ts"), html.alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast("string").alias("lang"))
+    staging = os.path.join(input_dir, f".staging_{name}")
+    df.write.mode("overwrite").parquet(staging)
+    for i, part in enumerate(sorted(glob.glob(
+            os.path.join(staging, "*.parquet")))):
+        os.replace(part, os.path.join(input_dir, f"{name}_{i:04d}.parquet"))
+    shutil.rmtree(staging, ignore_errors=True)
+
+
+def _run_pass(spark, input_dir: str, out_dir: str, ck_dir: str) -> dict:
+    from webpeel_spark.streaming.extract_stream import stream_change_tracking
+
+    t0 = time.perf_counter()
+    q = stream_change_tracking(spark, input_dir, out_dir, ck_dir)
+    q.awaitTermination()
+    wall = time.perf_counter() - t0
+    state = {}
+    prog = q.lastProgress
+    if prog:
+        ops = prog.get("stateOperators") or []
+        if ops:
+            state = {
+                "state_rows": ops[0].get("numRowsTotal"),
+                "state_mem_bytes": ops[0].get("memoryUsedBytes"),
+            }
+    return {"wall_sec": round(wall, 3), **state}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pages", type=int, default=96000)
+    ap.add_argument("--cores", type=int,
+                    default=int(os.environ.get("SPARK_GRAFT_CPUS", "16")))
+    args = ap.parse_args()
+
+    from webpeel_spark.session import get_spark
+
+    corpus = _corpus_parquet(args.pages)
+    work = tempfile.mkdtemp(prefix="wp_stream_soak_")
+    inp = os.path.join(work, "input")
+    out = os.path.join(work, "out")
+    ck = os.path.join(work, "ck")
+    os.makedirs(inp)
+
+    spark = get_spark(app_name="stream-soak", cores=args.cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        _write_snapshot(spark, corpus, inp, "b0", day=1, edit_third=False)
+        p1 = _run_pass(spark, inp, out, ck)
+        _write_snapshot(spark, corpus, inp, "b1", day=2, edit_third=True)
+        p2 = _run_pass(spark, inp, out, ck)
+
+        from pyspark.sql import functions as F
+        res = spark.read.parquet(out)
+        labels = {r["change"]: r["n"] for r in
+                  res.groupBy("change").agg(F.count("*").alias("n")).collect()}
+        ck_bytes = _dir_bytes(ck)
+        print(json.dumps({
+            "metric": "stream_change_tracking_soak",
+            "pages_per_snapshot": args.pages,
+            "cores": args.cores,
+            "pass1": {**p1, "docs_per_sec":
+                      round(args.pages / p1["wall_sec"], 1)},
+            "pass2": {**p2, "docs_per_sec":
+                      round(args.pages / p2["wall_sec"], 1)},
+            "labels": labels,
+            "checkpoint_bytes": ck_bytes,
+            "state_bytes_per_url": round(
+                (p2.get("state_mem_bytes") or 0) / args.pages, 1),
+        }))
+    finally:
+        spark.stop()
+        shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
