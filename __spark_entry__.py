@@ -2802,9 +2802,13 @@ def _safe_path(materialize) -> str:
     try:
         return fn()
     except Exception:
+        # tests/test_contract_registry.py asserts each name matches
+        # what the materializer actually writes — a renamed cache file
+        # (e.g. a corpus-version bump) must be renamed here too, or a
+        # read-only checkout would silently read the stale version
         fallbacks = {
             _pages_parquet: "pages_%d_seed42.parquet" % _CORPUS_N,
-            _multimodal_parquet: "multimodal_64_seed42_ascii.parquet",
+            _multimodal_parquet: "multimodal_64_seed42_ascii_v2.parquet",
             _credibility_urls_parquet: "credibility_urls_v1.parquet",
             _source_rank_parquet: "source_rank_v1.parquet",
             _pii_parquet: "pii_%d_v1.parquet" % _PII_ROWS,

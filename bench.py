@@ -56,6 +56,10 @@ def _corpus_parquet(n: int) -> str:
 # Used ONLY to detect a loaded host window — never reported as results.
 # A warm run landing within 2x of these is steady state; 13 queries all
 # landing 2-3x above (the round-5 driver artifact) is a hostile window.
+# VALID ONLY at the calibrated config (sf0.1, 32 cores): any other
+# sf/cores skips the canary wait and the adaptive extra passes rather
+# than comparing against numbers measured elsewhere (which would stamp
+# an idle host as "loaded" and burn the wait budget).
 STEADY_SEC = {
     "extract_flagship": 2.2, "doc_token_stats": 0.45, "doc_quality": 1.0,
     "doc_fingerprints": 0.35, "exact_dup_groups": 0.7,
@@ -141,7 +145,11 @@ def _run_extraction(spark, pages_path: str, cores: int) -> dict:
             "docs_per_sec": round(docs / elapsed, 2), "cores": cores}
 
 
-def _bench_queries(spark, sf_dir: str) -> dict:
+def _calibrated(sf: float, cores: int) -> bool:
+    return abs(sf - 0.1) < 1e-9 and cores == 32
+
+
+def _bench_queries(spark, sf_dir: str, calibrated: bool = True) -> dict:
     """Headline operator queries (same code paths as the driver contract).
 
     Each query runs cold once, then warm passes; ``queries`` carries
@@ -183,7 +191,7 @@ def _bench_queries(spark, sf_dir: str) -> dict:
             return dt
 
         cold[name] = timed()
-        steady = STEADY_SEC.get(name)
+        steady = STEADY_SEC.get(name) if calibrated else None
         runs = [timed(), timed()]
         while (steady is not None and len(runs) < 5
                and min(runs) > 1.5 * steady):
@@ -295,7 +303,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     import __spark_entry__ as entrymod
-    control = _await_quiet_window(spark, SF_DIR, entrymod.queries())
+    calibrated = _calibrated(sf, args.cores) and args.pages is None
+    if calibrated:
+        control = _await_quiet_window(spark, SF_DIR, entrymod.queries())
+    else:
+        control = {"skipped": "non-calibrated config "
+                   f"(sf={sf}, cores={args.cores})"}
     _warm_workers(spark, pages_path, args.cores)
 
     t_start = time.perf_counter()
@@ -303,12 +316,12 @@ def main() -> None:
     # steady state — same hostile-window rule as the queries)
     ext_runs = [_run_extraction(spark, pages_path, args.cores)
                 for _ in range(2)]
-    while (len(ext_runs) < 4
+    while (calibrated and len(ext_runs) < 4
            and min(r["sec"] for r in ext_runs)
            > 1.5 * STEADY_SEC["extract_flagship"]):
         ext_runs.append(_run_extraction(spark, pages_path, args.cores))
     ext = min(ext_runs, key=lambda r: r["sec"])
-    qt = _bench_queries(spark, SF_DIR)
+    qt = _bench_queries(spark, SF_DIR, calibrated)
     total = round(time.perf_counter() - t_start, 3)
     spark.stop()
 

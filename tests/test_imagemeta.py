@@ -58,6 +58,19 @@ class TestFormats:
         assert parse_image_header(bmp_bytes(100, -50)) == {
             "format": "bmp", "width": 100, "height": 50}
 
+    def test_bmp_os2_core_header(self):
+        # BITMAPCOREHEADER (DIB size 12): u16 dims at 18/20 — reading
+        # them as i32 would fabricate width = w | (h << 16)
+        core = (b"BM" + struct.pack("<IHHI", 38, 0, 0, 26)
+                + struct.pack("<IHHHH", 12, 100, 50, 1, 24))
+        assert parse_image_header(core) == {
+            "format": "bmp", "width": 100, "height": 50}
+
+    def test_bmp_unknown_dib_rejected(self):
+        bad = (b"BM" + struct.pack("<IHHI", 70, 0, 0, 54)
+               + struct.pack("<Iii", 33, 100, 50) + b"\x00" * 28)
+        assert parse_image_header(bad) is None
+
     def test_jpeg_baseline_progressive_and_exif(self):
         assert parse_image_header(jpeg_bytes(1024, 768)) == {
             "format": "jpeg", "width": 1024, "height": 768}

@@ -114,6 +114,10 @@ def main() -> None:
     spark = get_spark(app_name="stream-soak", cores=args.cores)
     spark.sparkContext.setLogLevel("ERROR")
     try:
+        # actual row count, not the requested n: the corpus generator
+        # appends docx rows beyond n, and throughput must divide by
+        # what actually flowed through the stream
+        n_rows = spark.read.parquet(corpus).count()
         _write_snapshot(spark, corpus, inp, "b0", day=1, edit_third=False)
         p1 = _run_pass(spark, inp, out, ck)
         _write_snapshot(spark, corpus, inp, "b1", day=2, edit_third=True)
@@ -126,16 +130,16 @@ def main() -> None:
         ck_bytes = _dir_bytes(ck)
         print(json.dumps({
             "metric": "stream_change_tracking_soak",
-            "pages_per_snapshot": args.pages,
+            "pages_per_snapshot": n_rows,
             "cores": args.cores,
             "pass1": {**p1, "docs_per_sec":
-                      round(args.pages / p1["wall_sec"], 1)},
+                      round(n_rows / p1["wall_sec"], 1)},
             "pass2": {**p2, "docs_per_sec":
-                      round(args.pages / p2["wall_sec"], 1)},
+                      round(n_rows / p2["wall_sec"], 1)},
             "labels": labels,
             "checkpoint_bytes": ck_bytes,
             "state_bytes_per_url": round(
-                (p2.get("state_mem_bytes") or 0) / args.pages, 1),
+                (p2.get("state_mem_bytes") or 0) / n_rows, 1),
         }))
     finally:
         spark.stop()

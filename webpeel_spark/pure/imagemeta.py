@@ -39,9 +39,19 @@ def _parse_gif(b: bytes) -> Optional[Tuple[str, int, int]]:
 
 
 def _parse_bmp(b: bytes) -> Optional[Tuple[str, int, int]]:
-    # "BM", BITMAPINFOHEADER: width i32 LE at 18, height i32 LE at 22
-    # (height may be negative for top-down DIBs — report magnitude)
-    if len(b) < 26 or b[:2] != b"BM":
+    # "BM", then the DIB header size at 14 selects the layout:
+    # BITMAPCOREHEADER (12) stores width/height as u16 LE at 18/20;
+    # the BITMAPINFOHEADER family (40/52/56/64/108/124) as i32 LE at
+    # 18/22 (height negative for top-down DIBs — report magnitude)
+    if len(b) < 22 or b[:2] != b"BM":
+        return None
+    dib = struct.unpack("<I", b[14:18])[0]
+    if dib == 12:
+        w, h = struct.unpack("<HH", b[18:22])
+        if w == 0 or h == 0:
+            return None
+        return ("bmp", w, h)
+    if dib not in (40, 52, 56, 64, 108, 124) or len(b) < 26:
         return None
     w, h = struct.unpack("<ii", b[18:26])
     if w <= 0 or h == 0:

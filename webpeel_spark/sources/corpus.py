@@ -577,7 +577,11 @@ def write_corpus_parquet(path: str, n: int, seed: int = 42,
     # files; a single file caps scan parallelism at its row-group count
     # (observed: a serial scan stage that breaks strong scaling)
     os.makedirs(path, exist_ok=True)
-    per = (n + files - 1) // files
+    # chunk by the ACTUAL row count: docx_fraction APPENDS rows beyond
+    # n, and sizing chunks off n silently dropped most of them (the
+    # round-6 review found bench caches carrying 0-0.3% docx instead
+    # of the requested 2%)
+    per = (len(rows) + files - 1) // files
     for i in range(files):
         chunk = rows[i * per:(i + 1) * per]
         if not chunk:
