@@ -30,7 +30,14 @@ pytestmark = pytest.mark.skipif(
 
 
 def _modules():
-    pats = ("src/core/*.ts", "src/ee/*.ts", "src/ee/extractors/*.ts")
+    pats = ("src/core/*.ts", "src/ee/*.ts", "src/ee/extractors/*.ts",
+            # round-6 widening: the misfiling class moved outward
+            # (core → ee → server middleware / mcp), so the sweep now
+            # covers every tree that has yielded a portable module
+            "src/*.ts", "src/server/*.ts", "src/server/middleware/*.ts",
+            "src/mcp/*.ts", "src/mcp/handlers/*.ts", "src/cli/*.ts",
+            "src/cli/commands/*.ts", "src/worker/*.ts",
+            "src/integrations/*.ts")
     out = []
     for p in pats:
         out.extend(sorted(glob.glob(os.path.join(REFERENCE, p))))
@@ -57,10 +64,11 @@ def test_sweep_actually_sees_the_tree():
     plus ~50 extractors — a glob typo that matches nothing would make
     the completeness test vacuously green."""
     mods = _modules()
-    assert len(mods) >= 150, f"only {len(mods)} modules globbed"
+    assert len(mods) >= 200, f"only {len(mods)} modules globbed"
     names = {os.path.basename(m) for m in mods}
-    # spot anchors across all three globbed directories
-    assert {"pipeline.ts", "domain-intel.ts", "wikipedia.ts"} <= names
+    # spot anchors across the globbed directories
+    assert {"pipeline.ts", "domain-intel.ts", "wikipedia.ts",
+            "url-validator.ts", "smart-router.ts"} <= names
 
 
 def test_ported_homes_exist():

@@ -13,6 +13,13 @@ never shuffles.
 A training pipeline runs this ahead of extraction to drop phishing /
 malware-distribution urls from the crawl frontier — the corpus-
 hygiene use the reference's per-fetch check becomes at batch scale.
+
+``ssrf_gate`` is the same batch face for the server's SSRF middleware
+(server/middleware/url-validator.ts via pure/url_validator.py):
+localhost / cloud-metadata / private-and-reserved-IP targets — incl.
+hex/octal/decimal IPv4 spellings — stamped per row before any fetch
+is scheduled.  Both gates are stateless codegen-adjacent projections:
+one vectorized Arrow UDF, no shuffle, no network.
 """
 
 from __future__ import annotations
@@ -32,6 +39,26 @@ def _local_verdict(urls: pd.Series) -> pd.DataFrame:
     out = urls.map(lambda u: check_local_blocklist(u or ""))
     return pd.DataFrame({"safe": out.map(lambda r: r["safe"]),
                          "threats": out.map(lambda r: r["threats"])})
+
+
+@pandas_udf("struct<allowed:boolean,reason:string>")
+def _ssrf_verdict(urls: pd.Series) -> pd.DataFrame:
+    from webpeel_spark.pure.url_validator import ssrf_verdict
+
+    out = urls.map(lambda u: ssrf_verdict(u or ""))
+    return pd.DataFrame({"allowed": out.map(lambda r: r["allowed"]),
+                         "reason": out.map(lambda r: r["reason"])})
+
+
+def ssrf_gate(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Adds (fetch_allowed, ssrf_reason): reason is 'ok', 'ssrf'
+    (localhost/private/metadata/non-HTTP target) or 'invalid' (the
+    URL would not parse — unfetchable either way, but frontier stats
+    want the distinction)."""
+    return (df.withColumn("__s", _ssrf_verdict(F.col(url_col)))
+            .withColumn("fetch_allowed", F.col("__s.allowed"))
+            .withColumn("ssrf_reason", F.col("__s.reason"))
+            .drop("__s"))
 
 
 def url_safety(df: DataFrame, url_col: str = "url",

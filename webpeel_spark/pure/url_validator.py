@@ -1,0 +1,252 @@
+"""SSRF URL validation (server/middleware/url-validator.ts:1-227).
+
+The reference validates every inbound URL BEFORE any network request:
+protocol allow-list, localhost / cloud-metadata hostname blocks, and
+private/reserved IP ranges with WHATWG's alternate-notation IPv4
+parsing (hex ``0x7f000001``, octal ``0177.0.0.1``, bare decimal
+``2130706433`` all canonicalize to dotted form inside ``new URL`` and
+are then range-checked).  Pure decision logic with no I/O — the batch
+face is a crawl-frontier hygiene filter next to the safe-browsing gate
+(``operators/safety.py``): at 10^12 candidate URLs you run this as a
+vectorized projection before fetch scheduling, for the same reason the
+server runs it as middleware.
+
+Parity is pinned against Node's actual output of the reference
+function (52-case fixture, tests/test_url_validator.py), including the
+reference's own quirks, reproduced deliberately:
+
+* ``computeMetadata`` in the metadata block-list is compared
+  case-sensitively against the already-lowercased hostname, so that
+  entry can never match — ``http://computemetadata/`` is allowed;
+* every ``::ffff:`` v4-mapped IPv6 address is blocked unconditionally
+  (url-validator.ts:214 throws after the embedded-IPv4 check no
+  matter what it found);
+* ``fec0::/10`` (deprecated site-local) is NOT blocked — only the
+  fe8/fe9/fea/feb prefixes of fe80::/10 are.
+"""
+
+from __future__ import annotations
+
+import ipaddress
+import re
+from typing import List, Optional, Tuple
+from urllib.parse import urlsplit
+
+SSRF_MSG = "Cannot fetch localhost, private networks, or non-HTTP URLs"
+INVALID_MSG = "Invalid URL format"
+
+
+class SSRFError(Exception):
+    """url-validator.ts:63-68."""
+
+
+_SCHEME_RE = re.compile(r"^[a-zA-Z][a-zA-Z0-9+.\-]*:")
+
+# url-validator.ts:27 / :36-43
+_LOCALHOST_PATTERNS = ("localhost", "0.0.0.0")
+_METADATA_HOSTNAMES = (
+    "metadata.google.internal",
+    "metadata.goog",
+    "metadata.internal",
+    "instance-data.ec2.internal",
+    "computeMetadata",  # never matches a lowercased hostname — ts quirk
+)
+
+
+def _whatwg_number(part: str) -> Optional[int]:
+    """One IPv4 label per the WHATWG host parser: 0x hex / leading-0
+    octal / decimal; None when not a number."""
+    if part.lower().startswith("0x"):
+        rest = part[2:]
+        if rest == "":
+            return 0
+        if re.fullmatch(r"[0-9a-fA-F]+", rest):
+            return int(rest, 16)
+        return None
+    if len(part) >= 2 and part[0] == "0":
+        if re.fullmatch(r"[0-7]+", part):
+            return int(part, 8)
+        return None
+    if re.fullmatch(r"[0-9]+", part):
+        return int(part, 10)
+    return None
+
+
+def _whatwg_ipv4(host: str) -> Optional[str]:
+    """WHATWG IPv4 canonicalization as ``new URL`` applies it to the
+    hostname: returns dotted-quad when the host is IPv4-shaped, None
+    when it is a regular hostname, raises ValueError when IPv4-shaped
+    but invalid (``999.1.2.3``, ``1.2.3.4.5``, ``x.0.0.0.0``)."""
+    parts = host.split(".")
+    if parts and parts[-1] == "":  # one trailing dot is allowed
+        parts = parts[:-1]
+    if not parts:
+        return None
+    if _whatwg_number(parts[-1]) is None:
+        return None  # not IPv4-shaped — regular hostname
+    if len(parts) > 4:
+        raise ValueError(INVALID_MSG)
+    nums: List[int] = []
+    for p in parts:
+        n = _whatwg_number(p)
+        if n is None:
+            raise ValueError(INVALID_MSG)
+        nums.append(n)
+    for n in nums[:-1]:
+        if n > 255:
+            raise ValueError(INVALID_MSG)
+    last_max = 256 ** (5 - len(nums)) - 1
+    if nums[-1] > last_max:
+        raise ValueError(INVALID_MSG)
+    value = nums[-1]
+    for i, n in enumerate(nums[:-1]):
+        value += n * 256 ** (3 - i)
+    return ".".join(str((value >> s) & 0xFF) for s in (24, 16, 8, 0))
+
+
+def js_url_host(url: str) -> Tuple[str, str]:
+    """(protocol-with-colon, hostname) as ``new URL(url)`` yields them;
+    raises ValueError(INVALID_MSG) where the constructor throws.
+    IPv4-shaped hosts canonicalize to dotted form, bracketed IPv6 to
+    RFC 5952 (both proven bit-identical to Node), unicode hosts IDNA."""
+    if not _SCHEME_RE.match(url or ""):
+        raise ValueError(INVALID_MSG)
+    try:
+        parts = urlsplit(url)
+        host = parts.hostname
+        parts.port  # range-checked lazily — >65535 throws in new URL too
+    except ValueError:
+        raise ValueError(INVALID_MSG)
+    scheme = parts.scheme.lower() + ":"
+    if host is None or host == "":
+        if scheme in ("http:", "https:", "ws:", "wss:", "ftp:"):
+            raise ValueError(INVALID_MSG)  # special schemes need a host
+        return scheme, ""
+    if ":" in host:  # bracketed IPv6 (urlsplit strips the brackets)
+        try:
+            return scheme, "[" + str(ipaddress.IPv6Address(host)) + "]"
+        except ValueError:
+            raise ValueError(INVALID_MSG)
+    if not all(ord(c) < 128 for c in host):
+        try:
+            host = host.encode("idna").decode("ascii")
+        except UnicodeError:
+            raise ValueError(INVALID_MSG)
+    dotted = _whatwg_ipv4(host)
+    return scheme, dotted if dotted is not None else host
+
+
+def parse_ipv4(hostname: str) -> Optional[List[int]]:
+    """url-validator.ts:73-134 — octets from dotted/hex/octal/decimal
+    notation, None when not IPv4-like.  (Via validate_url_for_ssrf the
+    hostname is already canonical dotted; the alternate branches match
+    the reference for direct callers.)"""
+    cleaned = re.sub(r"^\[|\]$", "", hostname)
+    m = re.fullmatch(r"(\d{1,3})\.(\d{1,3})\.(\d{1,3})\.(\d{1,3})", cleaned)
+    if m:
+        octets = [int(g) for g in m.groups()]
+        if all(0 <= o <= 255 for o in octets):
+            return octets
+        raise SSRFError(SSRF_MSG)
+    if re.fullmatch(r"0x[0-9a-fA-F]+", cleaned):
+        num = int(cleaned, 16)
+        return [(num >> 24) & 0xFF, (num >> 16) & 0xFF,
+                (num >> 8) & 0xFF, num & 0xFF]
+    if re.match(r"0[0-7]", cleaned):
+        if re.fullmatch(r"0[0-7]+", cleaned):
+            num = int(cleaned, 8)
+            if num <= 0xFFFFFFFF:
+                return [(num >> 24) & 0xFF, (num >> 16) & 0xFF,
+                        (num >> 8) & 0xFF, num & 0xFF]
+        parts = cleaned.split(".")
+        if len(parts) == 4:
+            try:
+                octets = [int(p, 8 if re.match(r"0[0-7]", p) else 10)
+                          for p in parts]
+            except ValueError:
+                return None
+            if all(0 <= o <= 255 for o in octets):
+                return octets
+    if re.fullmatch(r"\d+", cleaned):
+        num = int(cleaned, 10)
+        if num <= 0xFFFFFFFF:
+            return [(num >> 24) & 0xFF, (num >> 16) & 0xFF,
+                    (num >> 8) & 0xFF, num & 0xFF]
+    return None
+
+
+def validate_ipv4_for_ssrf(octets: List[int]) -> None:
+    """url-validator.ts:139-176."""
+    a, b, c, d = octets
+    if (a == 127 or a == 10
+            or (a == 172 and 16 <= b <= 31)
+            or (a == 192 and b == 168)
+            or (a == 169 and b == 254)
+            or (a == 255 and b == 255 and c == 255 and d == 255)
+            or a == 0):
+        raise SSRFError(SSRF_MSG)
+
+
+def validate_ipv6_for_ssrf(hostname: str) -> None:
+    """url-validator.ts:181-227 — note the unconditional ::ffff: throw."""
+    addr = re.sub(r"^\[|\]$", "", hostname).lower()
+    if addr in ("::1", "0:0:0:0:0:0:0:1"):
+        raise SSRFError(SSRF_MSG)
+    if addr.startswith("::ffff:"):
+        ipv4_part = addr[7:]
+        if "." in ipv4_part:
+            parts = ipv4_part.split(".")
+            if len(parts) == 4:
+                try:
+                    octets = [int(p, 10) for p in parts]
+                except ValueError:
+                    octets = None
+                if octets and all(0 <= o <= 255 for o in octets):
+                    validate_ipv4_for_ssrf(octets)
+        else:
+            hex_str = ipv4_part.replace(":", "")
+            if re.fullmatch(r"[0-9a-f]{1,8}", hex_str):
+                num = int(hex_str, 16)
+                validate_ipv4_for_ssrf(
+                    [(num >> 24) & 0xFF, (num >> 16) & 0xFF,
+                     (num >> 8) & 0xFF, num & 0xFF])
+        raise SSRFError(SSRF_MSG)  # ts:214 — all v4-mapped blocked
+    if addr.startswith(("fc", "fd")):
+        raise SSRFError(SSRF_MSG)
+    if addr.startswith(("fe8", "fe9", "fea", "feb")):
+        raise SSRFError(SSRF_MSG)
+
+
+def validate_url_for_ssrf(url: str) -> None:
+    """url-validator.ts:10-58 — raises ValueError(INVALID_MSG) where
+    ``new URL`` throws, SSRFError for blocked targets, returns None
+    when the URL is safe to fetch."""
+    protocol, hostname = js_url_host(url)
+    if protocol not in ("http:", "https:"):
+        raise SSRFError(SSRF_MSG)
+    hostname = hostname.lower()
+    for pattern in _LOCALHOST_PATTERNS:
+        if hostname == pattern or hostname.endswith("." + pattern):
+            raise SSRFError(SSRF_MSG)
+    for m in _METADATA_HOSTNAMES:
+        if hostname == m or hostname.endswith("." + m):
+            raise SSRFError(SSRF_MSG)
+    octets = parse_ipv4(hostname)
+    if octets is not None:
+        validate_ipv4_for_ssrf(octets)
+    if ":" in hostname:
+        validate_ipv6_for_ssrf(hostname)
+
+
+def ssrf_verdict(url: str) -> dict:
+    """Batch face: {'allowed': bool, 'reason': 'ok'|'ssrf'|'invalid'}
+    — the exception protocol flattened for a vectorized frontier
+    filter (invalid URLs are unfetchable and dropped like blocked
+    ones, but the reason distinguishes them for frontier stats)."""
+    try:
+        validate_url_for_ssrf(url)
+        return {"allowed": True, "reason": "ok"}
+    except SSRFError:
+        return {"allowed": False, "reason": "ssrf"}
+    except ValueError:
+        return {"allowed": False, "reason": "invalid"}
