@@ -114,10 +114,12 @@ def js_url_host(url: str) -> Tuple[str, str]:
     try:
         parts = urlsplit(url)
         host = parts.hostname
-        parts.port  # range-checked lazily — >65535 throws in new URL too
+        port = parts.port  # lazily range-checked — >65535 throws too
     except ValueError:
         raise ValueError(INVALID_MSG)
     scheme = parts.scheme.lower() + ":"
+    if scheme == "file:" and port is not None:
+        raise ValueError(INVALID_MSG)  # file URLs cannot carry a port
     if host is None or host == "":
         if scheme in ("http:", "https:", "ws:", "wss:", "ftp:"):
             raise ValueError(INVALID_MSG)  # special schemes need a host
