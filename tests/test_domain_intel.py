@@ -208,3 +208,21 @@ class TestSparkOperator:
         assert recommend_modes(prof).collect()[0]["mode"] == "stealth"
         assert recommend_modes(
             prof, now_ms=2 + TTL_MS + 1).collect()[0]["mode"] is None
+
+
+def test_domain_key_node_fuzz_300():
+    """300 seeded-random URLs (special + opaque schemes, unicode,
+    IPv4 spellings, IPv6, credentials, ports) vs Node's actual
+    new URL().hostname.toLowerCase() — 0 mismatches at pin time.
+    Caught: special schemes IPv4-canonicalize (ws://0x7f000001 →
+    127.0.0.1) and reject invalid shapes (999.1.2.3 → throw), while
+    opaque schemes percent-encode unicode from its ORIGINAL case
+    instead of IDNA-encoding."""
+    fuzz = os.path.join(os.path.dirname(__file__), "golden",
+                        "domain_key_fuzz_node.json")
+    with open(fuzz) as f:
+        cases = json.load(f)
+    assert len(cases) == 300
+    mismatches = [(u, want, domain_key(u))
+                  for u, want in cases if domain_key(u) != want]
+    assert not mismatches, mismatches[:10]

@@ -24,11 +24,10 @@ the ported domain-memory table drops its cousin's LRU
 
 from __future__ import annotations
 
-import ipaddress
 import math
-import re
 from typing import Any, Dict, Iterable, Optional
-from urllib.parse import urlsplit
+
+from .url_validator import whatwg_hostname
 
 # domain-intel.ts:32-35
 TTL_MS = 60 * 60 * 1000
@@ -37,40 +36,19 @@ MIN_SAMPLES = 3
 
 METHODS = ("simple", "browser", "stealth")
 
-_SCHEME_RE = re.compile(r"^[a-zA-Z][a-zA-Z0-9+.\-]*:")
-
 
 def domain_key(url: str) -> str:
     """domain-intel.ts:47-53 — ``new URL(url).hostname.toLowerCase()``,
     '' when not a parseable absolute URL (callers skip those rows).
     Unlike domain-memory's normaliseDomain, www. is NOT stripped.
 
-    WHATWG parity pinned by the Node fixture: IPv6 hosts keep their
-    brackets and canonicalize per RFC 5952 (``[2001:DB8::1]:8080`` →
-    ``[2001:db8::1]``; stdlib ``ipaddress`` matches Node bit-for-bit,
-    incl. ``::ffff:1.2.3.4`` → ``::ffff:102:304``), invalid bracket
-    contents make the URL unparseable ('' like ``new URL`` throwing),
-    and unicode hosts IDNA-encode."""
-    try:
-        parts = urlsplit(url or "")
-        if not _SCHEME_RE.match(url or ""):
-            return ""
-        host = parts.hostname or ""
-    except ValueError:
-        return ""
-    if not host:
-        return ""
-    if ":" in host:  # urlsplit strips the brackets; Node keeps them
-        try:
-            return "[" + str(ipaddress.IPv6Address(host)) + "]"
-        except ValueError:
-            return ""
-    if not all(ord(c) < 128 for c in host):
-        try:
-            return host.encode("idna").decode("ascii")
-        except UnicodeError:
-            return ""
-    return host
+    Uses the shared WHATWG host emulation (pure/url_validator.py,
+    Node-fuzz-pinned): special schemes lowercase + IDNA + IPv4-
+    canonicalize (hex/octal/decimal spellings → dotted, invalid
+    shapes → ''), other schemes keep an opaque percent-encoded host,
+    IPv6 keeps brackets with RFC 5952 canonicalization either way."""
+    _scheme, host = whatwg_hostname(url or "")
+    return (host or "").lower()
 
 
 def fold_intel(domain: str,

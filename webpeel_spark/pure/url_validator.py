@@ -104,38 +104,85 @@ def _whatwg_ipv4(host: str) -> Optional[str]:
     return ".".join(str((value >> s) & 0xFF) for s in (24, 16, 8, 0))
 
 
-def js_url_host(url: str) -> Tuple[str, str]:
-    """(protocol-with-colon, hostname) as ``new URL(url)`` yields them;
-    raises ValueError(INVALID_MSG) where the constructor throws.
-    IPv4-shaped hosts canonicalize to dotted form, bracketed IPv6 to
-    RFC 5952 (both proven bit-identical to Node), unicode hosts IDNA."""
+# WHATWG special schemes — these lowercase, IDNA-encode and
+# IPv4-canonicalize their hosts; all other schemes carry an OPAQUE
+# host (case preserved, non-ASCII percent-encoded, no IPv4 parse)
+_SPECIAL_SCHEMES = ("http", "https", "ws", "wss", "ftp", "file")
+# code points WHATWG forbids in any (opaque) host
+_FORBIDDEN_HOST = set("\x00\t\n\r #/:<>?@[\\]^|")
+
+
+def _opaque_raw_host(parts) -> Optional[str]:
+    """The host substring of netloc with ORIGINAL case (urlsplit's
+    .hostname lowercases, which would corrupt the percent-encoding of
+    uppercase unicode in opaque hosts: Node encodes 'Пример' as
+    %D0%9F…, not the lowercase п bytes)."""
+    netloc = parts.netloc
+    if "@" in netloc:
+        netloc = netloc.rsplit("@", 1)[1]
+    if netloc.startswith("["):
+        return None  # IPv6 handled by the caller
+    return netloc.split(":", 1)[0]
+
+
+def whatwg_hostname(url: str) -> Tuple[str, Optional[str]]:
+    """(scheme-with-colon, hostname) exactly as ``new URL(url)`` yields
+    them — hostname None where the constructor throws.  Special
+    schemes: lowercase + IDNA + WHATWG IPv4 canonicalization (hex /
+    octal / decimal spellings → dotted, invalid IPv4-shapes → throw).
+    Other schemes: opaque host, case preserved, non-ASCII
+    percent-encoded (uppercase hex, like Node), forbidden code points
+    → throw.  Bracketed IPv6 canonicalizes per RFC 5952 either way
+    (stdlib ``ipaddress`` is bit-identical to Node, incl. v4-mapped).
+    All behaviors pinned by the 400-case + 300-case Node fuzzes."""
     if not _SCHEME_RE.match(url or ""):
-        raise ValueError(INVALID_MSG)
+        return "", None
     try:
         parts = urlsplit(url)
         host = parts.hostname
         port = parts.port  # lazily range-checked — >65535 throws too
     except ValueError:
-        raise ValueError(INVALID_MSG)
+        return "", None
     scheme = parts.scheme.lower() + ":"
     if scheme == "file:" and port is not None:
-        raise ValueError(INVALID_MSG)  # file URLs cannot carry a port
+        return scheme, None  # file URLs cannot carry a port
+    special = scheme[:-1] in _SPECIAL_SCHEMES
     if host is None or host == "":
-        if scheme in ("http:", "https:", "ws:", "wss:", "ftp:"):
-            raise ValueError(INVALID_MSG)  # special schemes need a host
+        if special and scheme != "file:":
+            return scheme, None  # special schemes need a host
         return scheme, ""
     if ":" in host:  # bracketed IPv6 (urlsplit strips the brackets)
         try:
             return scheme, "[" + str(ipaddress.IPv6Address(host)) + "]"
         except ValueError:
-            raise ValueError(INVALID_MSG)
+            return scheme, None
+    if not special:
+        raw = _opaque_raw_host(parts)
+        if raw is None or any(c in _FORBIDDEN_HOST for c in raw):
+            return scheme, None
+        return scheme, "".join(
+            c if ord(c) < 0x80 else
+            "".join("%%%02X" % b for b in c.encode("utf-8"))
+            for c in raw)
     if not all(ord(c) < 128 for c in host):
         try:
             host = host.encode("idna").decode("ascii")
         except UnicodeError:
-            raise ValueError(INVALID_MSG)
-    dotted = _whatwg_ipv4(host)
+            return scheme, None
+    try:
+        dotted = _whatwg_ipv4(host)
+    except ValueError:
+        return scheme, None
     return scheme, dotted if dotted is not None else host
+
+
+def js_url_host(url: str) -> Tuple[str, str]:
+    """(protocol-with-colon, hostname) as ``new URL(url)`` yields them;
+    raises ValueError(INVALID_MSG) where the constructor throws."""
+    scheme, host = whatwg_hostname(url)
+    if host is None:
+        raise ValueError(INVALID_MSG)
+    return scheme, host
 
 
 def parse_ipv4(hostname: str) -> Optional[List[int]]:
