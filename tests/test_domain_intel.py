@@ -226,3 +226,18 @@ def test_domain_key_node_fuzz_300():
     mismatches = [(u, want, domain_key(u))
                   for u, want in cases if domain_key(u) != want]
     assert not mismatches, mismatches[:10]
+
+
+def test_domain_key_node_fuzz2_500():
+    """Extended 500-case fuzz (review-finding classes: file:-scheme
+    host rules, percent-encoded hosts, no-slash special forms, number-
+    shaped labels, UTS-46 unicode, invalid punycode) vs Node —
+    0 mismatches at pin time."""
+    fuzz = os.path.join(os.path.dirname(__file__), "golden",
+                        "domain_key_fuzz2_node.json")
+    with open(fuzz) as f:
+        cases = json.load(f)
+    assert len(cases) == 500
+    mismatches = [(u, want, domain_key(u))
+                  for u, want in cases if domain_key(u) != want]
+    assert not mismatches, mismatches[:10]

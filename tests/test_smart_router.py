@@ -1,5 +1,5 @@
 """smart-router.ts port — the reference suite
-(src/tests/smart-router.test.ts, 55 cases) ported case-for-case, plus
+(src/tests/smart-router.test.ts, 65 cases) ported case-for-case, plus
 the Spark intent-routing operator."""
 
 from __future__ import annotations

@@ -11,16 +11,9 @@ an export produced here is byte-identical to the reference CLI's
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional
+from typing import Dict, List, Optional
 
-
-def _js_str(v: Any) -> str:
-    """JS String(v) for the value shapes these helpers see."""
-    if isinstance(v, bool):
-        return "true" if v else "false"
-    if isinstance(v, float) and v.is_integer():
-        return str(int(v))
-    return str(v)
+from .structured_extract import _js_str
 
 
 def format_listings_csv(items: List[Dict[str, Optional[str]]]) -> str:

@@ -10,7 +10,7 @@ shell around it is N/A, but a batch engine routes the same way over a
 task/query LOG table (``operators/intent.py``): which fraction of
 user tasks are extractions vs monitors, which domains get acted on.
 
-Reference test suite (src/tests/smart-router.test.ts, 55 cases)
+Reference test suite (src/tests/smart-router.test.ts, 65 cases)
 ported case-for-case in tests/test_smart_router.py.
 """
 

@@ -44,11 +44,16 @@ def _parse_float_js(s: str) -> Optional[float]:
 
 
 def _js_str(value: Any) -> str:
-    """JS ``String(value)`` for the scalar types coercion sees."""
+    """JS ``String(value)`` for the scalar types coercion sees.
+    Shared helper (cli_helpers imports it too — keep the one copy)."""
     if isinstance(value, bool):
         return "true" if value else "false"
     if isinstance(value, float):
-        if value.is_integer() and math.isfinite(value):
+        if math.isnan(value):
+            return "NaN"
+        if math.isinf(value):
+            return "Infinity" if value > 0 else "-Infinity"
+        if value.is_integer():
             return str(int(value))
         return str(value)
     return str(value)

@@ -30,7 +30,6 @@ from __future__ import annotations
 import ipaddress
 import re
 from typing import List, Optional, Tuple
-from urllib.parse import urlsplit
 
 SSRF_MSG = "Cannot fetch localhost, private networks, or non-HTTP URLs"
 INVALID_MSG = "Invalid URL format"
@@ -40,7 +39,6 @@ class SSRFError(Exception):
     """url-validator.ts:63-68."""
 
 
-_SCHEME_RE = re.compile(r"^[a-zA-Z][a-zA-Z0-9+.\-]*:")
 
 # url-validator.ts:27 / :36-43
 _LOCALHOST_PATTERNS = ("localhost", "0.0.0.0")
@@ -72,17 +70,23 @@ def _whatwg_number(part: str) -> Optional[int]:
     return None
 
 
+_ENDS_IN_NUMBER = re.compile(r"[0-9]+|0[xX][0-9a-fA-F]*")
+
+
 def _whatwg_ipv4(host: str) -> Optional[str]:
     """WHATWG IPv4 canonicalization as ``new URL`` applies it to the
     hostname: returns dotted-quad when the host is IPv4-shaped, None
     when it is a regular hostname, raises ValueError when IPv4-shaped
-    but invalid (``999.1.2.3``, ``1.2.3.4.5``, ``x.0.0.0.0``)."""
+    but invalid (``999.1.2.3``, ``1.2.3.4.5``, ``x.0.0.0.0`` — and
+    number-SHAPED labels that fail the strict parse, like the octal
+    ``1.2.3.08``: the ends-in-a-number check is a looser test than
+    the number parser, so detection and parsing must stay separate)."""
     parts = host.split(".")
     if parts and parts[-1] == "":  # one trailing dot is allowed
         parts = parts[:-1]
     if not parts:
         return None
-    if _whatwg_number(parts[-1]) is None:
+    if not _ENDS_IN_NUMBER.fullmatch(parts[-1]):
         return None  # not IPv4-shaped — regular hostname
     if len(parts) > 4:
         raise ValueError(INVALID_MSG)
@@ -104,71 +108,156 @@ def _whatwg_ipv4(host: str) -> Optional[str]:
     return ".".join(str((value >> s) & 0xFF) for s in (24, 16, 8, 0))
 
 
-# WHATWG special schemes — these lowercase, IDNA-encode and
-# IPv4-canonicalize their hosts; all other schemes carry an OPAQUE
-# host (case preserved, non-ASCII percent-encoded, no IPv4 parse)
+# WHATWG special schemes — these lowercase, percent-decode,
+# IDNA-encode and IPv4-canonicalize their hosts; all other schemes
+# carry an OPAQUE host (case preserved, non-ASCII percent-encoded,
+# no decode, no IPv4 parse)
 _SPECIAL_SCHEMES = ("http", "https", "ws", "wss", "ftp", "file")
 # code points WHATWG forbids in any (opaque) host
 _FORBIDDEN_HOST = set("\x00\t\n\r #/:<>?@[\\]^|")
+# …and additionally in special-scheme domains, checked AFTER the one
+# percent-decode pass (a '%' that survives decoding is malformed)
+_FORBIDDEN_DOMAIN = _FORBIDDEN_HOST | set("%")
+
+_SCHEME_SPLIT = re.compile(r"^([a-zA-Z][a-zA-Z0-9+.\-]*):(.*)$", re.S)
+# file: has an authority ONLY in the exactly-two-slashes form
+# ('file:/p' and 'file:p' are host-less; \ counts as / per spec)
+_FILE_AUTH = re.compile(r"^[/\\]{2}(?![/\\])(.*)$", re.S)
 
 
-def _opaque_raw_host(parts) -> Optional[str]:
-    """The host substring of netloc with ORIGINAL case (urlsplit's
-    .hostname lowercases, which would corrupt the percent-encoding of
-    uppercase unicode in opaque hosts: Node encodes 'Пример' as
-    %D0%9F…, not the lowercase п bytes)."""
-    netloc = parts.netloc
-    if "@" in netloc:
-        netloc = netloc.rsplit("@", 1)[1]
-    if netloc.startswith("["):
-        return None  # IPv6 handled by the caller
-    return netloc.split(":", 1)[0]
+def _idna_ascii(host: str) -> Optional[str]:
+    """domain-to-ASCII for a non-ASCII host.  The ``idna`` package's
+    UTS-46 non-transitional mode matches Node (``faß.de`` →
+    ``xn--fa-hia.de``, where the stdlib IDNA-2003 codec gives the
+    transitional ``fass.de``); the codec is the fallback when the
+    package is absent."""
+    try:
+        import idna as _idna
+
+        try:
+            return _idna.encode(host, uts46=True,
+                                transitional=False).decode("ascii")
+        except _idna.IDNAError:
+            return None
+    except ImportError:
+        try:
+            return host.encode("idna").decode("ascii")
+        except UnicodeError:
+            return None
 
 
 def whatwg_hostname(url: str) -> Tuple[str, Optional[str]]:
     """(scheme-with-colon, hostname) exactly as ``new URL(url)`` yields
-    them — hostname None where the constructor throws.  Special
-    schemes: lowercase + IDNA + WHATWG IPv4 canonicalization (hex /
-    octal / decimal spellings → dotted, invalid IPv4-shapes → throw).
+    them — hostname None where the constructor throws.
+
+    Special schemes (authority parsed even without '//', slashes and
+    backslashes interchangeable): one percent-decode pass, forbidden
+    domain code points → throw, lowercase, UTS-46 IDNA for unicode,
+    punycode-label validation, WHATWG IPv4 canonicalization (hex /
+    octal / decimal spellings → dotted; IPv4-shaped-but-invalid →
+    throw), ``file://localhost`` → empty host, no port on file URLs.
     Other schemes: opaque host, case preserved, non-ASCII
-    percent-encoded (uppercase hex, like Node), forbidden code points
-    → throw.  Bracketed IPv6 canonicalizes per RFC 5952 either way
-    (stdlib ``ipaddress`` is bit-identical to Node, incl. v4-mapped).
-    All behaviors pinned by the 400-case + 300-case Node fuzzes."""
-    if not _SCHEME_RE.match(url or ""):
+    percent-encoded from the ORIGINAL case, forbidden host code
+    points → throw.  Bracketed IPv6 canonicalizes per RFC 5952 either
+    way (stdlib ``ipaddress`` is bit-identical to Node, incl.
+    v4-mapped).  Behaviors pinned by the Node fuzz goldens."""
+    # WHATWG first strips leading/trailing C0-or-space and removes
+    # tab/newline everywhere
+    url = (url or "").strip("\x00\x01\x02\x03\x04\x05\x06\x07\x08\t\n"
+                            "\x0b\x0c\r\x0e\x0f\x10\x11\x12\x13\x14\x15"
+                            "\x16\x17\x18\x19\x1a\x1b\x1c\x1d\x1e\x1f ")
+    url = url.replace("\t", "").replace("\n", "").replace("\r", "")
+    m = _SCHEME_SPLIT.match(url)
+    if not m:
         return "", None
-    try:
-        parts = urlsplit(url)
-        host = parts.hostname
-        port = parts.port  # lazily range-checked — >65535 throws too
-    except ValueError:
-        return "", None
-    scheme = parts.scheme.lower() + ":"
-    if scheme == "file:" and port is not None:
-        return scheme, None  # file URLs cannot carry a port
-    special = scheme[:-1] in _SPECIAL_SCHEMES
-    if host is None or host == "":
-        if special and scheme != "file:":
+    sname = m.group(1).lower()
+    scheme = sname + ":"
+    rest = m.group(2)
+    special = sname in _SPECIAL_SCHEMES
+
+    # authority extraction
+    if sname == "file":
+        fm = _FILE_AUTH.match(rest)
+        auth = re.split(r"[/?#\\]", fm.group(1), 1)[0] if fm else ""
+    elif special:
+        # special-authority-ignore-slashes: any run of / or \ (incl.
+        # none — 'http:example.com') precedes the authority
+        auth = re.split(r"[/?#\\]", rest.lstrip("/\\"), 1)[0]
+    else:
+        if not rest.startswith("//"):
+            return scheme, ""
+        auth = re.split(r"[/?#]", rest[2:], 1)[0]
+
+    if "@" in auth:
+        auth = auth.rsplit("@", 1)[1]  # userinfo ends at the LAST @
+
+    # split host : port (a colon outside brackets is the port separator)
+    if auth.startswith("["):
+        end = auth.find("]")
+        if end < 0:
+            return scheme, None
+        hostpart, portpart = auth[:end + 1], auth[end + 1:]
+        if portpart and not portpart.startswith(":"):
+            return scheme, None
+        has_port_sep = bool(portpart)
+        port = portpart[1:] if portpart else ""
+    else:
+        hostpart, sep, port = auth.partition(":")
+        has_port_sep = bool(sep)
+    if sname == "file" and has_port_sep:
+        return scheme, None  # file URLs reject even an EMPTY port colon
+    if port:
+        if not re.fullmatch(r"[0-9]+", port) or int(port) > 65535:
+            return scheme, None
+
+    if hostpart == "":
+        if special and sname != "file":
             return scheme, None  # special schemes need a host
         return scheme, ""
-    if ":" in host:  # bracketed IPv6 (urlsplit strips the brackets)
+    if hostpart.startswith("["):
         try:
-            return scheme, "[" + str(ipaddress.IPv6Address(host)) + "]"
+            return scheme, "[" + str(
+                ipaddress.IPv6Address(hostpart[1:-1])) + "]"
         except ValueError:
             return scheme, None
-    if not special:
-        raw = _opaque_raw_host(parts)
-        if raw is None or any(c in _FORBIDDEN_HOST for c in raw):
+
+    if not special:  # opaque host
+        if any(c in _FORBIDDEN_HOST for c in hostpart):
             return scheme, None
         return scheme, "".join(
             c if ord(c) < 0x80 else
             "".join("%%%02X" % b for b in c.encode("utf-8"))
-            for c in raw)
+            for c in hostpart)
+
+    # special: ONE percent-decode pass, bytes → utf-8
+    from urllib.parse import unquote_to_bytes
+
+    host = unquote_to_bytes(hostpart).decode("utf-8", "replace").lower()
+    if any(c in _FORBIDDEN_DOMAIN for c in host):
+        return scheme, None
     if not all(ord(c) < 128 for c in host):
-        try:
-            host = host.encode("idna").decode("ascii")
-        except UnicodeError:
+        encoded = _idna_ascii(host)
+        if encoded is None:
             return scheme, None
+        host = encoded
+    else:
+        for label in host.split("."):
+            if label.startswith("xn--"):  # Node validates punycode +
+                # the decoded codepoints (xn--abc decodes to control
+                # chars → throw); idna.decode per label matches
+                try:
+                    import idna as _idna
+
+                    _idna.decode(label)
+                except ImportError:
+                    try:
+                        label[4:].encode("ascii").decode("punycode")
+                    except (UnicodeError, ValueError):
+                        return scheme, None
+                except Exception:
+                    return scheme, None
+    if sname == "file" and host == "localhost":
+        return scheme, ""
     try:
         dotted = _whatwg_ipv4(host)
     except ValueError:
@@ -185,6 +274,25 @@ def js_url_host(url: str) -> Tuple[str, str]:
     return scheme, host
 
 
+def _js_parse_int(s: str, radix: int) -> Optional[int]:
+    """JS ``parseInt`` — parse the maximal valid-digit PREFIX (so
+    ``parseInt('1x', 10)`` is 1, not an error), None for NaN.  The
+    reference's dotted-octal branch leans on this: '0177.0.0.1x'
+    reaches it as a hostname (not IPv4-shaped for WHATWG, last label
+    isn't a number) and still resolves to 127.0.0.1 → blocked."""
+    s = s.strip()
+    m = re.match(r"[+-]?", s)
+    sign = -1 if m.group(0) == "-" else 1
+    digits = "01234567" if radix == 8 else "0123456789"
+    body = s[m.end():]
+    i = 0
+    while i < len(body) and body[i] in digits:
+        i += 1
+    if i == 0:
+        return None
+    return sign * int(body[:i], radix)
+
+
 def parse_ipv4(hostname: str) -> Optional[List[int]]:
     """url-validator.ts:73-134 — octets from dotted/hex/octal/decimal
     notation, None when not IPv4-like.  (Via validate_url_for_ssrf the
@@ -198,7 +306,8 @@ def parse_ipv4(hostname: str) -> Optional[List[int]]:
             return octets
         raise SSRFError(SSRF_MSG)
     if re.fullmatch(r"0x[0-9a-fA-F]+", cleaned):
-        num = int(cleaned, 16)
+        # JS's (num >>> 24) runs ToUint32 first, so >32-bit hex wraps
+        num = int(cleaned, 16) & 0xFFFFFFFF
         return [(num >> 24) & 0xFF, (num >> 16) & 0xFF,
                 (num >> 8) & 0xFF, num & 0xFF]
     if re.match(r"0[0-7]", cleaned):
@@ -209,12 +318,9 @@ def parse_ipv4(hostname: str) -> Optional[List[int]]:
                         (num >> 8) & 0xFF, num & 0xFF]
         parts = cleaned.split(".")
         if len(parts) == 4:
-            try:
-                octets = [int(p, 8 if re.match(r"0[0-7]", p) else 10)
-                          for p in parts]
-            except ValueError:
-                return None
-            if all(0 <= o <= 255 for o in octets):
+            octets = [_js_parse_int(p, 8 if re.match(r"0[0-7]", p)
+                                    else 10) for p in parts]
+            if all(o is not None and 0 <= o <= 255 for o in octets):
                 return octets
     if re.fullmatch(r"\d+", cleaned):
         num = int(cleaned, 10)
