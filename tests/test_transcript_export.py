@@ -1,7 +1,10 @@
 """transcript-export.ts formatters — pure port + Catalyst-twin parity.
 
-No dedicated reference vitest suite (exercised through the youtube
-CLI); the docstring examples and format contracts are pinned here.
+(The reference DOES have a dedicated vitest suite —
+src/tests/transcript-export.test.ts, found in round 6 after this
+file's docstring claimed otherwise; it is ported case-for-case in
+test_transcript_export_ref.py.  This file keeps the Catalyst-twin
+parity checks and extra edge pins.)
 """
 
 from __future__ import annotations
@@ -33,7 +36,10 @@ class TestTimestamps:
         assert format_srt_timestamp(-5) == "00:00:00,000"
 
     def test_srt_ms_rounding(self):
-        assert format_srt_timestamp(1.2345) == "00:00:01,234"
+        # 1.2345*1000 is 1234.5000000000002 in IEEE; Math.round is
+        # half-up → 1235 (Node-verified; a banker's-rounding port
+        # pinned 1234 here until round 6)
+        assert format_srt_timestamp(1.2345) == "00:00:01,235"
         assert format_srt_timestamp(1.9996) == "00:00:02,000"
 
     def test_readable_docstring_example(self):

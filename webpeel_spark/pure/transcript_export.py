@@ -10,12 +10,15 @@ for corpus-scale formatting.
 from __future__ import annotations
 
 import json
+import math
 from typing import Any, Dict, List
 
 
 def format_srt_timestamp(seconds: float) -> str:
-    """transcript-export.ts:22 — HH:MM:SS,mmm."""
-    total_ms = round(max(0.0, seconds) * 1000)
+    """transcript-export.ts:22 — HH:MM:SS,mmm.  Math.round is
+    half-UP (Python's round is banker's: 0.0005 s must become 1 ms,
+    not 0)."""
+    total_ms = math.floor(max(0.0, seconds) * 1000 + 0.5)
     ms = total_ms % 1000
     total_sec = total_ms // 1000
     s = total_sec % 60
