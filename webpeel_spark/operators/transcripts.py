@@ -17,6 +17,7 @@ so the driver check is byte-exact.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -133,3 +134,58 @@ SELECT video_id,
 FROM g
 ORDER BY video_id
 """
+
+
+def parse_youtube_pages(df: DataFrame, url_col: str = "url",
+                        html_col: str = "html") -> DataFrame:
+    """youtube.ts pure-parser batch face (round 6): corpus rows whose
+    url is a YouTube watch/shorts/embed page parse into structured
+    video-info rows — the ytInitialPlayerResponse JSON embedded in the
+    page html, with the reference's videoDetails → microformat →
+    og-meta fallback chains (extract_video_info) plus the
+    caption-track inventory.  One Arrow UDF, rows without a valid
+    video id or parseable player response are dropped (the
+    reference's null-return)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    schema = ("video_id string, title string, channel string, "
+              "description string, duration string, publish_date string, "
+              "view_count string, thumbnail string, n_caption_tracks int, "
+              "caption_langs array<string>")
+
+    @pandas_udf(f"struct<{schema}>")
+    def parse(urls: "pd.Series", htmls: "pd.Series") -> "pd.DataFrame":
+        from webpeel_spark.pure.youtube import (
+            extract_caption_tracks, extract_player_response,
+            extract_video_info, parse_youtube_url,
+        )
+
+        rows = []
+        for url, payload in zip(urls, htmls):
+            vid = parse_youtube_url(url or "")
+            text = None
+            if vid:
+                if isinstance(payload, (bytes, bytearray, memoryview)):
+                    text = bytes(payload).decode("utf-8", "replace")
+                else:
+                    text = payload or ""
+            info = extract_video_info(text) if text else None
+            if not vid or info is None or not info["videoId"]:
+                rows.append((None,) * 8 + (None, None))
+                continue
+            tracks = extract_caption_tracks(
+                extract_player_response(text) or {})
+            rows.append((info["videoId"], info["title"], info["channel"],
+                         info["description"], info["duration"],
+                         info["publishDate"], info["viewCount"],
+                         info["thumbnail"], len(tracks),
+                         [t["languageCode"] for t in tracks]))
+        return pd.DataFrame(rows, columns=[
+            "video_id", "title", "channel", "description", "duration",
+            "publish_date", "view_count", "thumbnail",
+            "n_caption_tracks", "caption_langs"])
+
+    out = df.withColumn("__yt", parse(F.col(url_col), F.col(html_col)))
+    return (out.filter(F.col("__yt.video_id").isNotNull())
+            .select(url_col, "__yt.*"))
