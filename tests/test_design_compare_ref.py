@@ -224,3 +224,21 @@ def test_summary_mentions_priority():
     assert "gap" in r["summary"]
     assert "high-severity" in r["summary"]
     assert "Priority:" in r["summary"]
+
+
+def test_quality_signal_suggestions_byte_exact():
+    """Round-6 review: the reference strings use en-dash '3–5' and
+    '2×' (design-compare.ts:259,275) — pin the exact bytes."""
+    subject = make_analysis(qualitySignals={
+        "spacingConsistency": 0.9, "typographyConsistency": 0.9,
+        "colorHarmony": 0.3, "visualHierarchy": 0.4, "overall": 0.5})
+    r = build_design_comparison("https://s.com", "https://r.com",
+                                subject, make_analysis())
+    color = _find(r, "qualitySignals.colorHarmony")
+    assert color["suggestion"] == (
+        "Reduce the color palette to 3–5 primary colors. Use "
+        "tints/shades instead of completely different hues.")
+    hier = _find(r, "qualitySignals.visualHierarchy")
+    assert hier["suggestion"] == (
+        "Increase the h1 font size relative to body text (aim for "
+        "2× or more) to strengthen visual hierarchy.")

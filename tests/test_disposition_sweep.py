@@ -35,7 +35,7 @@ def _modules():
             # (core → ee → server middleware / mcp), so the sweep now
             # covers every tree that has yielded a portable module
             "src/*.ts", "src/server/*.ts", "src/server/middleware/*.ts",
-            "src/server/routes/*.ts", "src/server/routes/**/*.ts",
+            "src/server/routes/**/*.ts",  # recursive: covers routes/*.ts too
             "src/mcp/*.ts", "src/mcp/handlers/*.ts", "src/cli/*.ts",
             "src/cli/commands/*.ts", "src/worker/*.ts",
             "src/integrations/*.ts")

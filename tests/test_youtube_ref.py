@@ -281,3 +281,26 @@ class TestSparkOperator:
         assert r["duration"] == "12:34"
         assert r["n_caption_tracks"] == 3
         assert r["caption_langs"] == ["en", "es", "en"]
+
+
+class TestWhatwgUrlQuirks:
+    """Round-6 review cases: new URL() forms the first regex-based
+    port dropped, all Node-verified."""
+
+    @pytest.mark.parametrize("url", [
+        "https:youtube.com/watch?v=dQw4w9WgXcQ",      # no-slash special
+        "https://www.youtube.com\\watch?v=dQw4w9WgXcQ",  # backslash sep
+        "https://www.youtube.com/wat\tch?v=dQw4w9WgXcQ",  # embedded tab
+        "https://www.m.youtube.com/watch?v=dQw4w9WgXcQ",  # www.m. prefix
+        "https://www.youtube.com/watch?v=dQw4w9%57gXcQ",  # %-encoded v
+        "HTTPS://WWW.YOUTUBE.COM/watch?v=dQw4w9WgXcQ",    # case
+    ])
+    def test_node_verified_forms(self, url):
+        assert parse_youtube_url(url) == "dQw4w9WgXcQ"
+
+    def test_length_seconds_parseint_prefix(self):
+        pr = {"videoDetails": {"videoId": "dQw4w9WgXcQ",
+                               "lengthSeconds": "754.5"}}
+        html = ("<html><body><script>var ytInitialPlayerResponse = "
+                + json.dumps(pr) + ";</script></body></html>")
+        assert extract_video_info(html)["duration"] == "12:34"

@@ -17,6 +17,10 @@ so the driver check is byte-exact.
 
 from __future__ import annotations
 
+# module-level on purpose: with `from __future__ import annotations`
+# the pandas_udf type hints are STRINGS, and pyspark resolves them in
+# this module's globals — a function-local import leaves 'pd'
+# unresolvable and pandas_udf rejects the signature
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -170,12 +174,14 @@ def parse_youtube_pages(df: DataFrame, url_col: str = "url",
                     text = bytes(payload).decode("utf-8", "replace")
                 else:
                     text = payload or ""
-            info = extract_video_info(text) if text else None
+            # parse the embedded player JSON ONCE per row (real watch
+            # pages are ~1 MB; info and caption tracks share it)
+            pr = extract_player_response(text) if text else None
+            info = extract_video_info(text, pr) if text else None
             if not vid or info is None or not info["videoId"]:
                 rows.append((None,) * 8 + (None, None))
                 continue
-            tracks = extract_caption_tracks(
-                extract_player_response(text) or {})
+            tracks = extract_caption_tracks(pr or {})
             rows.append((info["videoId"], info["title"], info["channel"],
                          info["description"], info["duration"],
                          info["publishDate"], info["viewCount"],

@@ -16,16 +16,17 @@ tests/test_design_compare_ref.py.
 from __future__ import annotations
 
 import math
-import re
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, List
+
+from .structured_extract import _parse_float_js
 
 SEVERITY_DEDUCTIONS = {"high": 1.5, "medium": 0.8, "low": 0.3}
 
 
-def _parse_float(s: Any) -> Optional[float]:
-    """JS parseFloat — numeric prefix ('16px' → 16), None for NaN."""
-    m = re.match(r"\s*[+-]?(\d+\.?\d*|\.\d+)", str(s or ""))
-    return float(m.group(0)) if m else None
+def _parse_float(s: Any) -> Any:
+    """JS parseFloat — shared helper ('16px' → 16, exponents
+    included), None for NaN."""
+    return _parse_float_js(str(s or ""))
 
 
 def _gap(prop, desc, subject, reference, severity, suggestion):
@@ -153,12 +154,12 @@ def build_design_comparison(subject_url: str, reference_url: str,
          "clear type hierarchy."),
         ("colorHarmony",
          "Color harmony is notably lower than the reference",
-         "Reduce the color palette to 3-5 primary colors. Use "
+         "Reduce the color palette to 3–5 primary colors. Use "
          "tints/shades instead of completely different hues."),
         ("visualHierarchy",
          "Visual hierarchy is weaker than the reference",
-         "Increase the h1 font size relative to body text (aim for 2x "
-         "or more) to strengthen visual hierarchy."),
+         "Increase the h1 font size relative to body text (aim for "
+         "2× or more) to strengthen visual hierarchy."),
     ):
         diff = r_q[signal] - s_q[signal]
         if diff >= 0.2:

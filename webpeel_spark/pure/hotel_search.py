@@ -16,7 +16,8 @@ from __future__ import annotations
 import datetime as _dt
 import re
 from typing import Any, Dict, List, Optional
-from urllib.parse import quote
+
+from .extractors.shared_util import encode_uri_component
 
 _WEEKDAYS = ["sunday", "monday", "tuesday", "wednesday", "thursday",
              "friday", "saturday"]
@@ -48,10 +49,18 @@ def parse_date(value: str, base_date: Optional[_dt.date] = None) -> str:
         return _to_iso(base + _dt.timedelta(days=days_until))
     if re.fullmatch(r"\d{4}-\d{2}-\d{2}", value.strip()):
         return value.strip()
-    # generic fallback ≈ new Date(input) for common display formats
-    for fmt in ("%B %d, %Y", "%b %d, %Y", "%m/%d/%Y", "%Y/%m/%d"):
+    # generic fallback ≈ new Date(input): ISO datetime prefixes and the
+    # common display formats (with and without commas) that JS parses
+    stripped = value.strip()
+    if re.match(r"^\d{4}-\d{2}-\d{2}[T ]", stripped):
         try:
-            return _to_iso(_dt.datetime.strptime(value.strip(), fmt).date())
+            return _to_iso(_dt.date.fromisoformat(stripped[:10]))
+        except ValueError:
+            pass
+    for fmt in ("%B %d, %Y", "%b %d, %Y", "%B %d %Y", "%b %d %Y",
+                "%m/%d/%Y", "%Y/%m/%d", "%d %B %Y", "%d %b %Y"):
+        try:
+            return _to_iso(_dt.datetime.strptime(stripped, fmt).date())
         except ValueError:
             continue
     raise ValueError(f'Unrecognized date format: "{value}"')
@@ -75,7 +84,7 @@ def build_source_urls(destination: str, checkin: str,
     """hotel-search.ts:155-183 — kayak/booking/google/expedia search
     URLs (encodeURIComponent for booking/expedia, '+' for google)."""
     kayak_slug = to_kayak_slug(destination)
-    enc = quote(destination, safe="-_.!~*'()")
+    enc = encode_uri_component(destination)
     google_dest = re.sub(r"\s+", "+", destination)
     return [
         {"name": "kayak",

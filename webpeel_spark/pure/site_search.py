@@ -12,16 +12,9 @@ tests/test_site_search_ref.py.
 from __future__ import annotations
 
 from typing import Dict, List, Optional
-from urllib.parse import quote
 
+from .extractors.shared_util import encode_uri_component as _e
 from .url_validator import whatwg_hostname
-
-# encodeURIComponent leaves A-Za-z0-9 -_.!~*'() unescaped
-_EURI_SAFE = "-_.!~*'()"
-
-
-def _e(q: str) -> str:
-    return quote(q, safe=_EURI_SAFE)
 
 
 # site-search.ts:26-175 — (name, category, prefix[, suffix]); every

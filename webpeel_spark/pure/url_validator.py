@@ -274,6 +274,63 @@ def js_url_host(url: str) -> Tuple[str, str]:
     return scheme, host
 
 
+def whatwg_url(url: str) -> Optional[dict]:
+    """{scheme, hostname, pathname, query} approximating ``new URL``
+    for parsers that key on pathname/searchParams (None where the
+    constructor throws).  Shares whatwg_hostname's authority rules —
+    tab/newline stripping, special-scheme ignore-slashes, backslash
+    separators — and normalizes backslashes in special-scheme paths;
+    dot-segment removal and path percent-encoding are NOT applied
+    (callers here match literal well-formed paths like '/watch')."""
+    cleaned = (url or "").strip(
+        "\x00\x01\x02\x03\x04\x05\x06\x07\x08\t\n\x0b\x0c\r\x0e\x0f"
+        "\x10\x11\x12\x13\x14\x15\x16\x17\x18\x19\x1a\x1b\x1c\x1d\x1e"
+        "\x1f ")
+    cleaned = cleaned.replace("\t", "").replace("\n", "").replace("\r", "")
+    scheme, host = whatwg_hostname(cleaned)
+    if host is None:
+        return None
+    m = _SCHEME_SPLIT.match(cleaned)
+    sname, rest = m.group(1).lower(), m.group(2)
+    special = sname in _SPECIAL_SCHEMES
+    if special:
+        rest2 = rest if sname == "file" else rest.lstrip("/\\")
+        if sname == "file":
+            fm = _FILE_AUTH.match(rest)
+            rest2 = fm.group(1) if fm else rest.lstrip("/\\")
+        mm = re.search(r"[/?#\\]", rest2)
+        tail = rest2[mm.start():] if mm else ""
+        tail = tail.replace("\\", "/")
+    else:
+        if rest.startswith("//"):
+            mm = re.search(r"[/?#]", rest[2:])
+            tail = rest[2 + mm.start():] if mm else ""
+        else:
+            tail = rest
+    tail = tail.split("#", 1)[0]
+    pathname, _, query = tail.partition("?")
+    if special and not pathname:
+        pathname = "/"
+    return {"scheme": scheme, "hostname": host, "pathname": pathname,
+            "query": query}
+
+
+def js_search_params(query: str) -> dict:
+    """First-value-wins URLSearchParams over a query string ('+' is a
+    space, values percent-decoded)."""
+    from urllib.parse import unquote_plus
+
+    out: dict = {}
+    for pair in query.split("&"):
+        if not pair:
+            continue
+        k, _, v = pair.partition("=")
+        k = unquote_plus(k)
+        if k not in out:
+            out[k] = unquote_plus(v)
+    return out
+
+
 def _js_parse_int(s: str, radix: int) -> Optional[int]:
     """JS ``parseInt`` — parse the maximal valid-digit PREFIX (so
     ``parseInt('1x', 10)`` is 1, not an error), None for NaN.  The

@@ -21,7 +21,7 @@ import math
 import re
 from typing import Any, Dict, List, Optional
 
-from .url_validator import whatwg_hostname
+from .url_validator import js_search_params, whatwg_url
 
 _VIDEO_ID_RE = re.compile(r"^[A-Za-z0-9_-]{11}$")
 
@@ -31,42 +31,31 @@ def is_valid_video_id(vid: str) -> bool:
     return bool(vid) and bool(_VIDEO_ID_RE.fullmatch(vid))
 
 
-def _split_query(url: str) -> Dict[str, str]:
-    m = re.search(r"\?([^#]*)", url)
-    out: Dict[str, str] = {}
-    if m:
-        for pair in m.group(1).split("&"):
-            if "=" in pair:
-                k, _, v = pair.partition("=")
-                if k not in out:
-                    out[k] = v
-    return out
-
-
 def parse_youtube_url(url: str) -> Optional[str]:
     """youtube.ts:120-165 — video id from any common URL form, None
-    when not a recognizable YouTube URL."""
+    when not a recognizable YouTube URL.  Uses the shared WHATWG URL
+    emulation so ``new URL``'s quirks carry over: no-slash special
+    forms (https:youtube.com/watch), backslash separators, embedded
+    tab/newline stripping, hostname lowercasing."""
     if not url or not isinstance(url, str):
         return None
-    url = url.strip()
-    _scheme, host = whatwg_hostname(url)
-    if not host:
+    parts = whatwg_url(url.strip())
+    if not parts or not parts["hostname"]:
         return None
-    host = re.sub(r"^www\.", "", re.sub(r"^m\.", "",
-                                        re.sub(r"^www\.", "", host)))
-    m = re.match(r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*([^?#]*)", url)
-    pathname = m.group(1) if m else ""
+    host = parts["hostname"].lower()
+    host = re.sub(r"^m\.", "", re.sub(r"^www\.", "", host))
+    pathname = parts["pathname"]
     if host == "youtu.be":
         vid = pathname[1:].split("/")[0]
         return vid if is_valid_video_id(vid) else None
     if host == "youtube.com":
         if pathname in ("/watch", "/watch/"):
-            vid = _split_query(url).get("v")
+            vid = js_search_params(parts["query"]).get("v")
             return vid if vid and is_valid_video_id(vid) else None
         for prefix in ("/embed/", "/shorts/", "/v/"):
             if pathname.startswith(prefix):
-                parts = pathname.split("/")
-                vid = parts[2] if len(parts) > 2 else ""
+                segs = pathname.split("/")
+                vid = segs[2] if len(segs) > 2 else ""
                 return vid if vid and is_valid_video_id(vid) else None
     return None
 
@@ -177,10 +166,15 @@ def extract_meta_tag(html: str, prop: str) -> Optional[str]:
     return decode_html_entities(m.group(1)) if m else None
 
 
-def extract_video_info(html: str) -> Dict[str, str]:
+def extract_video_info(html: str,
+                       player_response: Optional[Dict[str, Any]] = None
+                       ) -> Dict[str, str]:
     """youtube.ts:179-219 — metadata with videoDetails → microformat →
-    og-meta fallback chains."""
-    pr = extract_player_response(html) or {}
+    og-meta fallback chains.  ``player_response`` lets a caller that
+    already parsed the embedded JSON (the batch operator also needs
+    the caption tracks from it) skip the second full-page scan."""
+    pr = (player_response if player_response is not None
+          else extract_player_response(html)) or {}
     vd = pr.get("videoDetails") or {}
     mf = (pr.get("microformat") or {}).get("playerMicroformatRenderer") or {}
 
@@ -195,11 +189,12 @@ def extract_video_info(html: str) -> Dict[str, str]:
                    (mf.get("title") or {}).get("simpleText"),
                    extract_meta_tag(html, "og:title")) or ""
     channel = _first(vd.get("author"), mf.get("ownerChannelName")) or ""
-    try:
-        length_seconds = int(str(_first(vd.get("lengthSeconds"),
-                                        mf.get("lengthSeconds"), "0")))
-    except ValueError:
-        length_seconds = 0
+    # parseInt semantics: numeric PREFIX ('754.5' → 754), NaN → 0
+    from .url_validator import _js_parse_int
+
+    length_seconds = _js_parse_int(
+        str(_first(vd.get("lengthSeconds"), mf.get("lengthSeconds"),
+                   "0")), 10) or 0
     view_count = _first(vd.get("viewCount"), mf.get("viewCount")) or ""
     publish_date = _first(mf.get("publishDate"), mf.get("uploadDate")) or ""
     description = _first(vd.get("shortDescription"),
