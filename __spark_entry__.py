@@ -2244,10 +2244,29 @@ def _q_checkpoint_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="wp_ckpt_")
     pages = spark.read.parquet(_planted_articles_parquet())
     bucket = F.regexp_extract("url", r"art(\d+)$", 1).cast("int") % 8
+    # The planted corpus extracts error-free BY CONSTRUCTION, so any
+    # status='error' row is a transient executor failure (or a real
+    # bug) — both must be loud, never a silent shift of ok_count/
+    # token_sum/avg_quality_bp in one bucket (the one mechanism left
+    # after round 6 made every lineage column integer and the driver
+    # still hash-red a table that verifies green locally).
+    # retry_on_error=1 re-runs an errored bucket group once before the
+    # commit; the assert below turns any surviving error into a
+    # diagnosable message (first_error carries "<error> @ <url>").
     run_extraction_checkpointed(spark, pages, tmp, run_id="contract-run",
                                 num_buckets=8, buckets_per_commit=4,
-                                num_partitions=8, bucket_expr=bucket)
-    return read_progress(spark, tmp).select(
+                                num_partitions=8, bucket_expr=bucket,
+                                retry_on_error=1)
+    progress = read_progress(spark, tmp)
+    errs = progress.filter(F.col("error_count") > 0) \
+        .select("bucket", "error_count", "first_error").collect()
+    if errs:
+        raise RuntimeError(
+            "checkpoint_lineage: planted corpus produced error rows "
+            "after retry: " + "; ".join(
+                f"bucket {r['bucket']}: {r['error_count']} "
+                f"(first: {r['first_error']})" for r in errs))
+    return progress.select(
         "run_id", "bucket", "row_count", "ok_count", "error_count",
         "token_sum", "avg_quality_bp").orderBy("bucket")
 

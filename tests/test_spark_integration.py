@@ -126,6 +126,150 @@ class TestCheckpoint:
             shutil.rmtree(out_dir, ignore_errors=True)
 
 
+class TestCheckpointCrashConsistency:
+    """The crash-consistency half of the north rule ("resumes
+    idempotently"): a run killed between commit groups, then resumed,
+    must leave EXACTLY the progress table and output an uninterrupted
+    run leaves."""
+
+    def test_crash_mid_run_then_resume_matches_uninterrupted(
+            self, spark, pages_df, monkeypatch):
+        import webpeel_spark.plans.checkpoint as ckpt
+
+        clean_dir = tempfile.mkdtemp(prefix="wp_ckpt_clean_")
+        crash_dir = tempfile.mkdtemp(prefix="wp_ckpt_crash_")
+        try:
+            s_clean = ckpt.run_extraction_checkpointed(
+                spark, pages_df, clean_dir, run_id="r1",
+                num_buckets=4, buckets_per_commit=1,
+                input_snapshot_id="snap-A",
+            )
+            assert s_clean["rows"] == 120
+
+            # crash after the 2nd commit group (4 groups of 1 bucket)
+            real_extract = ckpt.extract_pages
+            calls = {"n": 0}
+
+            def dying_extract(df, options=None, num_partitions=None):
+                calls["n"] += 1
+                if calls["n"] == 3:
+                    raise RuntimeError("simulated executor crash")
+                return real_extract(df, options=options,
+                                    num_partitions=num_partitions)
+
+            monkeypatch.setattr(ckpt, "extract_pages", dying_extract)
+            with pytest.raises(RuntimeError, match="simulated executor crash"):
+                ckpt.run_extraction_checkpointed(
+                    spark, pages_df, crash_dir, run_id="r1",
+                    num_buckets=4, buckets_per_commit=1,
+                    input_snapshot_id="snap-A",
+                )
+            monkeypatch.setattr(ckpt, "extract_pages", real_extract)
+
+            # exactly the two committed buckets survive the crash
+            done = ckpt.completed_buckets(spark, crash_dir, "r1", "snap-A")
+            assert len(done) == 2
+
+            s_resume = ckpt.run_extraction_checkpointed(
+                spark, pages_df, crash_dir, run_id="r1",
+                num_buckets=4, buckets_per_commit=1,
+                input_snapshot_id="snap-A",
+            )
+            assert sorted(s_resume["skipped_buckets"]) == done
+            assert sorted(done + s_resume["processed_buckets"]) == [0, 1, 2, 3]
+
+            # progress tables identical up to commit timestamps
+            cols = [c for c in ckpt.read_progress(spark, clean_dir).columns
+                    if c != "completed_at_ts"]
+            p_clean = {tuple(r) for r in ckpt.read_progress(
+                spark, clean_dir).select(*cols).collect()}
+            p_crash = {tuple(r) for r in ckpt.read_progress(
+                spark, crash_dir).select(*cols).collect()}
+            assert p_crash == p_clean
+
+            # output data identical row-for-row (url → fingerprint)
+            d_clean = {(r["url"], r["fingerprint"]) for r in spark.read
+                       .parquet(os.path.join(clean_dir, "data"))
+                       .select("url", "fingerprint").collect()}
+            d_crash = {(r["url"], r["fingerprint"]) for r in spark.read
+                       .parquet(os.path.join(crash_dir, "data"))
+                       .select("url", "fingerprint").collect()}
+            assert d_crash == d_clean
+        finally:
+            shutil.rmtree(clean_dir, ignore_errors=True)
+            shutil.rmtree(crash_dir, ignore_errors=True)
+
+    def test_transient_error_retried_and_clean(self, spark, pages_df,
+                                               monkeypatch):
+        """retry_on_error=1: a transient status='error' row on the first
+        attempt of a group is re-extracted; the committed progress table
+        shows a clean run (the round-7 checkpoint_lineage guard)."""
+        import pyspark.sql.functions as SF
+
+        import webpeel_spark.plans.checkpoint as ckpt
+
+        out_dir = tempfile.mkdtemp(prefix="wp_ckpt_retry_")
+        real_extract = ckpt.extract_pages
+        calls = {"n": 0}
+
+        def flaky_extract(df, options=None, num_partitions=None):
+            calls["n"] += 1
+            out = real_extract(df, options=options,
+                               num_partitions=num_partitions)
+            if calls["n"] == 1:  # first attempt only: inject one error
+                victim = SF.col("url") == df.select("url").orderBy("url") \
+                    .limit(1).collect()[0]["url"]
+                out = (out
+                       .withColumn("status", SF.when(victim, SF.lit("error"))
+                                   .otherwise(SF.col("status")))
+                       .withColumn("error", SF.when(
+                           victim, SF.lit("injected transient"))
+                           .otherwise(SF.col("error"))))
+            return out
+
+        try:
+            monkeypatch.setattr(ckpt, "extract_pages", flaky_extract)
+            s = ckpt.run_extraction_checkpointed(
+                spark, pages_df, out_dir, run_id="r1",
+                num_buckets=2, buckets_per_commit=2, retry_on_error=1,
+            )
+            assert calls["n"] == 2  # one retry happened
+            assert s["errors"] == 0
+            progress = ckpt.read_progress(spark, out_dir)
+            rows = progress.collect()
+            assert all(r["error_count"] == 0 for r in rows)
+            assert all(r["first_error"] is None for r in rows)
+        finally:
+            shutil.rmtree(out_dir, ignore_errors=True)
+
+    def test_persistent_error_lands_in_first_error(self, spark):
+        """Without retries, a genuinely-broken document's message+url is
+        recorded per bucket — never a bare count."""
+        from webpeel_spark.plans.checkpoint import (
+            read_progress, run_extraction_checkpointed,
+        )
+
+        df = spark.createDataFrame(
+            [("https://x.com/broken.docx",
+              b"PK\x03\x04 not a real zip file at all"),
+             ("https://x.com/fine.html",
+              b"<html><body><p>hello world page</p></body></html>")],
+            "url string, html binary",
+        )
+        out_dir = tempfile.mkdtemp(prefix="wp_ckpt_err_")
+        try:
+            run_extraction_checkpointed(
+                spark, df, out_dir, run_id="r1",
+                num_buckets=1, buckets_per_commit=1,
+            )
+            row = read_progress(spark, out_dir).collect()[0]
+            assert row["error_count"] == 1
+            assert row["first_error"] is not None
+            assert "https://x.com/broken.docx" in row["first_error"]
+        finally:
+            shutil.rmtree(out_dir, ignore_errors=True)
+
+
 class TestDedupOperators:
     def test_exact_dedup_keeps_one(self, spark):
         from webpeel_spark.operators.dedup import dedup_exact, exact_duplicate_groups

@@ -41,12 +41,18 @@ from ..operators.extract import deterministic_avg_bp, extract_pages
 # computed with pure long arithmetic (deterministic_avg_bp) so the
 # lineage table holds no IEEE double an oracle hash could disagree on
 # by an ulp (round-6 contract rule; doubles were hash-red in the
-# round-4/5 driver runs despite bit-identical local verification)
+# round-4/5 driver runs despite bit-identical local verification).
+# first_error: the lexicographically-first "error @ url" string among
+# the bucket's error rows (NULL when clean) — per-row error isolation
+# (extract.py:16) otherwise turns a transient executor failure into a
+# silent metric shift with no diagnosable trace (round-7 contract rule;
+# the round-4/5/6 driver hash-reds on this table left nothing to
+# debug).  min() not first(): deterministic under any row order.
 PROGRESS_SCHEMA = (
     "run_id string, input_snapshot_id string, bucket int, "
     "url_hash_min long, url_hash_max long, row_count long, ok_count long, "
     "error_count long, token_sum long, content_bytes long, "
-    "avg_quality_bp long, completed_at_ts double"
+    "avg_quality_bp long, completed_at_ts double, first_error string"
 )
 
 
@@ -105,6 +111,7 @@ def run_extraction_checkpointed(
     num_partitions: Optional[int] = None,
     input_snapshot_id: Optional[str] = None,
     bucket_expr=None,
+    retry_on_error: int = 0,
 ) -> dict:
     """Run (or resume) a checkpointed extraction job.
 
@@ -116,6 +123,16 @@ def run_extraction_checkpointed(
     on Iceberg pass the table's snapshot id; defaults to a fingerprint
     of the input plan so a changed input is visible in the progress
     table either way.
+
+    ``retry_on_error`` > 0 re-extracts a bucket group up to that many
+    extra times when any row in it came back ``status='error'`` —
+    BEFORE the output/progress commit, so a transient executor-side
+    failure (memory pressure, worker fork) becomes a retried success
+    instead of a silently-shifted lineage row.  The final attempt's
+    stats are what get committed; persistent errors land in the
+    progress table with ``first_error`` populated.  Keep 0 for inputs
+    where errors are expected data (broken documents), set ≥1 for
+    corpora known to extract clean.
 
     ``bucket_expr`` overrides the default ``pmod(xxhash64(url), n)``
     bucket assignment with any deterministic int Column over the input
@@ -158,52 +175,69 @@ def run_extraction_checkpointed(
     for start in range(0, len(all_buckets), buckets_per_commit):
         group = all_buckets[start : start + buckets_per_commit]
         subset = bucketed.filter(F.col("bucket").isin(group))
-        extracted = extract_pages(
-            subset.select("url", "html"), options=options,
-            num_partitions=num_partitions,
-        ).withColumn("bucket", bucket_expr.cast("int"))
-        extracted = extracted.cache()
-        try:
-            # lineage metrics per bucket — one hash-agg
-            stats = (
-                extracted.groupBy("bucket").agg(
-                    F.count("*").alias("row_count"),
-                    F.sum(F.when(F.col("status") == "ok", 1).otherwise(0)).alias("ok_count"),
-                    F.sum(F.when(F.col("status") == "error", 1).otherwise(0)).alias("error_count"),
-                    F.sum("token_estimate").alias("token_sum"),
-                    F.sum("content_len").alias("content_bytes"),
-                    # order-invariant integer basis points (long sum,
-                    # long div) — no double anywhere in the lineage row
-                    deterministic_avg_bp("quality", 100).alias("avg_quality_bp"),
-                    F.min(F.xxhash64("url")).alias("url_hash_min"),
-                    F.max(F.xxhash64("url")).alias("url_hash_max"),
-                ).collect()
-            )
-            (
-                extracted.drop("chunks")  # keep the progress-run output slim
-                .write.mode("overwrite")
-                .partitionBy("bucket")
-                .parquet(out_data)
-            )
-            now = time.time()
-            progress_rows = [
-                (run_id, input_snapshot_id, int(r["bucket"]),
-                 int(r["url_hash_min"]), int(r["url_hash_max"]),
-                 int(r["row_count"]), int(r["ok_count"]),
-                 int(r["error_count"]), int(r["token_sum"] or 0),
-                 int(r["content_bytes"] or 0), int(r["avg_quality_bp"] or 0),
-                 now)
-                for r in stats
-            ]
-            if progress_rows:
-                spark.createDataFrame(progress_rows, PROGRESS_SCHEMA) \
-                    .coalesce(1).write.mode("append").parquet(_progress_path(out_dir))
-            for r in stats:
-                summary["processed_buckets"].append(int(r["bucket"]))
-                summary["rows"] += int(r["row_count"])
-                summary["errors"] += int(r["error_count"])
-        finally:
-            extracted.unpersist()
+        attempt = 0
+        while True:
+            extracted = extract_pages(
+                subset.select("url", "html"), options=options,
+                num_partitions=num_partitions,
+            ).withColumn("bucket", bucket_expr.cast("int"))
+            extracted = extracted.cache()
+            try:
+                # lineage metrics per bucket — one hash-agg
+                stats = (
+                    extracted.groupBy("bucket").agg(
+                        F.count("*").alias("row_count"),
+                        F.sum(F.when(F.col("status") == "ok", 1).otherwise(0)).alias("ok_count"),
+                        F.sum(F.when(F.col("status") == "error", 1).otherwise(0)).alias("error_count"),
+                        F.sum("token_estimate").alias("token_sum"),
+                        F.sum("content_len").alias("content_bytes"),
+                        # order-invariant integer basis points (long sum,
+                        # long div) — no double anywhere in the lineage row
+                        deterministic_avg_bp("quality", 100).alias("avg_quality_bp"),
+                        F.min(F.xxhash64("url")).alias("url_hash_min"),
+                        F.max(F.xxhash64("url")).alias("url_hash_max"),
+                        F.min(F.when(F.col("status") == "error",
+                                     F.concat_ws(" @ ", "error", "url"))
+                              ).alias("first_error"),
+                    ).collect()
+                )
+                group_errors = sum(int(r["error_count"]) for r in stats)
+                if group_errors and attempt < retry_on_error:
+                    attempt += 1
+                    import warnings
+                    first = next((r["first_error"] for r in stats
+                                  if r["first_error"]), None)
+                    warnings.warn(
+                        f"run_id={run_id} buckets {group}: {group_errors} "
+                        f"error row(s) (first: {first}); retry "
+                        f"{attempt}/{retry_on_error}", stacklevel=2)
+                    continue  # finally unpersists; loop re-extracts
+                (
+                    extracted.drop("chunks")  # keep the progress-run output slim
+                    .write.mode("overwrite")
+                    .partitionBy("bucket")
+                    .parquet(out_data)
+                )
+                break
+            finally:
+                extracted.unpersist()
+        now = time.time()
+        progress_rows = [
+            (run_id, input_snapshot_id, int(r["bucket"]),
+             int(r["url_hash_min"]), int(r["url_hash_max"]),
+             int(r["row_count"]), int(r["ok_count"]),
+             int(r["error_count"]), int(r["token_sum"] or 0),
+             int(r["content_bytes"] or 0), int(r["avg_quality_bp"] or 0),
+             now, r["first_error"])
+            for r in stats
+        ]
+        if progress_rows:
+            spark.createDataFrame(progress_rows, PROGRESS_SCHEMA) \
+                .coalesce(1).write.mode("append").parquet(_progress_path(out_dir))
+        for r in stats:
+            summary["processed_buckets"].append(int(r["bucket"]))
+            summary["rows"] += int(r["row_count"])
+            summary["errors"] += int(r["error_count"])
 
     summary["processed_buckets"].sort()
     return summary
