@@ -1264,6 +1264,29 @@ def _q_extract_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("url")
 
 
+def _q_lite_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lite-mode extraction (ExtractOptions.lite — pipeline.ts:895-911)
+    over the planted article corpus, proving the option plumbs through
+    the Arrow UDF options tuple (operators/extract.py:80).  On this
+    corpus the body IS the article element, so lite markdown (bare
+    ``html_to_markdown(html, prune=False)``, no detection/pruning) is
+    byte-identical to the envelope oracle's content formula; the
+    lite-specific envelope — method='lite', pinned quality 0.5, title
+    from the raw <title> regex, NO metadata/links/language — is what
+    this query pins at the driver level."""
+    from webpeel_spark.operators.extract import extract_pages
+    from webpeel_spark.pure.pipeline import ExtractOptions
+
+    pages = spark.read.parquet(_planted_articles_parquet())
+    out = extract_pages(pages, options=ExtractOptions(lite=True),
+                        num_partitions=4)
+    return out.select(
+        "url", "status", "method", "title", "content", "description",
+        "author", "language", "word_count", "token_estimate", "quality",
+        "link_count", "fingerprint", "content_len",
+    ).orderBy("url")
+
+
 # extract_planted oracle: rebuild BOTH the input html and the expected
 # markdown from the planting formulas, then derive every envelope
 # column the way the engine defines it (word split, ceil(len/4)
@@ -2343,7 +2366,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": _q_simhash_near_dups,
         "ngram_jaccard": _q_ngram_jaccard,
         "ann_lsh_topk": _q_ann_lsh_topk,
-        "ann_ivf_topk": _q_ann_ivf_topk,
         "embedding_near_dups": _q_embedding_near_dups,
         # ── SQL-oracled: extraction-adjacent operators ──────────────
         "serp_parse": _q_serp_parse,
@@ -2363,6 +2385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_extract": _q_schema_extract,
         "auto_extract": _q_auto_extract,
         "extract_planted": _q_extract_planted,
+        "lite_extract": _q_lite_extract,
         "jobs_parse": _q_jobs_parse,
         # ── rows-only: extraction pipeline / streaming / lineage ────
         "extract_flagship": _q_extract_flagship,
@@ -2561,7 +2584,21 @@ def oracle_sql() -> dict[str, str]:
         "transcript_export": _transcripts_oracle(),
         "pii_signals": _pii_oracle(),
         "ann_lsh_topk": _ANN_TOPK_ORACLE,
-        "ann_ivf_topk": _ANN_TOPK_ORACLE,
+        # lite_extract: content/fingerprint/counts are the envelope
+        # oracle's formulas verbatim (lite over this corpus converts
+        # the same article element the detector picks); the overrides
+        # are the lite pins — method, 0.5 quality, no metadata
+        "lite_extract": f"""
+            SELECT url, status, 'lite' AS method, title, content,
+                   CAST(NULL AS VARCHAR) AS description,
+                   CAST(NULL AS VARCHAR) AS author,
+                   CAST(NULL AS VARCHAR) AS language,
+                   word_count, token_estimate,
+                   CAST(0.5 AS DOUBLE) AS quality,
+                   CAST(0 AS INT) AS link_count,
+                   fingerprint, content_len
+            FROM ({_EXTRACT_PLANTED_ORACLE}) ORDER BY url
+        """,
         "multimodal_features": f"""
             SELECT item_id, kind,
                    CAST(octet_length(payload) AS BIGINT) AS n_bytes,

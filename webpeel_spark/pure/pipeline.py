@@ -49,6 +49,15 @@ class ExtractOptions(NamedTuple):
     # (pipeline.ts:853-860 captionImages opt-in; appended LAST so the
     # positional options-tuple contract through the Arrow UDF is
     # unchanged for existing callers)
+    lite: bool = False             # minimal processing, maximum speed
+    # (pipeline.ts:895-911: optional selector → bare format switch with
+    # prune=False; skips metadata/JSON-LD/readability/detection/pruner/
+    # quality, and postProcess — so maxTokens + budget — entirely,
+    # pipeline.ts:1236)
+    selector: str = ""             # CSS-scoped extraction (pipeline.ts:999)
+    exclude: tuple = ()            # selectors removed before conversion
+    # (new fields append-only: the options tuple crosses the Arrow UDF
+    # boundary positionally)
 
 
 DEFAULT_OPTIONS = ExtractOptions()
@@ -273,6 +282,43 @@ def _wrap_fragment_dom(node):
     return root
 
 
+def _lite_branch(url: str, html: str, options: ExtractOptions,
+                 result: Dict[str, Any]) -> Dict[str, Any]:
+    """Lite mode — minimal processing, maximum speed (pipeline.ts:895-911).
+
+    Optional CSS selection, then a bare format switch with
+    ``prune=False``: no metadata/link extraction, no JSON-LD gate, no
+    readability, no main-content detection, no markdown noise cleanup
+    or pruner, no computed quality.  postProcess is skipped entirely in
+    the reference (pipeline.ts:1236), so maxTokens truncation and
+    budget distillation do not apply either (_finish honors that).
+    Title is a raw ``<title>`` regex over the (selected) html
+    (pipeline.ts:909); quality is pinned 0.5 ("unknown",
+    pipeline.ts:910)."""
+    result["method"] = "lite"
+    lite_html = html
+    if options.selector:
+        lite_html = md.select_content(lite_html, options.selector,
+                                      list(options.exclude) or None)
+    if options.fmt == "html":
+        content = lite_html
+    elif options.fmt == "text":
+        content = md.html_to_text(lite_html)
+    elif options.fmt == "clean":
+        content = md.clean_for_ai(
+            md.html_to_markdown(lite_html, raw=options.raw, prune=False))
+    else:
+        content = md.html_to_markdown(lite_html, raw=options.raw, prune=False)
+    result["content"] = content
+    m = _TITLE_RE.search(lite_html)
+    result["title"] = m.group(1).strip() if m else ""
+    result["quality"] = 0.5
+    return _finish(result, options)
+
+
+_TITLE_RE = re.compile(r"<title[^>]*>([^<]*)</title>", re.I)
+
+
 def _html_branch(url: str, html: str, options: ExtractOptions,
                  result: Dict[str, Any]) -> Dict[str, Any]:
     result["branch"] = "html"
@@ -280,9 +326,35 @@ def _html_branch(url: str, html: str, options: ExtractOptions,
     if options.caption_images:
         # pipeline.ts:853-860 — runs BEFORE any conversion, so
         # metadata, links and both output modes see the enhanced alts
+        # (and the comment there: "both lite mode and standard mode
+        # benefit" — hence before the lite dispatch)
         from .image_caption import enhance_image_alt_text
 
         html = enhance_image_alt_text(html)
+
+    if options.lite:
+        return _lite_branch(url, html, options, result)
+
+    # CSS-scoped extraction (pipeline.ts:994-1007): the selected
+    # fragment REPLACES the document for everything downstream —
+    # metadata, links, conversion — and, because the user explicitly
+    # chose content, the JSON-LD gate, readability, main-content
+    # detection (all `!selector`-guarded in the reference: :917, :944,
+    # :1011) and the domain-extractor registry are skipped.
+    selected = False
+    if options.selector:
+        html = md.select_content(html, options.selector,
+                                 list(options.exclude) or None)
+        selected = True
+    elif options.exclude:
+        root0 = parse_html(html)
+        removed = False
+        for sel in options.exclude:
+            for el in select(root0, sel):
+                el.remove()
+                removed = True
+        if removed:
+            html = root0.inner_html()
 
     # ONE full-document parse, shared by links / JSON-LD / main-content
     # detection / conversion (the reference re-loads cheerio per stage;
@@ -312,7 +384,7 @@ def _html_branch(url: str, html: str, options: ExtractOptions,
     result["link_pairs"] = link_pairs
 
     # Domain-extractor pass — extractor result wins (pipeline.ts:1363-1387)
-    dd = extract_domain_data(html, url)
+    dd = None if selected else extract_domain_data(html, url)
     if dd is not None and dd.type != "pdf":
         result["content"] = dd.clean_content
         result["extractor"] = dd.domain
@@ -324,8 +396,8 @@ def _html_branch(url: str, html: str, options: ExtractOptions,
             result["language"] = detect_language_ngram(dd.clean_content)
         return _finish(result, options)
 
-    # JSON-LD first-class gate (pipeline.ts:914-939)
-    if not options.raw:
+    # JSON-LD first-class gate (pipeline.ts:914-939, skipped on selector)
+    if not options.raw and not selected:
         jl = extract_jsonld_dom(root)
         if jl is not None and jl.found and len(jl.content) > 100:
             result["content"] = jl.content
@@ -337,7 +409,7 @@ def _html_branch(url: str, html: str, options: ExtractOptions,
             return _finish(result, options)
 
     # Readable fast-path (pipeline.ts:944-989) with <15%-of-body veto
-    if options.readable and not options.raw:
+    if options.readable and not options.raw and not selected:
         read = extract_readable_content(html, url)
         html_text_len = len(re.sub(r"\s+", " ", re.sub(r"<[^>]+>", "", html)).strip())
         readable_len = len(read.content or "")
@@ -359,7 +431,7 @@ def _html_branch(url: str, html: str, options: ExtractOptions,
     content_html = html
     content_dom = root  # parsed DOM matching content_html
     detected = False
-    if not options.raw:
+    if not options.raw and not selected:
         node, detected = md.detect_main_content_dom(root)
         if detected and node is not None:
             # serialized length feeds the 20KB prune gate; the wrapped
@@ -422,12 +494,14 @@ def _finish(result: Dict[str, Any], options: ExtractOptions) -> Dict[str, Any]:
         result["injection_detected"] = True
 
     content = result["content"]
-    if options.max_tokens and options.max_tokens > 0:
+    # lite skips all of postProcess (pipeline.ts:1236) — including the
+    # maxTokens truncation and budget distillation that live there
+    if options.max_tokens and options.max_tokens > 0 and not options.lite:
         content = md.truncate_to_token_budget(content, options.max_tokens)
         result["content"] = content
 
     # budget distillation AFTER maxTokens (pipeline.ts:1319 then :1327-1359)
-    if options.budget_tokens and options.budget_tokens > 0:
+    if options.budget_tokens and options.budget_tokens > 0 and not options.lite:
         from .budget import distill_to_budget
 
         fmt = "json" if result["branch"] == "json" else "markdown"
