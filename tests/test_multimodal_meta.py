@@ -57,3 +57,25 @@ def test_header_metadata_through_arrow(spark):
     assert all(r["status"] == "ok" for r in got.values())
     assert len(got[0]["features"]) == 16
     assert got[7]["n_bytes"] == 0
+
+
+def test_real_decode_path_through_arrow_without_pil(spark):
+    """decode_stub=False in THIS container (no PIL on the executors):
+    every row must come back with an `unimplemented:` status and empty
+    features — per-row isolation, never a task failure.  Header
+    metadata still decodes (it is stdlib-only)."""
+    from webpeel_spark.operators.multimodal import extract_features
+
+    rows = [
+        (0, "image", png_bytes(640, 480)),
+        (1, "audio", b"RIFFxxxxWAVEfmt "),
+    ]
+    df = spark.createDataFrame(
+        rows, "item_id long, kind string, payload binary")
+    got = {r["item_id"]: r for r in
+           extract_features(df, decode_stub=False).collect()}
+    assert got[0]["status"].startswith("unimplemented: real image decode")
+    assert got[1]["status"].startswith("unimplemented: real audio decode")
+    assert got[0]["features"] == [] and got[1]["features"] == []
+    assert (got[0]["format"], got[0]["width"], got[0]["height"]) == \
+        ("png", 640, 480)

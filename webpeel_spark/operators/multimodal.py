@@ -1,9 +1,10 @@
 """Multimodal column plumbing — image/audio/video as opaque binary.
 
-Real pixel/sample decode libraries (PIL/ffmpeg/etc.) are NOT in this
-container, so the FEATURE kernels are stubbed: ``decode_stub=True``
-(default) produces a deterministic fake feature vector from the bytes;
-``decode_stub=False`` raises NotImplementedError at the decode site.
+``decode_stub=True`` (default) produces a deterministic fake feature
+vector from the bytes; ``decode_stub=False`` probes for PIL at the
+decode site (the OCR-seam pattern) and decodes real pixel features
+when it is importable — in this container (no PIL/ffmpeg) the probe
+misses and the row gets an ``unimplemented:`` status instead.
 Header METADATA decode is real as of round 6: every payload is sniffed
 by magic bytes (pure/imagemeta.py, stdlib-only) and image rows carry
 (format, width, height) — the fields a training pipeline actually
@@ -54,11 +55,48 @@ def _fake_features(payload: bytes, dim: int = 16):
     return (arr / 2**32).astype("float32")
 
 
-def _decode_real(payload: bytes, kind: str):
-    raise NotImplementedError(
-        "real image/audio/video decode requires PIL/ffmpeg, which are not "
-        "available in this environment — plug a decoder in here"
-    )
+def _pixel_decoder():
+    """Capability probe (the OCR-seam pattern, pure/ocr.py:41): return
+    PIL's Image module when importable, else None.  Probed per call so
+    tests can inject a stub engine via sys.modules, exactly like
+    tests/test_ocr_seam.py does for pytesseract."""
+    try:
+        from PIL import Image  # type: ignore[import-not-found]
+
+        return Image
+    except Exception:
+        return None
+
+
+def _decode_real(payload: bytes, kind: str, feature_dim: int = 16):
+    """Real pixel features when a decoder is present (round-7: no
+    longer an unconditional raise).
+
+    Images: PIL decode → grayscale → feature_dim-pixel thumbnail →
+    [0,1] floats (deterministic for a given payload + PIL build).
+    Audio/video stay a DECLARED seam: ffmpeg is not in this container
+    and a fake sample decode would be padding, not plumbing."""
+    if kind != "image":
+        raise NotImplementedError(
+            f"real {kind} decode requires ffmpeg, which is not available "
+            "in this environment — plug a decoder in here")
+    Image = _pixel_decoder()
+    if Image is None:
+        raise NotImplementedError(
+            "real image decode requires PIL, which is not available in "
+            "this environment — plug a decoder in here")
+    import io
+
+    import numpy as np
+
+    img = Image.open(io.BytesIO(payload)).convert("L")
+    side = max(1, int(feature_dim ** 0.5))
+    rows = max(1, -(-feature_dim // side))  # ceil
+    img = img.resize((side, rows))
+    arr = np.asarray(img, dtype="float64").reshape(-1)[:feature_dim]
+    if arr.size < feature_dim:
+        arr = np.pad(arr, (0, feature_dim - arr.size))
+    return (arr / 255.0).astype("float32").tolist()
 
 
 def extract_features(df: DataFrame, decode_stub: bool = True,
@@ -86,11 +124,14 @@ def extract_features(df: DataFrame, decode_stub: bool = True,
                     if decode_stub:
                         feats = _fake_features(payload, feature_dim).tolist()
                     else:
-                        feats = _decode_real(payload, kind)
+                        feats = _decode_real(payload, kind, feature_dim)
                     status = "ok"
                 except NotImplementedError as e:
                     feats = []
                     status = f"unimplemented: {e}"
+                except Exception as e:  # bad payload under a real decoder
+                    feats = []
+                    status = f"error: {type(e).__name__}: {e}"
                 rows.append((
                     int(item_id), kind, len(payload),
                     hashlib.sha256(payload).hexdigest(),
