@@ -763,11 +763,21 @@ def _q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded multi-table SRP LSH + exact cosine verify.  Scaled copies
     keep every hyperplane sign, so they collide in all tables —
     recall for the planted cosine-1.0 pairs is structurally 1.0 and
-    the output equals the oracle's brute-force scan."""
+    the output equals the oracle's brute-force scan.
+
+    tables=6 (round-7 sweep, BENCH.md): explode/shuffle volume scales
+    with the table count, and the sf0.1 interleaved sweep measured
+    medians 3.8/4.5/5.7 s for 4/6/8 tables with IDENTICAL result rows.
+    6 is the minimum that also keeps the THEORETICAL recall at the 0.95
+    cosine boundary essentially unchanged (1-(1-p^bits)^tables with
+    p=1-acos(0.95)/pi ≈ 0.90, bits≈7 → 0.98 at 6 vs 0.99 at 8; 4
+    tables would drop it to 0.92 — fast but not recall-equivalent for
+    real near-boundary pairs at 100 TB).  The operator DEFAULT stays 8
+    (conservative for unknown corpora)."""
     from webpeel_spark.operators.similarity import cosine_near_duplicate_pairs
 
     return cosine_near_duplicate_pairs(_aug_embeddings(spark, sf_dir),
-                                       threshold=0.95, tables=8)
+                                       threshold=0.95, tables=6)
 
 
 _PLANTED_LISTING_PAGES = 21
