@@ -117,7 +117,9 @@ class TestPipelineWiring:
                            ExtractOptions(fmt="html"))
         assert 'alt="Team Photo 2024"' in on["content"]
         assert "Team Photo 2024" not in off["content"]
-        # appended-last option keeps the positional tuple contract
+        # append-only options contract: caption_images keeps its
+        # round-5 position (index 10) and later rounds only append
         opts = ExtractOptions()
-        assert opts._fields[-1] == "caption_images"
+        assert opts._fields[9] == "caption_images"
+        assert opts._fields[10:] == ("lite", "selector", "exclude")
         assert opts.caption_images is False
