@@ -121,5 +121,6 @@ class TestPipelineWiring:
         # round-5 position (index 10) and later rounds only append
         opts = ExtractOptions()
         assert opts._fields[9] == "caption_images"
-        assert opts._fields[10:] == ("lite", "selector", "exclude")
+        assert opts._fields[10:] == ("lite", "selector", "exclude",
+                                     "include_tags", "exclude_tags")
         assert opts.caption_images is False

@@ -219,3 +219,37 @@ class TestStandardPathSelector:
                               ExtractOptions(selector="article"))
         assert result["method"] == "generic"
         assert result["extractor"] == ""
+
+
+class TestIncludeExcludeTags:
+    """filterByTags plumbing (pipeline.ts:994-997): applied FIRST,
+    before selector, so the filtered document feeds everything."""
+
+    def test_include_tags_scopes_output(self):
+        result = extract_page(
+            URL, PAGE_HTML.encode(),
+            ExtractOptions(include_tags=("article",)))
+        assert "Main Article Heading" in result["content"]
+        assert "Footer content" not in result["content"]
+
+    def test_exclude_tags_removes_nodes(self):
+        result = extract_page(
+            URL, PAGE_HTML.encode(),
+            ExtractOptions(exclude_tags=("article",)))
+        assert "Main Article Heading" not in result["content"]
+
+    def test_tags_filter_runs_before_selector(self):
+        # excluding h1 first means the selector's fragment has no h1
+        result = extract_page(
+            URL, PAGE_HTML.encode(),
+            ExtractOptions(selector="article", exclude_tags=("h1",)))
+        assert "Main Article Heading" not in result["content"]
+        assert "main content" in result["content"]
+
+    def test_tags_equal_pure_filter_by_tags(self):
+        got = extract_page(
+            URL, PAGE_HTML.encode(),
+            ExtractOptions(fmt="html", raw=True,
+                           include_tags=("article",)))
+        assert got["content"] == md.filter_by_tags(
+            PAGE_HTML, include_tags=["article"])

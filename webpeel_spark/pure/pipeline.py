@@ -56,8 +56,13 @@ class ExtractOptions(NamedTuple):
     # pipeline.ts:1236)
     selector: str = ""             # CSS-scoped extraction (pipeline.ts:999)
     exclude: tuple = ()            # selectors removed before conversion
+    include_tags: tuple = ()       # filterByTags allow-list (pipeline.ts:995)
+    exclude_tags: tuple = ()       # filterByTags deny-list
     # (new fields append-only: the options tuple crosses the Arrow UDF
-    # boundary positionally)
+    # boundary positionally.  The reference's fullPage flag is NOT a
+    # field: its only pipeline effects are skipping the ≥20KB pruner
+    # (:1037) and the readability fast-path (:944) — prune=False and
+    # readable=False express both.)
 
 
 DEFAULT_OPTIONS = ExtractOptions()
@@ -334,6 +339,13 @@ def _html_branch(url: str, html: str, options: ExtractOptions,
 
     if options.lite:
         return _lite_branch(url, html, options, result)
+
+    # Include/exclude tag filtering FIRST, before selector
+    # (pipeline.ts:994-997) — the filtered document feeds metadata,
+    # detection and conversion alike
+    if options.include_tags or options.exclude_tags:
+        html = md.filter_by_tags(html, list(options.include_tags) or None,
+                                 list(options.exclude_tags) or None)
 
     # CSS-scoped extraction (pipeline.ts:994-1007): the selected
     # fragment REPLACES the document for everything downstream —
