@@ -217,6 +217,33 @@ def _extract_only(cores: int, n_pages: int, trials: int = 3) -> dict:
     return result
 
 
+def _host_canary(n_pages: int = 64, trials: int = 3) -> dict:
+    """Single-threaded, Spark-free extraction of a fixed synthetic
+    corpus — a pure host-CPU weather report for the scaling artifact.
+
+    The round-7 windows measured 0.63-0.76 efficiency on the identical
+    commit that measured 0.906 in round 6; all trial times (both
+    levels) were 10-40% above round-6's, i.e. the host, not the plan.
+    This canary pins that diagnosis into the artifact itself: it runs
+    in-process with no JVM, no shuffle and no parallelism, so its time
+    moves ONLY with host CPU availability.  Calibrated quiet-window
+    value on this VM: ~0.60 s (documented in BENCH.md alongside each
+    window's reading)."""
+    from webpeel_spark.pure.pipeline import extract_page
+    from webpeel_spark.sources.corpus import generate_rows
+
+    rows = generate_rows(n_pages, seed=7)
+    best = None
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        for r in rows:
+            extract_page(r["url"], r["html"])
+        dt = time.perf_counter() - t0
+        best = dt if best is None or dt < best else best
+    return {"pages": n_pages, "best_sec": round(best, 3),
+            "docs_per_sec_1core": round(n_pages / best, 1)}
+
+
 def _scaling(n_pages: int, lo: int = 4, hi: int = 16,
              rounds: int = 3) -> dict:
     """Run the same extraction job at N and 4N parallelism in fresh
@@ -248,15 +275,19 @@ def _scaling(n_pages: int, lo: int = 4, hi: int = 16,
                 if l.startswith("{")][-1]
         return json.loads(line)
 
+    canary_pre = _host_canary()
     trials = {lo: [], hi: []}
     for _ in range(rounds):
         for cores in (lo, hi):
             trials[cores].append(run_once(cores))
+    canary_post = _host_canary()
     results = {c: min(ts, key=lambda r: r["sec"]) for c, ts in trials.items()}
     t_lo, t_hi = results[lo]["sec"], results[hi]["sec"]
     eff = (t_lo / t_hi) / (hi / lo)
     return {
         "pages": n_pages,
+        "host_canary_pre": canary_pre,
+        "host_canary_post": canary_post,
         f"local{lo}": results[lo],
         f"local{hi}": results[hi],
         f"local{lo}_trials_sec": [t["sec"] for t in trials[lo]],
