@@ -307,6 +307,8 @@ def main() -> None:
                     help="extract-only mode: timed runs (best-of)")
     ap.add_argument("--levels", type=str, default="4,16",
                     help="scaling mode: N,4N parallelism pair")
+    ap.add_argument("--rounds", type=int, default=3,
+                    help="scaling mode: interleaved trial rounds per level")
     args = ap.parse_args()
 
     sf = _sf_of(SF_DIR)
@@ -319,7 +321,8 @@ def main() -> None:
     if args.scaling:
         lo, hi = (int(x) for x in args.levels.split(","))
         # larger corpus so per-doc compute (not task dispatch) dominates
-        res = _scaling(args.pages or max(9600, n_pages * 4), lo, hi)
+        res = _scaling(args.pages or max(9600, n_pages * 4), lo, hi,
+                       rounds=args.rounds)
         print(json.dumps({
             "metric": f"extraction_scaling_efficiency_local{lo}_to_local{hi}",
             "value": res["scaling_efficiency"], "unit": "ratio",
