@@ -82,11 +82,16 @@ class Node:
     # ── tree navigation ──────────────────────────────────────────────
     def iter_elements(self) -> Iterator["Node"]:
         """All descendant elements, document order, self excluded."""
+        # list-comp (not genexpr) inside extend: one C-level pass, no
+        # generator frame per node — this is the hottest loop in the
+        # selector engine
         stack = [c for c in reversed(self.children) if isinstance(c, Node)]
         while stack:
             node = stack.pop()
             yield node
-            stack.extend(c for c in reversed(node.children) if isinstance(c, Node))
+            if node.children:
+                stack.extend(
+                    [c for c in reversed(node.children) if isinstance(c, Node)])
 
     def element_children(self) -> list:
         return [c for c in self.children if isinstance(c, Node)]

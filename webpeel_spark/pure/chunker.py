@@ -84,10 +84,13 @@ def split_by_headings(content: str) -> List[_Section]:
     return sections
 
 
+_HEADING_HASH_RE = re.compile(r"^#+\s*")
+
+
 def _heading_name(heading: Optional[str]) -> Optional[str]:
     if not heading:
         return None
-    return re.sub(r"^#+\s*", "", heading)
+    return _HEADING_HASH_RE.sub("", heading)
 
 
 def chunk_by_section(content: str, max_tokens: int, overlap: int) -> List[ContentChunk]:

@@ -37,7 +37,8 @@ def detect_language_from_url(url: str) -> Optional[str]:
         return None
     if not hostname:
         return None
-    hostname = re.sub(r"^www\.", "", hostname)
+    if hostname.startswith("www."):
+        hostname = hostname[4:]
     parts = hostname.split(".")
     if len(parts) < 2:
         return None

@@ -703,14 +703,19 @@ def clean_for_ai(markdown: str) -> str:
 
 
 _LINK_RE = re.compile(r"\[([^\]]+)\]\([^)]+\)")
+_EMPTY_LINK_RE = re.compile(r"\[\s*\]\([^)]+\)")
+_EMPTY_IMG_LINK_RE = re.compile(r"\[\!\[\]\([^)]+\)\]\([^)]+\)")
+_BLANK3_RE = re.compile(r"\n{3,}")
+_TRAIL_WS_RE = re.compile(r"[ \t]+$", re.M)
+_BUTTON_TEXT_RE = re.compile(r"^Button Text\s*$", re.M)
 
 
 def clean_markdown_noise(content: str) -> str:
     """Empty links, repeated-CTA collapse, Button Text (markdown.ts:839-884)."""
-    result = re.sub(r"\[\s*\]\([^)]+\)", "", content)
-    result = re.sub(r"\[\!\[\]\([^)]+\)\]\([^)]+\)", "", result)
-    result = re.sub(r"\n{3,}", "\n\n", result)
-    result = re.sub(r"[ \t]+$", "", result, flags=re.M)
+    result = _EMPTY_LINK_RE.sub("", content)
+    result = _EMPTY_IMG_LINK_RE.sub("", result)
+    result = _BLANK3_RE.sub("\n\n", result)
+    result = _TRAIL_WS_RE.sub("", result)
     result = result.strip()
 
     link_text_counts: Dict[str, int] = {}
@@ -730,6 +735,6 @@ def clean_markdown_noise(content: str) -> str:
 
             result = spam.sub(_keep2, result)
 
-    result = re.sub(r"^Button Text\s*$", "", result, flags=re.M)
-    result = re.sub(r"\n{3,}", "\n\n", result).strip()
+    result = _BUTTON_TEXT_RE.sub("", result)
+    result = _BLANK3_RE.sub("\n\n", result).strip()
     return result

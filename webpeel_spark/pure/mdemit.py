@@ -192,13 +192,11 @@ def _is_blank(node: Node) -> bool:
 
 # ── joining / flanking whitespace ────────────────────────────────────────
 
-_TRAIL_NL_RE = re.compile(r"\n+$")
-_LEAD_NL_RE = re.compile(r"^\n+")
-
-
 def _join(output: str, replacement: str) -> str:
-    s1 = _TRAIL_NL_RE.sub("", output)
-    s2 = _LEAD_NL_RE.sub("", replacement)
+    # strip("\n") ≡ the original \n+$ / ^\n+ regex trims (hot path:
+    # one call per emitted block)
+    s1 = output.rstrip("\n")
+    s2 = replacement.lstrip("\n")
     nls = min(max(len(output) - len(s1), len(replacement) - len(s2)), 2)
     return s1 + ("\n" * nls) + s2
 

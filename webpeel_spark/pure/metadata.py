@@ -300,10 +300,9 @@ def extract_word_count(html: str) -> int:
     stripped = _TAG_RE.sub(" ", stripped)
     stripped = (stripped.replace("&amp;", "&").replace("&lt;", "<")
                 .replace("&gt;", ">").replace("&nbsp;", " ").replace("&quot;", '"'))
-    stripped = re.sub(r"\s+", " ", stripped).strip()
-    if not stripped:
-        return 0
-    return len([w for w in stripped.split(" ") if w])
+    # split() collapses whitespace runs and drops empties itself —
+    # byte-equivalent to the reference's collapse→trim→split(" ")→filter
+    return len(stripped.split())
 
 
 def extract_image(root: Node) -> Optional[str]:

@@ -64,6 +64,10 @@ for _p, _n in INJECTION_PATTERNS:
         _gate = _NOUN_GATE
     _GATED_PATTERNS.append((_p, _n, _gate))
 
+# distinct gate tuples, so each substring scan runs once per document
+# instead of once per pattern (most patterns share _NOUN_GATE)
+_DISTINCT_GATES = tuple({id(g): g for _, _, g in _GATED_PATTERNS if g}.values())
+
 
 def sanitize_for_llm(content: str) -> Dict:
     """prompt-guard.ts:53-97 — returns content / injection_detected /
@@ -88,8 +92,9 @@ def sanitize_for_llm(content: str) -> Dict:
                            sanitized, flags=re.I)
 
     lower = sanitized.lower()
+    gate_open = {id(g): any(s in lower for s in g) for g in _DISTINCT_GATES}
     for pattern, name, gate in _GATED_PATTERNS:
-        if gate is not None and not any(g in lower for g in gate):
+        if gate is not None and not gate_open[id(gate)]:
             continue
         if pattern.search(sanitized):
             detected.append(name)
