@@ -261,12 +261,31 @@ def _chain_matches(chain, node: Node) -> bool:
     return True
 
 
+def _single_simple(chains):
+    """The lone Simple of a one-chain, one-step selector list, else None
+    (fast-path eligibility: no combinators, no alternatives)."""
+    if len(chains) == 1 and len(chains[0]) == 1:
+        return chains[0][0][1]
+    return None
+
+
 def select(root: Node, selector: str) -> List[Node]:
     """All descendant elements of ``root`` matching, in document order."""
     try:
         chains = compile_selector(selector)
     except ValueError:
         return []
+    simple = _single_simple(chains)
+    if simple is not None:
+        # same predicate, same walk order — just no per-node chain
+        # dispatch; tag-only selectors ("table", "a") reduce further to
+        # a bare tag compare
+        if (simple.tag is not None and simple.tag != "*"
+                and not simple.classes and not simple.ids
+                and not simple.attrs and not simple.pseudos):
+            tag = simple.tag
+            return [n for n in root.iter_elements() if n.tag == tag]
+        return [n for n in root.iter_elements() if simple.matches(n)]
     out = []
     for node in root.iter_elements():
         for chain in chains:
@@ -280,6 +299,12 @@ def select_first(root: Node, selector: str) -> Optional[Node]:
     try:
         chains = compile_selector(selector)
     except ValueError:
+        return None
+    simple = _single_simple(chains)
+    if simple is not None:
+        for node in root.iter_elements():
+            if simple.matches(node):
+                return node
         return None
     for node in root.iter_elements():
         for chain in chains:

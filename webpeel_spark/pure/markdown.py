@@ -494,6 +494,11 @@ _TRAIL_CUT_PATTERNS = [re.compile(p, re.I | re.M) for p in (
     r"^#{1,3}\s*(company and salary information)",
 )]
 
+# superset pre-gate: if NO pattern matches anywhere, the in-order loop
+# below is a no-op — one scan replaces six on the common clean page
+_TRAIL_CUT_ANY_RE = re.compile(
+    "|".join("(?:%s)" % p.pattern for p in _TRAIL_CUT_PATTERNS), re.I | re.M)
+
 _HEADING_PREFIX_RE = re.compile(r"^#{1,6}\s*")
 
 _CTA_LINE_REGEXES = [re.compile(p, re.I) for p in (
@@ -528,11 +533,17 @@ _CTA_EXACT = {
 }
 
 
+# one alternation == any() over the table (pure existence test, so OR
+# of the patterns is boolean-identical; per-pattern order is immaterial)
+_CTA_COMBINED_RE = re.compile(
+    "|".join("(?:%s)" % p.pattern for p in _CTA_LINE_REGEXES), re.I)
+
+
 def _is_cta_noise_line(line: str) -> bool:
     trimmed = _HEADING_PREFIX_RE.sub("", line.strip().lower())
     if trimmed in _CTA_EXACT:
         return True
-    return any(r.search(trimmed) for r in _CTA_LINE_REGEXES)
+    return _CTA_COMBINED_RE.search(trimmed) is not None
 
 
 def _collapse_blank_runs(markdown: str) -> str:
@@ -601,11 +612,12 @@ def _post_markdown(markdown: str) -> str:
         line for line in markdown.split("\n") if not _is_cta_noise_line(line)
     )
 
-    for pattern in _TRAIL_CUT_PATTERNS:
-        m = pattern.search(markdown)
-        if m is not None and m.start() > len(markdown) * 0.6:
-            markdown = markdown[: m.start()].strip()
-            break
+    if _TRAIL_CUT_ANY_RE.search(markdown) is not None:
+        for pattern in _TRAIL_CUT_PATTERNS:
+            m = pattern.search(markdown)
+            if m is not None and m.start() > len(markdown) * 0.6:
+                markdown = markdown[: m.start()].strip()
+                break
 
     return markdown.strip()
 
