@@ -92,24 +92,26 @@ def fast_feed(builder, html: str, xml: bool = False) -> None:
             pos = nxt
             continue
         pos = m.end()
-        if m.group("comment") is not None:
-            continue  # builder drops comments
-        decl = m.group("decl")
-        if decl is not None:
-            if decl.startswith("![CDATA["):
+        # numeric groups, most-common branch first: 1=comment 2=decl
+        # 3=end 4=start 5=attrs 6=selfclose (start tags dominate real
+        # pages — one group fetch decides the hot branch)
+        start = m.group(4)
+        if start is None:
+            end = m.group(3)
+            if end is not None:
+                builder.handle_endtag(end.lower())
+                continue
+            decl = m.group(2)
+            if decl is not None and decl.startswith("![CDATA["):
                 # marked section runs to "]]>", which may contain ">"
                 close = html.find("]]>", lt)
                 if close != -1:
                     pos = close + 3
-            continue  # builder drops declarations/PIs
-        end = m.group("end")
-        if end is not None:
-            builder.handle_endtag(end.lower())
-            continue
-        tag = m.group("start").lower()
+            continue  # builder drops comments/declarations/PIs
+        tag = start.lower()
         attrs = []
-        raw_attrs = m.group("attrs")
-        selfclose = m.group("selfclose")
+        raw_attrs = m.group(5)
+        selfclose = m.group(6)
         if selfclose and raw_attrs \
                 and _UNQUOTED_VALUE_TAIL_RE.search(raw_attrs):
             # '/' terminates an unquoted attribute value — fold it back

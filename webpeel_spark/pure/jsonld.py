@@ -120,8 +120,15 @@ def extract_jsonld(html: str) -> Optional[JsonLdResult]:
 
 def extract_jsonld_dom(root) -> Optional[JsonLdResult]:
     """DOM form of extract_jsonld (reuses an existing parse)."""
+    return extract_jsonld_scripts(
+        select(root, 'script[type="application/ld+json"]'))
+
+
+def extract_jsonld_scripts(script_nodes) -> Optional[JsonLdResult]:
+    """Core of extract_jsonld over pre-collected ld+json script nodes
+    (lets the pipeline collect them during its one shared DOM walk)."""
     scripts: List[Any] = []
-    for el in select(root, 'script[type="application/ld+json"]'):
+    for el in script_nodes:
         raw = el.text()
         if not raw:
             continue

@@ -25,7 +25,7 @@ from ..dom import parse_html, parse_xml, select, select_first, document_body
 from . import markdown as md
 from .chunker import chunk_content
 from .extractors import extract_domain_data, get_domain_extractor
-from .jsonld import extract_jsonld_dom
+from .jsonld import extract_jsonld_dom, extract_jsonld_scripts
 from .langdetect import detect_language_from_url, detect_language_ngram
 from .links import link_pairs_from_anchors
 from .metadata import extract_metadata, links_from_anchors
@@ -376,13 +376,26 @@ def _html_branch(url: str, html: str, options: ExtractOptions,
 
     # metadata + links always extracted from the original HTML
     title, meta = extract_metadata(html, url)  # head-slice parse (cheap)
+    ld_scripts = None
     if len(html) > 100000:
         # link-extraction input cap (pipeline.ts:931-933) — the capped
         # string is a different document; parse it separately
         capped_root = parse_html(html[:100000])
         anchors = select(capped_root, "a[href]")
     else:
-        anchors = select(root, "a[href]")
+        # one fused walk collects anchors AND ld+json scripts (the
+        # separate selects each walked the whole tree; predicates are
+        # the literal `a[href]` / `script[type="application/ld+json"]`
+        # semantics — presence resp. exact attr match)
+        anchors = []
+        ld_scripts = []
+        for el in root.iter_elements():
+            t = el.tag
+            if t == "a":
+                if "href" in el.attrs:
+                    anchors.append(el)
+            elif t == "script" and el.attrs.get("type") == "application/ld+json":
+                ld_scripts.append(el)
     # one a[href] walk feeds both the url-only list and {url,text} pairs
     links = links_from_anchors(anchors, url)
     link_pairs = link_pairs_from_anchors(anchors, url)
@@ -411,7 +424,8 @@ def _html_branch(url: str, html: str, options: ExtractOptions,
 
     # JSON-LD first-class gate (pipeline.ts:914-939, skipped on selector)
     if not options.raw and not selected:
-        jl = extract_jsonld_dom(root)
+        jl = (extract_jsonld_scripts(ld_scripts) if ld_scripts is not None
+              else extract_jsonld_dom(root))
         if jl is not None and jl.found and len(jl.content) > 100:
             result["content"] = jl.content
             result["title"] = jl.title or result["title"]
