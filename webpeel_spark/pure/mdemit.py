@@ -181,11 +181,25 @@ def _has_meaningful_or_void(node: Node) -> bool:
     return False
 
 
+def _all_text_blank(node: Node) -> bool:
+    """True iff every text descendant is whitespace-only — equivalent
+    to ``^\\s*$`` over ``node.text()`` without building the string."""
+    stack = list(node.children)
+    while stack:
+        c = stack.pop()
+        if isinstance(c, str):
+            if not c.isspace() and c:
+                return False
+        else:
+            stack.extend(c.children)
+    return True
+
+
 def _is_blank(node: Node) -> bool:
     return (
         not _is_void(node)
         and node.tag not in _MEANINGFUL_WHEN_BLANK
-        and _BLANK_RE.match(node.text()) is not None
+        and _all_text_blank(node)
         and not _has_meaningful_or_void(node)
     )
 
