@@ -15,18 +15,7 @@ import random
 
 from webpeel_spark.dom import parse_html
 from webpeel_spark.dom.selector import select
-
-
-def _fused(root):
-    anchors, ld_scripts = [], []
-    for el in root.iter_elements():
-        t = el.tag
-        if t == "a":
-            if "href" in el.attrs:
-                anchors.append(el)
-        elif t == "script" and el.attrs.get("type") == "application/ld+json":
-            ld_scripts.append(el)
-    return anchors, ld_scripts
+from webpeel_spark.pure.jsonld import collect_anchors_and_ld as _fused
 
 
 CASES = [

@@ -10,11 +10,12 @@ Usage: python tools/profile_extract.py [n_pages] [sort]
 from __future__ import annotations
 
 import cProfile
+import os
 import pstats
 import sys
 import time
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from webpeel_spark.pure.pipeline import DEFAULT_OPTIONS, extract_page  # noqa: E402
 from webpeel_spark.sources.corpus import generate_rows  # noqa: E402

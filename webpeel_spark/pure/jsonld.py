@@ -124,6 +124,23 @@ def extract_jsonld_dom(root) -> Optional[JsonLdResult]:
         select(root, 'script[type="application/ld+json"]'))
 
 
+def collect_anchors_and_ld(root):
+    """One DOM walk collecting ``a[href]`` anchors and
+    ``script[type="application/ld+json"]`` nodes — predicate-identical
+    to the two selector calls it replaces on the extraction hot path
+    (href presence resp. exact type match; tags/attr names are already
+    lowercased by the parser)."""
+    anchors, ld_scripts = [], []
+    for el in root.iter_elements():
+        t = el.tag
+        if t == "a":
+            if "href" in el.attrs:
+                anchors.append(el)
+        elif t == "script" and el.attrs.get("type") == "application/ld+json":
+            ld_scripts.append(el)
+    return anchors, ld_scripts
+
+
 def extract_jsonld_scripts(script_nodes) -> Optional[JsonLdResult]:
     """Core of extract_jsonld over pre-collected ld+json script nodes
     (lets the pipeline collect them during its one shared DOM walk)."""

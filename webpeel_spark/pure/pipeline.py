@@ -25,7 +25,9 @@ from ..dom import parse_html, parse_xml, select, select_first, document_body
 from . import markdown as md
 from .chunker import chunk_content
 from .extractors import extract_domain_data, get_domain_extractor
-from .jsonld import extract_jsonld_dom, extract_jsonld_scripts
+from .jsonld import (
+    collect_anchors_and_ld, extract_jsonld_dom, extract_jsonld_scripts,
+)
 from .langdetect import detect_language_from_url, detect_language_ngram
 from .links import link_pairs_from_anchors
 from .metadata import extract_metadata, links_from_anchors
@@ -383,19 +385,10 @@ def _html_branch(url: str, html: str, options: ExtractOptions,
         capped_root = parse_html(html[:100000])
         anchors = select(capped_root, "a[href]")
     else:
-        # one fused walk collects anchors AND ld+json scripts (the
-        # separate selects each walked the whole tree; predicates are
-        # the literal `a[href]` / `script[type="application/ld+json"]`
-        # semantics — presence resp. exact attr match)
-        anchors = []
-        ld_scripts = []
-        for el in root.iter_elements():
-            t = el.tag
-            if t == "a":
-                if "href" in el.attrs:
-                    anchors.append(el)
-            elif t == "script" and el.attrs.get("type") == "application/ld+json":
-                ld_scripts.append(el)
+        # one fused walk collects anchors AND ld+json scripts instead
+        # of two full-tree selects (equivalence pinned against the
+        # selectors by tests/test_walk_fusion.py)
+        anchors, ld_scripts = collect_anchors_and_ld(root)
     # one a[href] walk feeds both the url-only list and {url,text} pairs
     links = links_from_anchors(anchors, url)
     link_pairs = link_pairs_from_anchors(anchors, url)
