@@ -355,6 +355,15 @@ def main() -> None:
            > 1.5 * STEADY_SEC["extract_flagship"]):
         ext_runs.append(_run_extraction(spark, pages_path, args.cores))
     ext = min(ext_runs, key=lambda r: r["sec"])
+    # dispatch-amortized extraction number: the sf0.1 corpus is only
+    # ~2.4k docs, so task dispatch dominates `extraction`; a 28.8k-page
+    # pass (cached corpus, best of 2) shows the per-doc steady state
+    ext28 = None
+    if calibrated:
+        big_path = _corpus_parquet(28800)
+        ext28_runs = [_run_extraction(spark, big_path, args.cores)
+                      for _ in range(2)]
+        ext28 = min(ext28_runs, key=lambda r: r["sec"])
     qt = _bench_queries(spark, SF_DIR, calibrated)
     total = round(time.perf_counter() - t_start, 3)
     spark.stop()
@@ -374,6 +383,7 @@ def main() -> None:
         "extraction": {"docs": ext["docs"],
                        "docs_per_sec": ext["docs_per_sec"],
                        "cores": args.cores},
+        "extraction_28k": ext28,
     }))
 
 
