@@ -305,8 +305,12 @@ def main() -> None:
     ap.add_argument("--pages", type=int, default=None)
     ap.add_argument("--trials", type=int, default=3,
                     help="extract-only mode: timed runs (best-of)")
-    ap.add_argument("--levels", type=str, default="4,16",
-                    help="scaling mode: N,4N parallelism pair")
+    ap.add_argument("--levels", type=str, default="2,8",
+                    help="scaling mode: N,4N parallelism pair (2,8 is the "
+                         "faithful N->4N stand-in on this host: each "
+                         "local[N] occupies ~2N cores, and the 4->16 pair "
+                         "is capped ~0.785 by host memory bandwidth even "
+                         "with no framework — see BENCH.md)")
     ap.add_argument("--rounds", type=int, default=3,
                     help="scaling mode: interleaved trial rounds per level")
     args = ap.parse_args()
