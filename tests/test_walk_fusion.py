@@ -63,3 +63,14 @@ def test_fused_walk_matches_selectors_on_random_soup():
         anchors, lds = _fused(root)
         assert anchors == select(root, "a[href]")
         assert lds == select(root, 'script[type="application/ld+json"]')
+
+
+def test_stripped_len_equals_join_strip():
+    """_stripped_len must equal len("".join(parts).strip()) for any
+    part decomposition, including all-whitespace and empty cases."""
+    from webpeel_spark.pure.markdown import _stripped_len
+    rng = random.Random(5)
+    pieces = ["", " ", "\t\n", "a", " b ", "xy z", " ", "end.", "  \r"]
+    for _ in range(400):
+        parts = [rng.choice(pieces) for _ in range(rng.randrange(0, 8))]
+        assert _stripped_len(parts) == len("".join(parts).strip()), parts

@@ -385,20 +385,20 @@ def detect_main_content(html: str) -> Tuple[str, bool]:
 
 def detect_main_content_dom(root: Node) -> Tuple[Optional[Node], bool]:
     """DOM form of detect_main_content: (matched node | None, detected).
-    Lets the caller reuse an existing parse instead of re-parsing."""
-    total_text_len = len(
-        "".join(
-            _collect_visible(root)
-        ).strip()
-    )
+    Lets the caller reuse an existing parse instead of re-parsing.
+
+    Only LENGTHS of stripped text are compared here, so the
+    ``len(text().strip())`` expressions compute via _stripped_len
+    (total minus edge-whitespace runs) — no concatenated strings are
+    ever built; values are identical by construction."""
+    total_text_len = _stripped_len(_collect_visible(root))
 
     first = _MAIN_MATCHER.first_matches(root)
     for i, selector in enumerate(MAIN_CONTENT_SELECTORS):
         el = first.get(i)
         if el is not None:
-            text = el.text().strip()
-            if len(text) >= 100:
-                candidate_len = len("".join(_collect_visible(el)).strip())
+            if _stripped_len(_text_parts(el)) >= 100:
+                candidate_len = _stripped_len(_collect_visible(el))
                 if total_text_len > 0 and candidate_len / total_text_len < 0.5:
                     return None, False
                 return el, True
@@ -409,12 +409,12 @@ def detect_main_content_dom(root: Node) -> Tuple[Optional[Node], bool]:
     for el in root.iter_elements():
         if el.tag not in ("div", "section"):
             continue
-        text = el.text().strip()
-        if len(text) > best_len and len(text) >= 200:
+        text_len = _stripped_len(_text_parts(el))
+        if text_len > best_len and text_len >= 200:
             parent = el.parent
             if parent is not None and parent.tag not in ("body", "html", "#root"):
                 best_el = el
-                best_len = len(text)
+                best_len = text_len
     if best_el is not None and best_len > 300:
         if total_text_len > 0 and best_len / total_text_len < 0.5:
             return None, False
@@ -430,6 +430,41 @@ def _collect_visible(el: Node) -> List[str]:
         if isinstance(c, str):
             parts.append(c)
         elif c.tag not in ("script", "style", "noscript"):
+            stack.extend(reversed(c.children))
+    return parts
+
+
+def _stripped_len(parts: List[str]) -> int:
+    """``len("".join(parts).strip())`` without building the joined
+    string: total minus the leading/trailing whitespace runs."""
+    total = sum(len(p) for p in parts)
+    lead = 0
+    for p in parts:
+        ls = len(p) - len(p.lstrip())
+        lead += ls
+        if ls < len(p):
+            break
+    if lead >= total:
+        return 0
+    trail = 0
+    for p in reversed(parts):
+        rs = len(p) - len(p.rstrip())
+        trail += rs
+        if rs < len(p):
+            break
+    return total - lead - trail
+
+
+def _text_parts(el: Node) -> List[str]:
+    """All text descendants in document order (``Node.text()`` without
+    the final join)."""
+    parts: List[str] = []
+    stack = list(reversed(el.children))
+    while stack:
+        c = stack.pop()
+        if isinstance(c, str):
+            parts.append(c)
+        else:
             stack.extend(reversed(c.children))
     return parts
 
