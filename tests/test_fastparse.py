@@ -70,3 +70,24 @@ def test_cdata_section_skipped():
     text = root.text()
     assert "a" in text and "b" in text
     assert "]]" not in text
+
+
+def test_equivalence_random_soup():
+    """Seeded random tag/attr/entity soup — hardens the tokenizer's
+    branch dispatch (numeric groups, r7) against inputs no template
+    generates.  Deterministic: fixed seed, fixed alphabet."""
+    import random
+
+    rng = random.Random(31337)
+    frag = [
+        "<div>", "</div>", "<p class='a b'>", "</p>", "<br>", "<br/>",
+        "< not-a-tag", "text ", "&amp; ", "&bogus; ", "<a href=/x>",
+        "<a href='q&quot;z'>", "</a>", "<!-- c -->", "<!doctype junk>",
+        "<img src=x.png/ alt=y>", "<span DATA-Y=\"a>b\">", "</span>",
+        "<script>var a='</di'+'v>';</script>", "<style>a{}</style>",
+        "<input disabled>", "<td>", "&#65;", "&#x41;", "é ", "<>",
+        "<?pi data?>", "<B>", "</B>", "<UL><LI>item", "</UL>",
+    ]
+    for _ in range(200):
+        html = "".join(rng.choice(frag) for _ in range(rng.randrange(1, 30)))
+        assert _ser(parse_html(html)) == _ser(parse_html_stdlib(html)), html
