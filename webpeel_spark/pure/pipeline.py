@@ -343,98 +343,97 @@ def _html_branch(url: str, html: str, options: ExtractOptions,
     if options.lite:
         return _lite_branch(url, html, options, result)
 
-    # Include/exclude tag filtering FIRST, before selector
-    # (pipeline.ts:994-997) — the filtered document feeds metadata,
-    # detection and conversion alike
-    if options.include_tags or options.exclude_tags:
-        html = md.filter_by_tags(html, list(options.include_tags) or None,
-                                 list(options.exclude_tags) or None)
+    # From here on, `html` is the RAW document — the reference's
+    # fetchResult.html.  The JSON-LD gate (pipeline.ts:917), the
+    # readable fast-path (:944) and the postProcess domain pass (:1363)
+    # all read it directly; filterByTags / selector / exclude are
+    # stages of the STANDARD path only (:994-1007), so e.g.
+    # exclude_tags=('script',) must not disable the JSON-LD gate.
 
-    # CSS-scoped extraction (pipeline.ts:994-1007): the selected
-    # fragment REPLACES the document for everything downstream —
-    # metadata, links, conversion — and, because the user explicitly
-    # chose content, the JSON-LD gate, readability, main-content
-    # detection (all `!selector`-guarded in the reference: :917, :944,
-    # :1011) and the domain-extractor registry are skipped.
-    selected = False
-    if options.selector:
-        html = md.select_content(html, options.selector,
-                                 list(options.exclude) or None)
-        selected = True
-    elif options.exclude:
-        root0 = parse_html(html)
-        removed = False
-        for sel in options.exclude:
-            for el in select(root0, sel):
-                el.remove()
-                removed = True
-        if removed:
-            html = root0.inner_html()
-
-    # ONE full-document parse, shared by links / JSON-LD / main-content
-    # detection / conversion (the reference re-loads cheerio per stage;
-    # per-row batch extraction can't afford 5 parses per page)
+    # ONE raw-document parse + one fused walk (anchors AND ld+json
+    # scripts; equivalence pinned by tests/test_walk_fusion.py), shared
+    # by every stage below — and by the standard path too unless a
+    # filter/selector option rewrites the document.  (The reference
+    # re-loads cheerio per stage; per-row batch extraction can't.)
     root = parse_html(html)
+    anchors, ld_scripts = collect_anchors_and_ld(root)
 
-    # metadata + links always extracted from the original HTML
-    title, meta = extract_metadata(html, url)  # head-slice parse (cheap)
-    ld_scripts = None
-    if len(html) > 100000:
-        # link-extraction input cap (pipeline.ts:931-933) — the capped
-        # string is a different document; parse it separately
-        capped_root = parse_html(html[:100000])
-        anchors = select(capped_root, "a[href]")
-    else:
-        # one fused walk collects anchors AND ld+json scripts instead
-        # of two full-tree selects (equivalence pinned against the
-        # selectors by tests/test_walk_fusion.py)
-        anchors, ld_scripts = collect_anchors_and_ld(root)
-    # one a[href] walk feeds both the url-only list and {url,text} pairs
-    links = links_from_anchors(anchors, url)
-    link_pairs = link_pairs_from_anchors(anchors, url)
-    result["title"] = title
-    result["description"] = meta.description
-    result["author"] = meta.author
-    result["published"] = meta.publish_date or meta.published
-    result["language"] = meta.language or detect_language_from_url(url)
-    result["canonical"] = meta.canonical
-    result["image"] = meta.image
-    result["links"] = links
-    result["link_pairs"] = link_pairs
+    # language is a port addition (the reference's field comes from
+    # request options, :423): meta/TLD when declared, else an n-gram
+    # guess over the FINAL content — so a path-level guess must be
+    # recomputed if the domain pass replaces the content
+    lang_is_ngram = False
 
-    # Domain-extractor pass — extractor result wins (pipeline.ts:1363-1387)
-    dd = None if selected else extract_domain_data(html, url)
-    if dd is not None and dd.type != "pdf":
-        result["content"] = dd.clean_content
-        result["extractor"] = dd.domain
-        result["method"] = "domain"
-        if dd.structured.get("title"):
-            result["title"] = str(dd.structured["title"])
-        result["quality"] = 0.9
-        if not result["language"]:
-            result["language"] = detect_language_ngram(dd.clean_content)
-        return _finish(result, options)
+    def _fill_meta(doc_html: str, doc_anchors) -> None:
+        """Metadata + link fields from ``doc_html``/``doc_anchors``.
+        Which document that is depends on the path, exactly as in the
+        reference: raw html for the jsonld/readability early returns
+        (pipeline.ts:930, :955), the filtered/selected html for the
+        standard path (:1014)."""
+        title, meta = extract_metadata(doc_html, url)  # head-slice parse
+        result["title"] = title
+        result["description"] = meta.description
+        result["author"] = meta.author
+        result["published"] = meta.publish_date or meta.published
+        result["language"] = meta.language or detect_language_from_url(url)
+        result["canonical"] = meta.canonical
+        result["image"] = meta.image
+        # one anchors list feeds both the url-only list and {url,text}
+        result["links"] = links_from_anchors(doc_anchors, url)
+        result["link_pairs"] = link_pairs_from_anchors(doc_anchors, url)
 
-    # JSON-LD first-class gate (pipeline.ts:914-939, skipped on selector)
-    if not options.raw and not selected:
-        jl = (extract_jsonld_scripts(ld_scripts) if ld_scripts is not None
-              else extract_jsonld_dom(root))
+    def _raw_capped_anchors():
+        """Link-extraction input for the early returns: raw html capped
+        at 100k UNCONDITIONALLY (pipeline.ts:931-933, :957-959) — the
+        capped string is a different document; parse it separately.
+        The standard path caps only under a budget (:1023-1026)."""
+        if len(html) > 100000:
+            return select(parse_html(html[:100000]), "a[href]")
+        return anchors
+
+    def _domain_then_finish(res: Dict[str, Any]) -> Dict[str, Any]:
+        """postProcess domain pass (pipeline.ts:1361-1387): fires on the
+        RAW html whenever the url has a registered extractor — NOT
+        gated on selector or raw (only lite skips postProcess, :1236) —
+        and replaces content + title.  method/quality here are port
+        diagnostics: the reference's `method` field is the FETCH method
+        (:1840) and its postProcess keeps the prior path's quality."""
+        dd = extract_domain_data(html, url)
+        if dd is not None and dd.type != "pdf":
+            res["content"] = dd.clean_content
+            res["extractor"] = dd.domain
+            res["method"] = "domain"
+            if dd.structured.get("title"):
+                res["title"] = str(dd.structured["title"])
+            res["quality"] = 0.9
+            if not res["language"] or lang_is_ngram:
+                res["language"] = detect_language_ngram(dd.clean_content)
+        return _finish(res, options)
+
+    # JSON-LD first-class gate (pipeline.ts:914-939): raw html, gated
+    # on the selector OPTION alone (tag filters don't disable it)
+    if not options.raw and not options.selector:
+        jl = extract_jsonld_scripts(ld_scripts)
         if jl is not None and jl.found and len(jl.content) > 100:
+            _fill_meta(html, _raw_capped_anchors())
             result["content"] = jl.content
             result["title"] = jl.title or result["title"]
             result["method"] = "jsonld:" + jl.type
             result["quality"] = 0.95
             if not result["language"]:
                 result["language"] = detect_language_ngram(jl.content)
-            return _finish(result, options)
+                lang_is_ngram = True
+            return _domain_then_finish(result)
 
-    # Readable fast-path (pipeline.ts:944-989) with <15%-of-body veto
-    if options.readable and not options.raw and not selected:
+    # Readable fast-path (pipeline.ts:944-989) with <15%-of-body veto —
+    # on the raw html (filterByTags is a standard-path stage)
+    if options.readable and not options.raw and not options.selector:
         read = extract_readable_content(html, url)
         html_text_len = len(re.sub(r"\s+", " ", re.sub(r"<[^>]+>", "", html)).strip())
         readable_len = len(read.content or "")
         failed = html_text_len > 2000 and readable_len > 0 and readable_len < html_text_len * 0.15
         if not failed:
+            _fill_meta(html, _raw_capped_anchors())
             result["content"] = read.content
             result["title"] = read.title or result["title"]
             result["author"] = read.author or result["author"]
@@ -442,17 +441,54 @@ def _html_branch(url: str, html: str, options: ExtractOptions,
             result["language"] = read.language or result["language"]
             result["method"] = "readability"
             result["quality"] = 0.95 if len(read.content) > 200 else 0.5
-            return _finish(result, options)
+            return _domain_then_finish(result)
 
-    # Standard path: main-content detection → prune (≥20KB) → convert.
-    # content is the original string, a detected fragment (serialized —
+    # ── Standard path (pipeline.ts:992-1133) ──
+    # Include/exclude tag filtering FIRST, before selector (:994-997);
+    # then CSS-scoped extraction (:999-1007): the selected fragment
+    # REPLACES the document for metadata, links and conversion, and
+    # main-content detection is skipped (`!selector`, :1011).
+    filtered = html
+    if options.include_tags or options.exclude_tags:
+        filtered = md.filter_by_tags(filtered,
+                                     list(options.include_tags) or None,
+                                     list(options.exclude_tags) or None)
+    selected = False
+    if options.selector:
+        filtered = md.select_content(filtered, options.selector,
+                                     list(options.exclude) or None)
+        selected = True
+    elif options.exclude:
+        root0 = parse_html(filtered)
+        removed = False
+        for sel in options.exclude:
+            for el in select(root0, sel):
+                el.remove()
+                removed = True
+        if removed:
+            filtered = root0.inner_html()
+
+    froot = root if filtered is html else parse_html(filtered)
+
+    # metadata + links from the (possibly) filtered document (:1014-1030);
+    # link-extraction input capped at 100k ONLY when a budget is set
+    if options.budget_tokens > 0 and len(filtered) > 100000:
+        std_anchors = select(parse_html(filtered[:100000]), "a[href]")
+    elif froot is root:
+        std_anchors = anchors
+    else:
+        std_anchors = select(froot, "a[href]")
+    _fill_meta(filtered, std_anchors)
+
+    # Main-content detection → prune (≥20KB) → convert.
+    # content is the filtered string, a detected fragment (serialized —
     # the 20KB gate and pruner regex pre-pass are defined on the string),
     # or the shared parsed DOM for the common undetected-markdown case.
-    content_html = html
-    content_dom = root  # parsed DOM matching content_html
+    content_html = filtered
+    content_dom = froot  # parsed DOM matching content_html
     detected = False
     if not options.raw and not selected:
-        node, detected = md.detect_main_content_dom(root)
+        node, detected = md.detect_main_content_dom(froot)
         if detected and node is not None:
             # serialized length feeds the 20KB prune gate; the wrapped
             # DOM (#root>html>body>fragment — the exact shape re-parsing
@@ -478,7 +514,7 @@ def _html_branch(url: str, html: str, options: ExtractOptions,
     else:
         # >10MB pages must keep the string path so the clean_html size
         # cap raises exactly as before (markdown.ts:233)
-        use_dom = content_dom is not None and len(html) <= md.MAX_HTML_BYTES
+        use_dom = content_dom is not None and len(filtered) <= md.MAX_HTML_BYTES
         source = content_dom if use_dom else content_html
         converted = md.html_to_markdown(source, raw=options.raw, prune=False)
 
@@ -489,18 +525,22 @@ def _html_branch(url: str, html: str, options: ExtractOptions,
 
     result["content"] = converted
     result["method"] = "detected" if detected else "generic"
+    # quality is scored against the RAW document (pipeline.ts:1133
+    # passes fetchResult.html, not the filtered/selected string)
     result["quality"] = md.calculate_quality(converted, html)
     if not result["language"]:
         result["language"] = detect_language_ngram(converted)
+        lang_is_ngram = True
 
-    # auth-wall check on sparse results (pipeline.ts:1196-1218)
+    # auth-wall check on sparse results (pipeline.ts:1196-1218) — reads
+    # the raw html, like the reference's ctx.fetchResult.html
     if len(converted) < 800 or result["quality"] < 0.3:
         from .auth_detection import detect_auth_wall
 
         if detect_auth_wall(html, url)["is_auth_wall"]:
             result["auth_required"] = True
 
-    return _finish(result, options)
+    return _domain_then_finish(result)
 
 
 def _finish(result: Dict[str, Any], options: ExtractOptions) -> Dict[str, Any]:
