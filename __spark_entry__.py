@@ -743,20 +743,9 @@ def _aug_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.unionByName(clones)
 
 
-def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF (k-means-cell) ANN — the inverted-file scale path beside
-    SRP-LSH: train cells on L2-normalized vectors, probe the nprobe
-    nearest cells, exact cosine within them.  Oracle-exact via planted
-    query clones: clones normalize to the query's exact unit vector,
-    so KMeans assigns them to the query's nearest cell — the first
-    cell every probe visits — making the probed top-10 equal the
-    brute-force top-10 regardless of where k-means put the rest."""
-    from webpeel_spark.operators.similarity import ivf_index, ivf_topk
-
-    emb = _query_clone_embeddings(spark, sf_dir)
-    q = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
-    assigned, cents = ivf_index(emb, k=16, seed=29)
-    return ivf_topk(assigned, cents, q, topk=10, nprobe=4)
+# (the former _q_ann_ivf_topk registry entry was retired in round 7 for
+# the 50-query cap and deleted in round 8 — the IVF operators stay
+# covered by tests/test_dedup_scale.py::test_ivf_topk_recall)
 
 
 def _q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -773,7 +762,11 @@ def _q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     p=1-acos(0.95)/pi ≈ 0.90, bits≈7 → 0.98 at 6 vs 0.99 at 8; 4
     tables would drop it to 0.92 — fast but not recall-equivalent for
     real near-boundary pairs at 100 TB).  The operator DEFAULT stays 8
-    (conservative for unknown corpora)."""
+    (conservative for unknown corpora).  NOTE: the 6-vs-8 EMPIRICAL
+    result-identity was verified only on this corpus's structurally-
+    colliding planted pairs (cosine 1.0 collides in every table by
+    construction); near-threshold recall at 6 tables rests on the
+    closed-form bound above, not on a measured boundary corpus."""
     from webpeel_spark.operators.similarity import cosine_near_duplicate_pairs
 
     return cosine_near_duplicate_pairs(_aug_embeddings(spark, sf_dir),
@@ -1564,17 +1557,10 @@ def _det_avg_sql(col: str, scale: int = 100) -> str:
             f"AS DOUBLE) * {factor} / count(*)) / CAST(10000 AS DOUBLE)")
 
 
-def _det_avg_bp_sql(col: str, scale: int = 100) -> str:
-    """DuckDB twin of operators.extract.deterministic_avg_bp: BIGINT
-    basis points via pure integer arithmetic — ``//`` is DuckDB's
-    integer division, matching Spark SQL ``div``.  No IEEE double is
-    produced on either side, so the driver's full-precision float
-    hashing cannot diverge from the 6-sig-digit local gate (round-6
-    rule after two rounds of checkpoint_lineage hash-red on a double
-    column that verified bit-identical locally)."""
-    factor = 10000 // scale
-    return (f"CAST((sum(CAST(round({col} * {scale}) AS BIGINT)) "
-            f"* {factor} + count(*) // 2) // count(*) AS BIGINT)")
+# (_det_avg_bp_sql was deleted in round 8: the lineage table now
+# carries quality_bp_sum — a plain BIGINT SUM — so the checkpoint
+# oracle no longer needs `//` integer division, the last dialect-risk
+# construct the four-round driver hash-red could have hidden in.)
 
 
 def _extract_mixed_oracle() -> str:
@@ -2264,10 +2250,26 @@ def _q_checkpoint_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Checkpointed run's progress table over the planted article
     corpus, bucketed by an explicit index expression (p % 8) instead
     of the default url hash — so the per-bucket lineage metrics
-    (counts, token sums, avg quality) are regenerated exactly by the
-    oracle aggregating the envelope oracle by the same arithmetic.
-    Default url-hash bucketing + resume semantics stay pinned by the
-    pytest zero-work-resume test and the spark-submit demo."""
+    (counts, token sums, quality basis-point sums) are regenerated
+    exactly by the oracle aggregating the envelope oracle by the same
+    arithmetic.  Default url-hash bucketing + resume semantics stay
+    pinned by the pytest zero-work-resume test and the spark-submit
+    demo.
+
+    Round-8 split experiment (four driver hash-reds, all green locally
+    at full precision; float-hash, error-masking and transient-executor
+    hypotheses each eliminated in rounds 6-7):
+    (a) the per-bucket aggregates are recomputed DIRECTLY from the
+        run's committed output rows (plain groupBy, no progress table)
+        and any mismatch raises with the full per-bucket diff embedded,
+        so a checkpoint-path divergence shows up in the driver's own
+        ``err`` string;
+    (b) the lineage column is now ``quality_bp_sum`` (plain BIGINT SUM
+        of ``round(quality*100)``) instead of the half-up-``div``
+        average, so the oracle uses only SUM/COUNT/CASE — constructs
+        the 47 green queries already prove the oracle dialect agrees
+        on.  Driver still red after both ⇒ the err names the column.
+    """
     import tempfile
 
     from webpeel_spark.plans.checkpoint import (
@@ -2280,12 +2282,10 @@ def _q_checkpoint_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The planted corpus extracts error-free BY CONSTRUCTION, so any
     # status='error' row is a transient executor failure (or a real
     # bug) — both must be loud, never a silent shift of ok_count/
-    # token_sum/avg_quality_bp in one bucket (the one mechanism left
-    # after round 6 made every lineage column integer and the driver
-    # still hash-red a table that verifies green locally).
-    # retry_on_error=1 re-runs an errored bucket group once before the
-    # commit; the assert below turns any surviving error into a
-    # diagnosable message (first_error carries "<error> @ <url>").
+    # token_sum/quality_bp_sum in one bucket.  retry_on_error=1 re-runs
+    # an errored bucket group once before the commit; the assert below
+    # turns any surviving error into a diagnosable message
+    # (first_error carries "<error> @ <url>").
     run_extraction_checkpointed(spark, pages, tmp, run_id="contract-run",
                                 num_buckets=8, buckets_per_commit=4,
                                 num_partitions=8, bucket_expr=bucket,
@@ -2299,9 +2299,39 @@ def _q_checkpoint_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "after retry: " + "; ".join(
                 f"bucket {r['bucket']}: {r['error_count']} "
                 f"(first: {r['first_error']})" for r in errs))
-    return progress.select(
-        "run_id", "bucket", "row_count", "ok_count", "error_count",
-        "token_sum", "avg_quality_bp").orderBy("bucket")
+
+    cols = ["run_id", "bucket", "row_count", "ok_count", "error_count",
+            "token_sum", "quality_bp_sum"]
+
+    # (a) differential: progress table vs direct aggregates over the
+    # committed output parquet (8+8 rows — control-plane collect)
+    direct = (
+        spark.read.parquet(os.path.join(tmp, "data"))
+        .groupBy("bucket").agg(
+            F.count("*").alias("row_count"),
+            F.sum(F.when(F.col("status") == "ok", 1).otherwise(0))
+            .alias("ok_count"),
+            F.sum(F.when(F.col("status") == "error", 1).otherwise(0))
+            .alias("error_count"),
+            F.sum("token_estimate").alias("token_sum"),
+            F.sum(F.round(F.col("quality") * 100, 0).cast("long"))
+            .alias("quality_bp_sum"),
+        )
+    )
+    got = {int(r["bucket"]): tuple(int(r[c]) for c in cols[2:])
+           for r in progress.collect()}
+    want = {int(r["bucket"]): tuple(int(r[c]) for c in cols[2:])
+            for r in direct.collect()}
+    if got != want:
+        diff = [f"bucket {b}: progress={got.get(b)} direct={want.get(b)}"
+                for b in sorted(set(got) | set(want))
+                if got.get(b) != want.get(b)]
+        raise RuntimeError(
+            "checkpoint_lineage: progress table diverges from direct "
+            "aggregates over the committed output "
+            f"({', '.join(cols[2:])}): " + "; ".join(diff))
+
+    return progress.select(*cols).orderBy("bucket")
 
 
 def _pages_parquet() -> str:
@@ -2576,7 +2606,8 @@ def oracle_sql() -> dict[str, str]:
                    sum(CASE WHEN status = 'error' THEN 1 ELSE 0 END)
                      AS error_count,
                    CAST(sum(token_estimate) AS BIGINT) AS token_sum,
-                   {_det_avg_bp_sql('quality', 100)} AS avg_quality_bp
+                   CAST(sum(CAST(round(quality * 100) AS BIGINT))
+                        AS BIGINT) AS quality_bp_sum
             FROM ({_EXTRACT_PLANTED_ORACLE})
             GROUP BY 2 ORDER BY bucket
         """,

@@ -650,26 +650,11 @@ def deterministic_avg(col: Union[str, Column], scale: int = 100) -> Column:
     return bp / F.lit(10000.0)
 
 
-def deterministic_avg_bp(col: str, scale: int = 100) -> Column:
-    """Integer basis-point average — :func:`deterministic_avg` with the
-    one remaining IEEE division replaced by integer ``div`` (half-up),
-    returning BIGINT.  Use at oracle/hash boundaries: no IEEE value is
-    ever produced, so full-precision float hashing (the driver's
-    canonicalizer) cannot see an ulp that local 6-sig-digit
-    normalization would hide (round-6 directive; checkpoint_lineage was
-    hash-red in rounds 4 and 5 despite locally bit-identical doubles).
-
-    ``(sum(round(col*scale)) * (10000/scale) + n div 2) div n`` — every
-    op after the fixed-point decode is exact long arithmetic,
-    reproducible verbatim by DuckDB (``// `` integer division).  Takes a
-    column *name* (the expression is built as SQL text for ``div``,
-    which has no Column-API equivalent).
-    """
-    factor = 10000 // scale
-    return F.expr(
-        f"(sum(cast(round(({col}) * {scale}, 0) as bigint)) * {factor} "
-        f"+ count(1) div 2) div count(1)"
-    ).cast("long")
+# (deterministic_avg_bp was deleted in round 8: lineage tables now
+# store quality_bp_sum — a plain BIGINT SUM of round(quality*100) —
+# instead of a half-up `div` average, removing integer division from
+# the oracle/hash boundary entirely; the mean stays derivable as
+# quality_bp_sum/row_count.)
 
 
 def extraction_metrics(result: DataFrame) -> DataFrame:

@@ -35,13 +35,19 @@ from typing import List, Optional
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.extract import deterministic_avg_bp, extract_pages
+from ..operators.extract import extract_pages
 
-# avg_quality_bp: mean quality in integer basis points (8750 = 0.8750),
-# computed with pure long arithmetic (deterministic_avg_bp) so the
-# lineage table holds no IEEE double an oracle hash could disagree on
-# by an ulp (round-6 contract rule; doubles were hash-red in the
-# round-4/5 driver runs despite bit-identical local verification).
+# quality_bp_sum: SUM of per-row quality in integer basis points
+# (round(quality*100) as BIGINT) — the mean is derivable as
+# quality_bp_sum/row_count, so no lineage information is lost, and the
+# aggregate is a plain integer SUM: no IEEE double (round-6 rule after
+# the round-4/5 driver hash-reds on a locally bit-identical double) and
+# no integer-division construct either (round-8 rule: the driver was
+# hash-red a fourth time on the half-up `div`-based average while zero
+# error rows and a green per-row envelope eliminated every other
+# mechanism, so the oracle boundary now uses only SUM/COUNT/CASE —
+# constructs 47 green queries already prove the oracle dialect agrees
+# on).
 # first_error: the lexicographically-first "error @ url" string among
 # the bucket's error rows (NULL when clean) — per-row error isolation
 # (extract.py:16) otherwise turns a transient executor failure into a
@@ -52,7 +58,7 @@ PROGRESS_SCHEMA = (
     "run_id string, input_snapshot_id string, bucket int, "
     "url_hash_min long, url_hash_max long, row_count long, ok_count long, "
     "error_count long, token_sum long, content_bytes long, "
-    "avg_quality_bp long, completed_at_ts double, first_error string"
+    "quality_bp_sum long, completed_at_ts double, first_error string"
 )
 
 
@@ -191,9 +197,11 @@ def run_extraction_checkpointed(
                         F.sum(F.when(F.col("status") == "error", 1).otherwise(0)).alias("error_count"),
                         F.sum("token_estimate").alias("token_sum"),
                         F.sum("content_len").alias("content_bytes"),
-                        # order-invariant integer basis points (long sum,
-                        # long div) — no double anywhere in the lineage row
-                        deterministic_avg_bp("quality", 100).alias("avg_quality_bp"),
+                        # order-invariant integer basis points: plain
+                        # long SUM of the fixed-point decode — no double
+                        # and no division anywhere in the lineage row
+                        F.sum(F.round(F.col("quality") * 100, 0)
+                              .cast("long")).alias("quality_bp_sum"),
                         F.min(F.xxhash64("url")).alias("url_hash_min"),
                         F.max(F.xxhash64("url")).alias("url_hash_max"),
                         F.min(F.when(F.col("status") == "error",
@@ -227,7 +235,7 @@ def run_extraction_checkpointed(
              int(r["url_hash_min"]), int(r["url_hash_max"]),
              int(r["row_count"]), int(r["ok_count"]),
              int(r["error_count"]), int(r["token_sum"] or 0),
-             int(r["content_bytes"] or 0), int(r["avg_quality_bp"] or 0),
+             int(r["content_bytes"] or 0), int(r["quality_bp_sum"] or 0),
              now, r["first_error"])
             for r in stats
         ]
