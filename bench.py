@@ -149,6 +149,12 @@ def _calibrated(sf: float, cores: int) -> bool:
     return abs(sf - 0.1) < 1e-9 and cores == 32
 
 
+# queries whose warm time keeps dropping for several executions (JIT
+# convergence across many short stages) — they always run 4 warm
+# passes and publish the series (see _bench_queries)
+_CONVERGENCE_QUERIES = {"simhash_near_dups"}
+
+
 def _bench_queries(spark, sf_dir: str, calibrated: bool = True) -> dict:
     """Headline operator queries (same code paths as the driver contract).
 
@@ -193,6 +199,15 @@ def _bench_queries(spark, sf_dir: str, calibrated: bool = True) -> dict:
         cold[name] = timed()
         steady = STEADY_SEC.get(name) if calibrated else None
         runs = [timed(), timed()]
+        # Convergence-sensitive queries (round-7 finding: simhash's 28
+        # band-join stages keep JIT-compiling for 3-4 executions, so a
+        # single warm pass samples mid-convergence — 6.8 s where the
+        # converged floor is ~5 s) always get 4 warm passes, and the
+        # full series is published in `extra_warm_runs` so the artifact
+        # carries the convergence curve instead of asserting it.
+        min_passes = 4 if name in _CONVERGENCE_QUERIES else 2
+        while len(runs) < min_passes:
+            runs.append(timed())
         while (steady is not None and len(runs) < 5
                and min(runs) > 1.5 * steady):
             runs.append(timed())

@@ -150,3 +150,23 @@ class TestWhitespaceAndEscaping:
 
     def test_blank_div_emits_nothing(self):
         assert conv("<p>a</p><div>   </div><p>b</p>") == "a\n\nb"
+
+
+def test_isspace_matches_regex_whitespace_class():
+    """_all_text_blank replaces the former ^\\s*$ regex with
+    str.isspace(); round-8 advisory claimed U+001C-001F diverge.  They
+    do not: CPython's str.isspace() and sre's \\s both call
+    Py_UNICODE_ISSPACE.  Pin the equivalence over every codepoint that
+    either side considers whitespace plus the full Latin-1 range and
+    the advisory's control block."""
+    import re
+
+    ws = re.compile(r"\s")
+    candidates = (
+        list(range(0x0000, 0x0300))         # ASCII + Latin-1 + advisory block
+        + [0x85, 0xA0, 0x1680, 0x2028, 0x2029, 0x202F, 0x205F, 0x3000]
+        + list(range(0x2000, 0x2010))
+    )
+    for cp in candidates:
+        c = chr(cp)
+        assert c.isspace() == bool(ws.match(c)), hex(cp)

@@ -183,7 +183,11 @@ def _has_meaningful_or_void(node: Node) -> bool:
 
 def _all_text_blank(node: Node) -> bool:
     """True iff every text descendant is whitespace-only — equivalent
-    to ``^\\s*$`` over ``node.text()`` without building the string."""
+    to ``^\\s*$`` over ``node.text()`` without building the string.
+    ``str.isspace()`` and regex ``\\s`` agree on EVERY codepoint in
+    CPython 3 (both call Py_UNICODE_ISSPACE — including U+001C-001F);
+    pinned exhaustively by tests/test_mdemit.py::test_isspace_matches_
+    regex_whitespace_class."""
     stack = list(node.children)
     while stack:
         c = stack.pop()

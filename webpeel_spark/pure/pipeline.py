@@ -311,11 +311,17 @@ def _lite_branch(url: str, html: str, options: ExtractOptions,
         content = lite_html
     elif options.fmt == "text":
         content = md.html_to_text(lite_html)
-    elif options.fmt == "clean":
-        content = md.clean_for_ai(
-            md.html_to_markdown(lite_html, raw=options.raw, prune=False))
     else:
-        content = md.html_to_markdown(lite_html, raw=options.raw, prune=False)
+        # markdown/clean: parse once and hand the DOM to the converter —
+        # the string form costs clean_html's serialize + a re-parse
+        # (byte-equivalence of the two forms is pinned by the round-7
+        # lite identity cases in tests/test_lite_mode.py).  >10MB pages
+        # keep the string path so the clean_html size cap raises
+        # exactly as before (markdown.ts:233).
+        source = (parse_html(lite_html)
+                  if len(lite_html) <= md.MAX_HTML_BYTES else lite_html)
+        converted = md.html_to_markdown(source, raw=options.raw, prune=False)
+        content = md.clean_for_ai(converted) if options.fmt == "clean" else converted
     result["content"] = content
     m = _TITLE_RE.search(lite_html)
     result["title"] = m.group(1).strip() if m else ""
