@@ -190,3 +190,149 @@ class TestSelectorExtensionsR2:
                           "<span>deep</span></p></div>")
         got = [e.text() for e in select(root, ".a ~ .b span")]
         assert got == ["deep"]
+
+
+class TestElementsCache:
+    """Pins the memoized document-order walk (Node.elements_list /
+    Node._elements) against the uncached lazy walk it accelerates:
+    same order, same membership, invalidated by every element-
+    membership mutation, and snapshot-stable for in-flight loops that
+    mutate the tree (the _clean_dom pattern)."""
+
+    DOC = ("<body><header>h</header><div id='a'><p>one</p>"
+           "<p>two<span>s</span></p></div><footer><a href='#'>f</a>"
+           "</footer></body>")
+
+    @staticmethod
+    def _naive_walk(node):
+        """Reference recursive walk: descendant elements, doc order."""
+        out = []
+        for c in node.children:
+            if isinstance(c, Node):
+                out.append(c)
+                out.extend(TestElementsCache._naive_walk(c))
+        return out
+
+    def test_matches_lazy_walk_and_memoizes(self):
+        root = parse_html(self.DOC)
+        lazy = list(root.iter_elements())
+        lst = root.elements_list()
+        assert lst == lazy == self._naive_walk(root)
+        assert root.elements_list() is lst  # cache hit, same object
+        # iter_elements serves the cached snapshot with identical order
+        assert list(root.iter_elements()) == lst
+
+    def test_remove_invalidates_ancestors(self):
+        root = parse_html(self.DOC)
+        body = document_body(root)
+        before_root = root.elements_list()
+        before_body = body.elements_list()
+        victim = select_first(root, "#a")
+        victim.remove()
+        after_root = root.elements_list()
+        assert after_root is not before_root
+        assert after_root == self._naive_walk(root)
+        assert body.elements_list() is not before_body
+        assert victim not in after_root
+        assert all(e.tag != "p" for e in after_root)
+
+    def test_replace_with_html_invalidates(self):
+        root = parse_html(self.DOC)
+        root.elements_list()
+        select_first(root, "span").replace_with_html("<b>x</b><i>y</i>")
+        assert root.elements_list() == self._naive_walk(root)
+        assert [e.tag for e in select(root, "p b, p i")] == ["b", "i"]
+
+    def test_replace_with_text_invalidates(self):
+        root = parse_html(self.DOC)
+        root.elements_list()
+        a = select_first(root, "a")
+        a.replace_with_text(a.text())
+        fresh = root.elements_list()
+        assert fresh == self._naive_walk(root)
+        assert all(e.tag != "a" for e in fresh)
+        assert document_body(root).text().endswith("f")
+
+    def test_append_child_invalidates(self):
+        root = parse_html(self.DOC)
+        root.elements_list()
+        div = select_first(root, "#a")
+        div.append_child(Node("em"))
+        fresh = root.elements_list()
+        assert fresh == self._naive_walk(root)
+        assert fresh[-2].tag == "em" or any(e.tag == "em" for e in fresh)
+
+    def test_text_append_keeps_cache(self):
+        # appending a text child does not change element membership
+        root = parse_html(self.DOC)
+        lst = root.elements_list()
+        select_first(root, "#a").append_child("plain text")
+        assert root.elements_list() is lst
+
+    def test_detached_subtree_keeps_valid_cache(self):
+        root = parse_html(self.DOC)
+        div = select_first(root, "#a")
+        sub = div.elements_list()
+        div.remove()
+        # detached subtree unchanged → its cache still valid
+        assert div.elements_list() is sub
+        assert sub == self._naive_walk(div)
+
+    def test_mutation_during_iteration_is_snapshot(self):
+        # the _clean_dom pattern: iterate the memoized list while
+        # removing nodes.  Must behave exactly like the pre-cache
+        # idiom `for el in list(root.iter_elements())`.
+        html = ("<body><header>x</header><div><header>y</header>"
+                "<p>keep</p></div><header>z</header></body>")
+        ref = parse_html(html)
+        for el in list(ref.iter_elements()):
+            if el.tag == "header":
+                el.remove()
+        cached = parse_html(html)
+        for el in cached.elements_list():
+            if el.tag == "header":
+                el.remove()
+        assert cached.html() == ref.html()
+        assert cached.elements_list() == self._naive_walk(cached)
+
+    def test_clone_has_no_stale_cache(self):
+        root = parse_html(self.DOC)
+        root.elements_list()
+        body = document_body(root)
+        c = body.clone()
+        assert c.elements_list() == self._naive_walk(c)
+        assert len(c.elements_list()) == len(body.elements_list())
+
+    def test_differential_random_mutations(self):
+        # seeded random trees + random mutation sequences; after every
+        # step the memoized walk must equal the naive recursive walk
+        import random
+
+        rng = random.Random(1730)
+        tags = ["div", "p", "span", "b", "ul", "li"]
+        for _ in range(40):
+            root = Node("#root")
+            pool = [root]
+            for i in range(rng.randint(5, 60)):
+                parent = rng.choice(pool)
+                n = Node(rng.choice(tags))
+                parent.append_child(n)
+                if rng.random() < 0.3:
+                    parent.append_child("t%d" % i)
+                pool.append(n)
+            assert root.elements_list() == self._naive_walk(root)
+            for _ in range(rng.randint(1, 15)):
+                els = root.elements_list()
+                if not els:
+                    break
+                node = rng.choice(els)
+                op = rng.random()
+                if op < 0.5:
+                    node.remove()
+                elif op < 0.7:
+                    node.replace_with_text("x")
+                elif op < 0.9:
+                    node.append_child(Node(rng.choice(tags)))
+                else:
+                    node.replace_with_html("<i>r</i>")
+                assert root.elements_list() == self._naive_walk(root)

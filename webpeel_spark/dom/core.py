@@ -63,13 +63,30 @@ _P_CLOSERS = frozenset(
 class Node:
     """An element node. Text children are plain ``str``."""
 
-    __slots__ = ("tag", "attrs", "children", "parent")
+    __slots__ = ("tag", "attrs", "children", "parent", "_elements")
 
     def __init__(self, tag: str, attrs: Optional[dict] = None):
         self.tag = tag
         self.attrs: dict = attrs if attrs is not None else {}
         self.children: list = []
         self.parent: Optional["Node"] = None
+        # memoized document-order descendant-element list (see
+        # elements_list): populated by the first full materializing
+        # walk, dropped for every ancestor on any element-membership
+        # mutation (remove / replace_with_html / append_child).  Full
+        # walks are the hottest loop in extraction (junk sweep, anchor
+        # collection, selector engine) and most of them run on a tree
+        # that hasn't mutated since the previous walk.
+        self._elements: Optional[list] = None
+
+    def _invalidate_up(self) -> None:
+        """Drop cached element lists on self and every ancestor — the
+        exact set whose descendant lists a membership change under
+        ``self`` affects (detached subtrees keep their caches)."""
+        n = self
+        while n is not None:
+            n._elements = None
+            n = n.parent
 
     # ── attribute helpers ────────────────────────────────────────────
     def get(self, name: str, default=None):
@@ -81,7 +98,20 @@ class Node:
 
     # ── tree navigation ──────────────────────────────────────────────
     def iter_elements(self) -> Iterator["Node"]:
-        """All descendant elements, document order, self excluded."""
+        """All descendant elements, document order, self excluded.
+
+        Served from the memoized list when one is cached (see
+        elements_list).  Snapshot iteration is behavior-identical to
+        the lazy walk for every consumer in this codebase: mutating
+        consumers materialize the walk first (``select`` returns a
+        list), and the lazy walk itself already visits subtrees of
+        nodes removed mid-iteration (children are pushed on resume,
+        after the consumer ran) — pinned by
+        tests/test_dom.py::TestElementsCache."""
+        els = self._elements
+        if els is not None:
+            yield from els
+            return
         # list-comp (not genexpr) inside extend: one C-level pass, no
         # generator frame per node — this is the hottest loop in the
         # selector engine
@@ -92,6 +122,25 @@ class Node:
             if node.children:
                 stack.extend(
                     [c for c in reversed(node.children) if isinstance(c, Node)])
+
+    def elements_list(self) -> list:
+        """Materialized ``iter_elements`` with memoization.  Callers
+        must not mutate the returned list (they may mutate the TREE —
+        that drops the cache via _invalidate_up without touching the
+        list object an in-flight loop is reading)."""
+        els = self._elements
+        if els is None:
+            els = []
+            stack = [c for c in reversed(self.children) if isinstance(c, Node)]
+            while stack:
+                node = stack.pop()
+                els.append(node)
+                if node.children:
+                    stack.extend(
+                        [c for c in reversed(node.children)
+                         if isinstance(c, Node)])
+            self._elements = els
+        return els
 
     def element_children(self) -> list:
         return [c for c in self.children if isinstance(c, Node)]
@@ -121,6 +170,7 @@ class Node:
     # ── mutation ─────────────────────────────────────────────────────
     def remove(self) -> None:
         if self.parent is not None:
+            self.parent._invalidate_up()
             try:
                 self.parent.children.remove(self)
             except ValueError:
@@ -131,6 +181,7 @@ class Node:
         """Replace this node with nodes parsed from an HTML fragment."""
         if self.parent is None:
             return
+        self.parent._invalidate_up()
         frag = parse_fragment(html)
         idx = self.parent.children.index(self)
         new_children = list(frag.children)
@@ -140,15 +191,34 @@ class Node:
         self.parent.children[idx : idx + 1] = new_children
         self.parent = None
 
+    def replace_with_text(self, text: str) -> None:
+        """Replace this node with a plain text child of its parent."""
+        if self.parent is None:
+            return
+        self.parent._invalidate_up()
+        idx = self.parent.children.index(self)
+        self.parent.children[idx] = text
+        self.parent = None
+
     def append_child(self, child) -> None:
         if isinstance(child, Node):
             child.parent = self
+            self._invalidate_up()
         self.children.append(child)
 
     def clone(self) -> "Node":
+        # direct appends: every node in the copy is fresh, so no element
+        # cache can exist to invalidate (append_child would walk the
+        # ancestor chain once per cloned node)
         n = Node(self.tag, dict(self.attrs))
+        cc = n.children
         for c in self.children:
-            n.append_child(c.clone() if isinstance(c, Node) else c)
+            if isinstance(c, Node):
+                c2 = c.clone()
+                c2.parent = n
+                cc.append(c2)
+            else:
+                cc.append(c)
         return n
 
     # ── serialization ────────────────────────────────────────────────
@@ -237,7 +307,11 @@ class _TreeBuilder(HTMLParser):
 
         if self.xml:
             node = Node(tag, attr_dict)
-            self._target().append_child(node)
+            # parser-internal fast append (see handle_starttag below):
+            # no cache can exist mid-parse
+            parent = self._target()
+            node.parent = parent
+            parent.children.append(node)
             self.stack.append(node)
             return
 
@@ -276,7 +350,11 @@ class _TreeBuilder(HTMLParser):
 
         node = Node(tag, attr_dict)
         parent = self._resolve_parent(tag)
-        parent.append_child(node)
+        # parser-internal fast append: no cache can exist mid-parse, so
+        # skip append_child's _invalidate_up ancestor walk (this runs
+        # once per element — the hottest allocation site in extraction)
+        node.parent = parent
+        parent.children.append(node)
         if tag not in VOID_TAGS:
             self.stack.append(node)
 

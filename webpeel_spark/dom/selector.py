@@ -284,10 +284,10 @@ def select(root: Node, selector: str) -> List[Node]:
                 and not simple.classes and not simple.ids
                 and not simple.attrs and not simple.pseudos):
             tag = simple.tag
-            return [n for n in root.iter_elements() if n.tag == tag]
-        return [n for n in root.iter_elements() if simple.matches(n)]
+            return [n for n in root.elements_list() if n.tag == tag]
+        return [n for n in root.elements_list() if simple.matches(n)]
     out = []
-    for node in root.iter_elements():
+    for node in root.elements_list():
         for chain in chains:
             if _chain_matches(chain, node):
                 out.append(node)
@@ -403,7 +403,9 @@ class BulkMatcher:
         return False
 
     def select(self, root: Node) -> List[Node]:
-        return [n for n in root.iter_elements() if self.matches(n)]
+        # elements_list: memoized full walk (these sweeps run on trees
+        # that usually haven't mutated since the previous full walk)
+        return [n for n in root.elements_list() if self.matches(n)]
 
 
 class PriorityMatcher:

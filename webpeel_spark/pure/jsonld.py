@@ -131,7 +131,9 @@ def collect_anchors_and_ld(root):
     (href presence resp. exact type match; tags/attr names are already
     lowercased by the parser)."""
     anchors, ld_scripts = [], []
-    for el in root.iter_elements():
+    # elements_list: populates the tree's memoized walk, which the
+    # selector engine and junk sweep reuse until the first mutation
+    for el in root.elements_list():
         t = el.tag
         if t == "a":
             if "href" in el.attrs:

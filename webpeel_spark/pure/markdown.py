@@ -165,15 +165,15 @@ def _clean_dom(root: Node) -> None:
     # first, then footers measured on the header-free tree (a footer
     # whose length cleared 200 only because of a nested junk header must
     # still drop), then sidebar asides
-    for el in list(root.iter_elements()):
+    for el in root.elements_list():
         if el.tag == "header" or el.attrs.get("role") == "banner":
             if len(el.text().strip()) < 200:
                 el.remove()
-    for el in list(root.iter_elements()):
+    for el in root.elements_list():
         if el.tag == "footer" or el.attrs.get("role") == "contentinfo":
             if len(el.text().strip()) < 200:
                 el.remove()
-    for el in list(root.iter_elements()):
+    for el in root.elements_list():
         if el.tag == "aside" and (el.attrs.get("role") == "complementary"
                                   or "sidebar" in (el.attrs.get("class") or "")):
             el.remove()
@@ -183,12 +183,12 @@ def _clean_dom(root: Node) -> None:
 
     # p:empty / div:empty (no children at all — empty text nodes are
     # never stored, so "no children" is exactly the :empty pseudo here)
-    for el in list(root.iter_elements()):
+    for el in root.elements_list():
         if el.tag in ("p", "div") and not el.children:
             el.remove()
 
     # remove whitespace-only leaf elements
-    for el in list(root.iter_elements()):
+    for el in root.elements_list():
         if not el.element_children() and not el.text().strip():
             if el.parent is not None:
                 el.remove()

@@ -357,8 +357,9 @@ def _clean_candidate(candidate: Node, include_images: bool, include_links: bool,
     if not include_links:
         for el in [e for e in candidate.iter_elements() if e.tag == "a"]:
             if el.parent is not None:
-                idx = el.parent.children.index(el)
-                el.parent.children[idx] = el.text()
+                # replace_with_text (not direct children surgery): the
+                # element-membership change must drop ancestor caches
+                el.replace_with_text(el.text())
     if not include_code:
         for el in select(candidate, "pre, code"):
             el.remove()
