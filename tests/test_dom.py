@@ -336,3 +336,53 @@ class TestElementsCache:
                 else:
                     node.replace_with_html("<i>r</i>")
                 assert root.elements_list() == self._naive_walk(root)
+
+
+class TestCacheEndToEndDifferential:
+    """The strongest pin for the memoized walk: the full extraction
+    envelope must be byte-identical with the cache active vs forcibly
+    disabled (every elements_list call recomputes).  Catches any
+    consumer that silently depends on stale-snapshot vs fresh-walk
+    differences anywhere in the pipeline."""
+
+    def test_extract_page_identical_with_cache_disabled(self, monkeypatch):
+        from webpeel_spark.pure.pipeline import DEFAULT_OPTIONS, ExtractOptions, extract_page
+        from webpeel_spark.sources.corpus import generate_rows
+        import webpeel_spark.dom.core as dom_core
+
+        rows = generate_rows(120, seed=31)
+        option_sets = [
+            DEFAULT_OPTIONS,
+            ExtractOptions(fmt="text"),
+            ExtractOptions(fmt="clean"),
+            ExtractOptions(selector="article, .content"),
+            ExtractOptions(exclude_tags=("script", "nav")),
+            ExtractOptions(lite=True),
+            ExtractOptions(readable=True, budget_tokens=400),
+        ]
+
+        def run_all():
+            out = []
+            for opts in option_sets:
+                for r in rows[:: len(option_sets)]:
+                    out.append(extract_page(r["url"], r["html"], opts))
+            return out
+
+        with_cache = run_all()
+
+        def uncached(self):
+            els = []
+            stack = [c for c in reversed(self.children)
+                     if isinstance(c, dom_core.Node)]
+            while stack:
+                node = stack.pop()
+                els.append(node)
+                if node.children:
+                    stack.extend(
+                        [c for c in reversed(node.children)
+                         if isinstance(c, dom_core.Node)])
+            return els
+
+        monkeypatch.setattr(dom_core.Node, "elements_list", uncached)
+        without_cache = run_all()
+        assert with_cache == without_cache
