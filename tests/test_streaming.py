@@ -155,3 +155,73 @@ def test_stream_change_tracking_stateful(spark, tmp_path):
             assert r["fingerprint_old"] != r["fingerprint_new"]
         else:
             assert r["fingerprint_old"] == r["fingerprint_new"]
+
+
+def test_stream_change_tracking_rocksdb_equivalent(spark, tmp_path):
+    """The RocksDB state store (the documented 10^12-url configuration,
+    selected via get_spark(state_store="rocksdb") / soak --rocksdb) is
+    a provider swap, not a semantics change: the same two-snapshot
+    change-tracking flow must emit byte-identical rows under RocksDB
+    and under the default in-memory HDFS-backed store."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from webpeel_spark.streaming.extract_stream import (
+        stream_change_tracking,
+    )
+
+    inp = tmp_path / "in"
+    inp.mkdir()
+    _write_batch(str(inp / "b0.parquet"), 18, seed=11)
+    t = pq.read_table(str(inp / "b0.parquet"))
+    htmls, urls = t["html"].to_pylist(), t["url"].to_pylist()
+    for i in range(0, len(htmls), 3):
+        if b"content" in (htmls[i] or b"") and not urls[i].endswith(
+                (".pdf", ".docx")):
+            htmls[i] = htmls[i].replace(b"content", b"content-v2")
+    t2 = t.set_column(t.schema.get_field_index("html"), "html",
+                      pa.array(htmls, pa.binary()))
+
+    def run(tag: str) -> list:
+        base = tmp_path / tag
+        sin = base / "in"
+        sin.mkdir(parents=True)
+        pq.write_table(t, str(sin / "b0.parquet"))
+        q = stream_change_tracking(spark, str(sin), str(base / "out"),
+                                   str(base / "ck"))
+        q.awaitTermination(120)
+        pq.write_table(t2, str(sin / "b1.parquet"))
+        q2 = stream_change_tracking(spark, str(sin), str(base / "out"),
+                                    str(base / "ck"))
+        q2.awaitTermination(120)
+        return sorted(
+            spark.read.parquet(str(base / "out")).collect(),
+            key=lambda r: (r["url"], r["change"], r["fingerprint_new"]))
+
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    default_rows = run("hdfs_store")
+    prev = spark.conf.get(conf_key, None)
+    try:
+        spark.conf.set(
+            conf_key,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider")
+        rocksdb_rows = run("rocksdb_store")
+    finally:
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)
+
+    assert rocksdb_rows == default_rows
+    labels = {r["change"] for r in rocksdb_rows}
+    assert labels == {"added", "changed", "unchanged"}
+
+
+def test_get_spark_rejects_unknown_state_store():
+    import pytest as _pytest
+
+    from webpeel_spark.session import get_spark
+
+    with _pytest.raises(ValueError, match="unknown state_store"):
+        get_spark(state_store="bogus")

@@ -100,6 +100,10 @@ def main() -> None:
     ap.add_argument("--pages", type=int, default=96000)
     ap.add_argument("--cores", type=int,
                     default=int(os.environ.get("SPARK_GRAFT_CPUS", "16")))
+    ap.add_argument("--rocksdb", action="store_true",
+                    help="RocksDB state store + changelog checkpointing "
+                    "(the documented 10^12-url configuration) instead of "
+                    "the in-memory HDFS-backed default")
     args = ap.parse_args()
 
     from webpeel_spark.session import get_spark
@@ -111,7 +115,8 @@ def main() -> None:
     ck = os.path.join(work, "ck")
     os.makedirs(inp)
 
-    spark = get_spark(app_name="stream-soak", cores=args.cores)
+    spark = get_spark(app_name="stream-soak", cores=args.cores,
+                      state_store="rocksdb" if args.rocksdb else "hdfs")
     spark.sparkContext.setLogLevel("ERROR")
     try:
         # actual row count, not the requested n: the corpus generator
@@ -132,6 +137,7 @@ def main() -> None:
             "metric": "stream_change_tracking_soak",
             "pages_per_snapshot": n_rows,
             "cores": args.cores,
+            "state_store": "rocksdb" if args.rocksdb else "hdfs",
             "pass1": {**p1, "docs_per_sec":
                       round(n_rows / p1["wall_sec"], 1)},
             "pass2": {**p2, "docs_per_sec":

@@ -18,7 +18,15 @@ from pyspark.sql import SparkSession
 
 
 def get_spark(app_name: str = "webpeel-spark", cores: int | None = None,
-              shuffle_partitions: int | None = None) -> SparkSession:
+              shuffle_partitions: int | None = None,
+              state_store: str = "hdfs") -> SparkSession:
+    """``state_store="rocksdb"`` selects the RocksDB state-store
+    provider with changelog checkpointing — the configuration the
+    streaming change tracker documents for 10^12-url state (the
+    default in-memory HDFS-backed store holds every key on-heap;
+    RocksDB spills to local disk and checkpoints deltas).  Provider
+    choice is a session-level conf, so it must be set HERE, before any
+    stateful query starts — it cannot change per-query."""
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
@@ -37,4 +45,17 @@ def get_spark(app_name: str = "webpeel-spark", cores: int | None = None,
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    if state_store == "rocksdb":
+        builder = (
+            builder.config(
+                "spark.sql.streaming.stateStore.providerClass",
+                "org.apache.spark.sql.execution.streaming.state."
+                "RocksDBStateStoreProvider")
+            # checkpoint per-batch deltas instead of full snapshots —
+            # at 10^12 keys a full-snapshot upload per micro-batch is
+            # the bottleneck, changelogs are O(batch), not O(state)
+            .config("spark.sql.streaming.stateStore.rocksdb."
+                    "changelogCheckpointing.enabled", "true"))
+    elif state_store != "hdfs":
+        raise ValueError(f"unknown state_store: {state_store!r}")
     return builder.getOrCreate()
