@@ -225,3 +225,137 @@ def test_get_spark_rejects_unknown_state_store():
 
     with _pytest.raises(ValueError, match="unknown state_store"):
         get_spark(state_store="bogus")
+
+
+def _snapshot_table(src_path: str, day: str, urls_keep=None, edit=False):
+    """Corpus rows as a PAGES_SCHEMA arrow table stamped at ``day``."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(src_path)
+    urls = t["url"].to_pylist()
+    htmls = t["html"].to_pylist()
+    rows = [(u, h) for u, h in zip(urls, htmls)
+            if urls_keep is None or u in urls_keep]
+    if edit:
+        rows = [(u, h.replace(b"content", b"content-v2")
+                 if h and b"content" in h else h) for u, h in rows]
+    ts = datetime.datetime.fromisoformat(day + "T12:00:00")
+    n = len(rows)
+    return pa.table({
+        "url": pa.array([r[0] for r in rows], pa.string()),
+        "warc_ts": pa.array([ts] * n, pa.timestamp("us")),
+        "html": pa.array([r[1] for r in rows], pa.binary()),
+        "text": pa.array([None] * n, pa.string()),
+        "lang": pa.array([None] * n, pa.string()),
+    })
+
+
+def test_stream_change_tracking_state_ttl(spark, tmp_path):
+    """state_ttl: a url unseen for longer than the TTL is forgotten —
+    its revisit emits 'added' again (not 'changed'), and keys with no
+    further data are EVICTED via the event-time timeout, bounding
+    state size.  Within the TTL, semantics are unchanged."""
+    import pyarrow.parquet as pq
+
+    from webpeel_spark.streaming.extract_stream import (
+        stream_change_tracking,
+    )
+
+    src = tmp_path / "src.parquet"
+    _write_batch(str(src), 12, seed=9)
+    all_urls = set(pq.read_table(str(src))["url"].to_pylist())
+    half = set(sorted(all_urls)[: len(all_urls) // 2])
+
+    inp = tmp_path / "in"
+    inp.mkdir()
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+
+    def run():
+        q = stream_change_tracking(spark, str(inp), out, ck,
+                                   state_ttl="30 days")
+        q.awaitTermination(120)
+        return q
+
+    # day 1: every url added
+    pq.write_table(_snapshot_table(str(src), "2024-01-01"),
+                   str(inp / "b0.parquet"))
+    run()
+    r0 = spark.read.parquet(out).collect()
+    assert {r["change"] for r in r0} == {"added"}
+    n = len(r0)
+
+    # day 10 (< TTL): only HALF the urls return, edited — they are
+    # 'changed'/'unchanged' exactly as without TTL
+    pq.write_table(_snapshot_table(str(src), "2024-01-10",
+                                   urls_keep=half, edit=True),
+                   str(inp / "b1.parquet"))
+    run()
+    mid = [r for r in spark.read.parquet(out).collect()
+           if r["warc_ts"].month == 1 and r["warc_ts"].day == 10]
+    assert len(mid) == len(half)
+    assert {r["change"] for r in mid} <= {"changed", "unchanged"}
+
+    # day 60, same half again: gap since day 10 is 50d > TTL, so the
+    # revisit is 'added' again (the in-function last-seen rule — the
+    # eviction timeout for these keys hadn't fired yet: event-time
+    # timeouts run one micro-batch AFTER the watermark advances, and
+    # each availableNow run here is a single batch)
+    pq.write_table(_snapshot_table(str(src), "2024-02-29",
+                                   urls_keep=half),
+                   str(inp / "b2.parquet"))
+    run()
+    late = [r for r in spark.read.parquet(out).collect()
+            if r["warc_ts"].month == 2]
+    assert len(late) == len(half)
+    assert {r["change"] for r in late} == {"added"}
+
+    # day 61, one url: this batch runs with the watermark already at
+    # ~day 60, far past the OTHER half's day-1+TTL timeout — those
+    # keys (no data since day 1) fire hasTimedOut and are evicted:
+    # state row count drops to exactly the still-live half.  (The
+    # numRowsRemoved progress counter stays 0 for user-initiated
+    # state.remove() in applyInPandasWithState — numRowsTotal is the
+    # reliable signal.)  The single revisited url is 1 day past its
+    # day-60 sighting: within TTL, so plain 'unchanged'.
+    probe = sorted(half)[0]
+    pq.write_table(_snapshot_table(str(src), "2024-03-01",
+                                   urls_keep={probe}),
+                   str(inp / "b3.parquet"))
+    q = run()
+    last = [r for r in spark.read.parquet(out).collect()
+            if r["warc_ts"].month == 3]
+    assert [r["change"] for r in last] == ["unchanged"]
+    totals = [op["numRowsTotal"] for p in q.recentProgress
+              for op in (p.get("stateOperators") or [])]
+    assert totals and totals[-1] == len(half)  # past-TTL keys evicted
+
+
+def test_stream_change_tracking_no_ttl_unchanged(spark, tmp_path):
+    """Default path (state_ttl=None) still uses NoTimeout and never
+    forgets: a 59-day gap revisit is 'unchanged', not 'added'."""
+    import pyarrow.parquet as pq
+
+    from webpeel_spark.streaming.extract_stream import (
+        stream_change_tracking,
+    )
+
+    src = tmp_path / "src.parquet"
+    _write_batch(str(src), 8, seed=13)
+    inp = tmp_path / "in"
+    inp.mkdir()
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+
+    pq.write_table(_snapshot_table(str(src), "2024-01-01"),
+                   str(inp / "b0.parquet"))
+    q = stream_change_tracking(spark, str(inp), out, ck)
+    q.awaitTermination(120)
+    pq.write_table(_snapshot_table(str(src), "2024-02-29"),
+                   str(inp / "b1.parquet"))
+    q = stream_change_tracking(spark, str(inp), out, ck)
+    q.awaitTermination(120)
+    late = [r for r in spark.read.parquet(out).collect()
+            if r["warc_ts"].month == 2]
+    assert late and {r["change"] for r in late} == {"unchanged"}

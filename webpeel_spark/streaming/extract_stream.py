@@ -89,7 +89,9 @@ def stream_extraction(spark: SparkSession, input_dir: str, out_dir: str,
 
 def stream_change_tracking(spark: SparkSession, input_dir: str,
                            out_dir: str, checkpoint_dir: str,
-                           options=None, available_now: bool = True):
+                           options=None, available_now: bool = True,
+                           state_ttl: Optional[str] = None,
+                           late_data_watermark: str = "1 hour"):
     """Stateful change tracking: per-url fingerprint state across
     micro-batches via ``applyInPandasWithState`` — the streaming face
     of watch.ts polling (batch analog: operators/extract
@@ -99,23 +101,58 @@ def stream_change_tracking(spark: SparkSession, input_dir: str,
     persists — a restart resumes with every url's last-seen
     fingerprint intact.
 
-    State size is one 64-hex fingerprint per url — at 10^12 urls this
-    wants RocksDB state store + watermark-based state TTL; here the
-    in-memory HDFS-backed store suffices.  Labels match
-    change_detection (``removed`` cannot occur in an append-only
-    stream: absence of new data for a url is not an event)."""
+    State size is one fingerprint + last-seen timestamp per url — at
+    10^12 urls this wants the RocksDB state store
+    (``get_spark(state_store="rocksdb")``) plus ``state_ttl``, the
+    watermark-based eviction that bounds state to urls seen within the
+    TTL window.  ``state_ttl`` (a pandas-parsable duration, e.g.
+    ``"30 days"``) has ONE semantic: a url unseen for longer than the
+    TTL is forgotten — its state is evicted when the event-time
+    watermark (which trails the stream maximum by
+    ``late_data_watermark``) passes last_seen + TTL, and a later
+    revisit emits ``added`` again.  The revisit rule is enforced
+    in-function from the stored last-seen timestamp, so it holds even
+    when the revisit lands in the same micro-batch that would have
+    fired the timeout; the GroupState timeout handles the pure
+    eviction (keys with no further data), which is what actually
+    bounds state size.  Labels match change_detection (``removed``
+    cannot occur in an append-only stream: absence of new data for a
+    url is not an event)."""
     import pandas as pd
     from pyspark.sql.streaming.state import (
         GroupState, GroupStateTimeout,
     )
 
+    ttl_ms = None
+    if state_ttl is not None:
+        ttl_ms = int(pd.Timedelta(state_ttl).total_seconds() * 1000)
+        if ttl_ms <= 0:
+            raise ValueError(f"state_ttl must be positive: {state_ttl!r}")
+
     pages = read_pages_stream(spark, input_dir)
     envelopes = extracted_stream(pages, options).select(
         "url", "warc_ts", "fingerprint")
+    if ttl_ms is not None:
+        # the watermark drives event-time timeouts; it trails the
+        # stream's max warc_ts by late_data_watermark (lateness budget)
+        envelopes = envelopes.withWatermark("warc_ts", late_data_watermark)
+
+    out_cols = ["url", "change", "fingerprint_old", "fingerprint_new",
+                "warc_ts"]
 
     def track(key, pdfs, state: GroupState):
         url = key[0]
-        prev = state.get[0] if state.exists else None
+        if state.hasTimedOut:
+            # event-time watermark passed last_seen + TTL with no new
+            # data for this url: forget it (state-size bound at 10^12)
+            state.remove()
+            yield pd.DataFrame([], columns=out_cols)
+            return
+        prev, prev_ts = None, None
+        if state.exists:
+            s = state.get
+            prev = s[0]
+            prev_ts = s[1] if len(s) > 1 else None
         rows = []
         batch = pd.concat(list(pdfs), ignore_index=True)
         if len(batch):
@@ -123,6 +160,13 @@ def stream_change_tracking(spark: SparkSession, input_dir: str,
             # newest fingerprint even if one micro-batch holds several
             batch = batch.sort_values("warc_ts")
             for _, row in batch.iterrows():
+                ts_ms = int(row["warc_ts"].value // 1_000_000)
+                if (ttl_ms is not None and prev is not None
+                        and prev_ts is not None
+                        and ts_ms - prev_ts > ttl_ms):
+                    # unseen past the TTL: this sighting is a fresh add
+                    # even if eviction hadn't fired yet (same-batch case)
+                    prev = None
                 fp = row["fingerprint"]
                 if prev is None:
                     change = "added"
@@ -131,20 +175,25 @@ def stream_change_tracking(spark: SparkSession, input_dir: str,
                 else:
                     change = "unchanged"
                 rows.append((url, change, prev, fp, row["warc_ts"]))
-                prev = fp
-            state.update((prev,))
-        yield pd.DataFrame(rows, columns=[
-            "url", "change", "fingerprint_old", "fingerprint_new",
-            "warc_ts"])
+                prev, prev_ts = fp, ts_ms
+            state.update((prev, prev_ts))
+            if ttl_ms is not None:
+                # must stay ahead of the current watermark or Spark
+                # rejects the timestamp (late data can put last_seen+TTL
+                # behind it — such a key is due for eviction ASAP)
+                state.setTimeoutTimestamp(
+                    max(prev_ts + ttl_ms, state.getCurrentWatermarkMs() + 1))
+        yield pd.DataFrame(rows, columns=out_cols)
 
     changes = envelopes.groupBy("url").applyInPandasWithState(
         track,
         outputStructType=("url string, change string, "
                           "fingerprint_old string, fingerprint_new string, "
                           "warc_ts timestamp"),
-        stateStructType="fingerprint string",
+        stateStructType="fingerprint string, last_ts long",
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(GroupStateTimeout.EventTimeTimeout if ttl_ms is not None
+                     else GroupStateTimeout.NoTimeout),
     )
     writer = (
         changes.writeStream.format("parquet")
