@@ -359,3 +359,69 @@ def test_stream_change_tracking_no_ttl_unchanged(spark, tmp_path):
     late = [r for r in spark.read.parquet(out).collect()
             if r["warc_ts"].month == 2]
     assert late and {r["change"] for r in late} == {"unchanged"}
+
+
+def test_stream_change_tracking_ttl_rocksdb(spark, tmp_path):
+    """The FULL 10^12-url configuration in one flow: RocksDB state
+    store + event-time TTL eviction.  The prior two tests cover each
+    half separately; this one pins that EventTimeTimeout firing,
+    state.remove() eviction, and the past-TTL re-add rule behave
+    identically under RocksDBStateStoreProvider — byte-identical
+    output rows vs the default HDFS-backed store, and the RocksDB
+    run's numRowsTotal drops to the live-key count after eviction."""
+    import pyarrow.parquet as pq
+
+    from webpeel_spark.streaming.extract_stream import (
+        stream_change_tracking,
+    )
+
+    src = tmp_path / "src.parquet"
+    _write_batch(str(src), 10, seed=17)
+    all_urls = set(pq.read_table(str(src))["url"].to_pylist())
+    half = set(sorted(all_urls)[: len(all_urls) // 2])
+    probe = sorted(half)[0]
+
+    def run_flow(tag: str):
+        """day1 all urls; day60 half (past 30d TTL → re-add); day61
+        one url (batch whose watermark evicts the day-1-only keys)."""
+        base = tmp_path / tag
+        sin = base / "in"
+        sin.mkdir(parents=True)
+        out, ck = str(base / "out"), str(base / "ck")
+        last_q = None
+        for day, keep in (("2024-01-01", None), ("2024-02-29", half),
+                          ("2024-03-01", {probe})):
+            pq.write_table(_snapshot_table(str(src), day,
+                                           urls_keep=keep),
+                           str(sin / f"b{day}.parquet"))
+            last_q = stream_change_tracking(spark, sin.as_posix(), out,
+                                            ck, state_ttl="30 days")
+            last_q.awaitTermination(120)
+        rows = sorted(spark.read.parquet(out).collect(),
+                      key=lambda r: (r["warc_ts"], r["url"]))
+        return rows, last_q
+
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    default_rows, _ = run_flow("hdfs_ttl")
+    prev = spark.conf.get(conf_key, None)
+    try:
+        spark.conf.set(
+            conf_key,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider")
+        rocksdb_rows, rq = run_flow("rocksdb_ttl")
+    finally:
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)
+
+    assert rocksdb_rows == default_rows
+    # day-60 revisits are past the TTL: re-added, not changed
+    feb = [r for r in rocksdb_rows if r["warc_ts"].month == 2]
+    assert len(feb) == len(half)
+    assert {r["change"] for r in feb} == {"added"}
+    # eviction fired under RocksDB: only the still-live keys remain
+    totals = [op["numRowsTotal"] for p in rq.recentProgress
+              for op in (p.get("stateOperators") or [])]
+    assert totals and totals[-1] == len(half)
