@@ -332,7 +332,13 @@ def _skew_bench(cores: int, n_pages: int, trials: int = 3,
         parts = partitioned.mapInPandas(
             timed_fn, "rows long, sec double").collect()
         wall = time.perf_counter() - t0
-        secs = sorted(float(r["sec"]) for r in parts)
+        # median over NON-EMPTY tasks only: host-partitioning at high
+        # core counts leaves many empty partitions (≈1e-5 s each) that
+        # would drag the median to ~0 and blow up max/median into a
+        # meaningless 1e10 — the straggler ratio is about tasks that
+        # did work
+        secs = sorted(float(r["sec"]) for r in parts
+                      if int(r["rows"]) > 0)
         docs = sum(int(r["rows"]) for r in parts)
         med = secs[len(secs) // 2] if secs else 0.0
         return {"wall_sec": round(wall, 3), "docs": docs,
@@ -341,7 +347,8 @@ def _skew_bench(cores: int, n_pages: int, trials: int = 3,
                 "task_sec_median": round(med, 3),
                 "max_over_median": round(secs[-1] / max(med, 1e-9), 2)
                 if secs else 0.0,
-                "tasks": len(secs)}
+                "tasks": len(secs),
+                "tasks_empty": len(parts) - len(secs)}
 
     by_url = pages.repartition(nparts, F.xxhash64("url"))
     by_host = pages.repartition(nparts, url_host())

@@ -179,3 +179,47 @@ class TestLinkCapRules:
         r = extract_page(URL, _big_page(True), ExtractOptions())
         assert r["method"].startswith("jsonld:")
         assert "https://example.org/deep" not in r["links"]
+
+
+AUTH_DOMAIN_PAGE = """
+<html><head><title>Sign in - Medium</title></head><body>
+  <h1>Members-only preview</h1>
+  <p>Short teaser.</p>
+  <form action="/m/signin" method="post">
+    <input type="email" name="email" />
+    <input type="password" name="password" />
+    <button type="submit">Sign in</button>
+  </form>
+</body></html>
+"""
+
+
+class TestAuthWallBeforeDomainPass:
+    def test_auth_flag_coexists_with_domain_content(self):
+        # Stage order pin: the reference's auth-wall check is the END
+        # of parseContent (stage 5, pipeline.ts:1198-1218) and reads
+        # ctx.content BEFORE postProcess's domain extraction (stage 6,
+        # :1361-1387) replaces it; buildResult (:1856) then spreads
+        # authRequired unconditionally.  So a domain-extractor page
+        # whose generic conversion is sparse ships BOTH the flag and
+        # the domain content — reference-faithful, not a port bug.
+        r = extract_page("https://medium.com/@someone/teaser-1",
+                         AUTH_DOMAIN_PAGE.encode(), ExtractOptions())
+        assert r["method"] == "domain"
+        assert r["extractor"] == "medium.com"
+        assert r["auth_required"] is True
+        assert "Members-only preview" in r["content"]
+
+    def test_auth_check_reads_pre_domain_sparseness(self):
+        # the <800-char gate is evaluated on the GENERIC conversion
+        # (ctx.content at stage 5), not on the domain content that
+        # replaces it — a page whose generic conversion is substantial
+        # never reaches detect_auth_wall even if the domain content is
+        # short (here: both substantial, flag stays False)
+        body = "<p>" + ("Plenty of ordinary paragraph words here. "
+                        * 40) + "</p>"
+        page = AUTH_DOMAIN_PAGE.replace("<p>Short teaser.</p>", body)
+        r = extract_page("https://medium.com/@someone/teaser-2",
+                         page.encode(), ExtractOptions())
+        assert r["method"] == "domain"
+        assert r["auth_required"] is False

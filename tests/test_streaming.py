@@ -425,3 +425,47 @@ def test_stream_change_tracking_ttl_rocksdb(spark, tmp_path):
     totals = [op["numRowsTotal"] for p in rq.recentProgress
               for op in (p.get("stateOperators") or [])]
     assert totals and totals[-1] == len(half)
+
+
+def test_stream_change_tracking_out_of_order_dropped(spark, tmp_path):
+    """A late file whose rows PREDATE the stored last-seen must not
+    regress state: the old sighting is dropped (per-batch sort only
+    orders within one micro-batch), so it emits nothing, and a later
+    re-sighting of the CURRENT fingerprint is 'unchanged' — not the
+    spurious 'changed' a regressed fingerprint would produce."""
+    import pyarrow.parquet as pq
+
+    from webpeel_spark.streaming.extract_stream import (
+        stream_change_tracking,
+    )
+
+    src = tmp_path / "src.parquet"
+    _write_batch(str(src), 8, seed=21)
+    inp = tmp_path / "in"
+    inp.mkdir()
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+
+    def run():
+        q = stream_change_tracking(spark, str(inp), out, ck)
+        q.awaitTermination(120)
+
+    # batch 0: day 10 — every url added with fingerprint(v1)
+    pq.write_table(_snapshot_table(str(src), "2024-01-10"),
+                   str(inp / "b0.parquet"))
+    run()
+    # batch 1: day 1 lands LATE, with edited (different) content — if
+    # sequenced it would emit 'changed' with inverted old/new and
+    # store the old fingerprint
+    pq.write_table(_snapshot_table(str(src), "2024-01-01", edit=True),
+                   str(inp / "b1.parquet"))
+    run()
+    rows = spark.read.parquet(out).collect()
+    assert not [r for r in rows if r["warc_ts"].day == 1]  # dropped
+    # batch 2: day 11 re-sights the day-10 content — 'unchanged'
+    # proves state still holds fingerprint(v1), not the late v-edited
+    pq.write_table(_snapshot_table(str(src), "2024-01-11"),
+                   str(inp / "b2.parquet"))
+    run()
+    last = [r for r in spark.read.parquet(out).collect()
+            if r["warc_ts"].day == 11]
+    assert last and {r["change"] for r in last} == {"unchanged"}

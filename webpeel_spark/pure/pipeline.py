@@ -25,9 +25,7 @@ from ..dom import parse_html, parse_xml, select, select_first, document_body
 from . import markdown as md
 from .chunker import chunk_content
 from .extractors import extract_domain_data, get_domain_extractor
-from .jsonld import (
-    collect_anchors_and_ld, extract_jsonld_dom, extract_jsonld_scripts,
-)
+from .jsonld import collect_anchors_and_ld, extract_jsonld_scripts
 from .langdetect import detect_language_from_url, detect_language_ngram
 from .links import link_pairs_from_anchors
 from .metadata import extract_metadata, links_from_anchors

@@ -24,9 +24,14 @@ def get_spark(app_name: str = "webpeel-spark", cores: int | None = None,
     provider with changelog checkpointing — the configuration the
     streaming change tracker documents for 10^12-url state (the
     default in-memory HDFS-backed store holds every key on-heap;
-    RocksDB spills to local disk and checkpoints deltas).  Provider
-    choice is a session-level conf, so it must be set HERE, before any
-    stateful query starts — it cannot change per-query."""
+    RocksDB spills to local disk and checkpoints deltas).  The
+    provider conf is re-asserted on the returned session (not only on
+    the builder): ``getOrCreate`` reuses an existing session and
+    ignores builder confs on it, so without the explicit ``conf.set``
+    a ``state_store="rocksdb"`` call would leak RocksDB into every
+    later default-``hdfs`` call in the same process — and a stateful
+    query resuming a checkpoint under the wrong provider fails to
+    load its state.  The provider is read per-query at query start."""
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
@@ -46,16 +51,20 @@ def get_spark(app_name: str = "webpeel-spark", cores: int | None = None,
         .config("spark.ui.enabled", "false")
     )
     if state_store == "rocksdb":
-        builder = (
-            builder.config(
-                "spark.sql.streaming.stateStore.providerClass",
-                "org.apache.spark.sql.execution.streaming.state."
-                "RocksDBStateStoreProvider")
-            # checkpoint per-batch deltas instead of full snapshots —
-            # at 10^12 keys a full-snapshot upload per micro-batch is
-            # the bottleneck, changelogs are O(batch), not O(state)
-            .config("spark.sql.streaming.stateStore.rocksdb."
-                    "changelogCheckpointing.enabled", "true"))
-    elif state_store != "hdfs":
+        provider = ("org.apache.spark.sql.execution.streaming.state."
+                    "RocksDBStateStoreProvider")
+    elif state_store == "hdfs":
+        provider = ("org.apache.spark.sql.execution.streaming.state."
+                    "HDFSBackedStateStoreProvider")
+    else:
         raise ValueError(f"unknown state_store: {state_store!r}")
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+                   provider)
+    if state_store == "rocksdb":
+        # checkpoint per-batch deltas instead of full snapshots — at
+        # 10^12 keys a full-snapshot upload per micro-batch is the
+        # bottleneck, changelogs are O(batch), not O(state)
+        spark.conf.set("spark.sql.streaming.stateStore.rocksdb."
+                       "changelogCheckpointing.enabled", "true")
+    return spark

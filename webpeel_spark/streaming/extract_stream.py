@@ -117,7 +117,16 @@ def stream_change_tracking(spark: SparkSession, input_dir: str,
     eviction (keys with no further data), which is what actually
     bounds state size.  Labels match change_detection (``removed``
     cannot occur in an append-only stream: absence of new data for a
-    url is not an event)."""
+    url is not an event).
+
+    Out-of-order rows are DROPPED, not sequenced: per-batch sorting
+    orders rows within one micro-batch only, so a row whose
+    ``warc_ts`` predates the stored last-seen (a late file landing
+    after a newer snapshot was processed) cannot be placed in the
+    change sequence without rewriting emitted history — and letting
+    it through would regress the stored fingerprint and TTL clock and
+    emit an inverted old/new pair.  Equal timestamps (re-delivery of
+    the same snapshot) still flow through and compare as normal."""
     import pandas as pd
     from pyspark.sql.streaming.state import (
         GroupState, GroupStateTimeout,
@@ -161,6 +170,14 @@ def stream_change_tracking(spark: SparkSession, input_dir: str,
             batch = batch.sort_values("warc_ts")
             for _, row in batch.iterrows():
                 ts_ms = int(row["warc_ts"].value // 1_000_000)
+                if prev_ts is not None and ts_ms < prev_ts:
+                    # out-of-order: a sighting OLDER than the stored
+                    # last-seen arrived in a later micro-batch (sort
+                    # only orders within one batch).  Sequencing it
+                    # would regress the fingerprint and the TTL clock
+                    # and emit an inverted old/new pair — history has
+                    # already moved past it, so drop it.
+                    continue
                 if (ttl_ms is not None and prev is not None
                         and prev_ts is not None
                         and ts_ms - prev_ts > ttl_ms):
