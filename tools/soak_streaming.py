@@ -6,6 +6,7 @@ soak exercises the stateless path only; this proves the stateful
 blowup.
 
     python tools/soak_streaming.py [--pages 96000] [--cores 16]
+                                   [--rocksdb] [--ttl-days 30]
 
 Snapshot 1 = the deterministic bench corpus with a fixed day-1
 timestamp; snapshot 2 = the same pages at day 2 with a visible text
@@ -43,7 +44,8 @@ def _dir_bytes(path: str) -> int:
 
 
 def _write_snapshot(spark, corpus_path: str, input_dir: str, name: str,
-                    day: int, edit_third: bool) -> None:
+                    day: int, edit_third: bool,
+                    keep_half: bool = False, limit: int = 0) -> None:
     """One streaming input file-set: PAGES_SCHEMA columns, fixed
     deterministic timestamp, optional day-2 edit (an existing word in
     the BODY TEXT is mutated — injected markup near the container edge
@@ -54,8 +56,16 @@ def _write_snapshot(spark, corpus_path: str, input_dir: str, name: str,
     correctly count as 'unchanged')."""
     from pyspark.sql import functions as F
 
+    import datetime
+
     pages = spark.read.parquet(corpus_path).select("url", "html")
-    ts = F.to_timestamp(F.lit(f"2024-03-0{day} 12:00:00"))
+    if keep_half:
+        pages = pages.where(F.pmod(F.xxhash64("url"), F.lit(2)) == 0)
+    if limit:
+        pages = pages.orderBy("url").limit(limit)
+    date = (datetime.date(2024, 3, 1)
+            + datetime.timedelta(days=day - 1)).isoformat()
+    ts = F.to_timestamp(F.lit(f"{date} 12:00:00"))
     html = F.col("html")
     if edit_third:
         as_str = F.col("html").cast("string")
@@ -76,11 +86,13 @@ def _write_snapshot(spark, corpus_path: str, input_dir: str, name: str,
     shutil.rmtree(staging, ignore_errors=True)
 
 
-def _run_pass(spark, input_dir: str, out_dir: str, ck_dir: str) -> dict:
+def _run_pass(spark, input_dir: str, out_dir: str, ck_dir: str,
+              state_ttl=None) -> dict:
     from webpeel_spark.streaming.extract_stream import stream_change_tracking
 
     t0 = time.perf_counter()
-    q = stream_change_tracking(spark, input_dir, out_dir, ck_dir)
+    q = stream_change_tracking(spark, input_dir, out_dir, ck_dir,
+                               state_ttl=state_ttl)
     q.awaitTermination()
     wall = time.perf_counter() - t0
     state = {}
@@ -104,6 +116,13 @@ def main() -> None:
                     help="RocksDB state store + changelog checkpointing "
                     "(the documented 10^12-url configuration) instead of "
                     "the in-memory HDFS-backed default")
+    ap.add_argument("--ttl-days", type=int, default=0,
+                    help="run with state_ttl='<N> days' and append two "
+                    "eviction passes: half the urls revisit past the TTL "
+                    "(re-added), then a single-url batch fires the "
+                    "event-time timeouts — state_rows must drop to the "
+                    "live-key count, evidencing the bounded-state story "
+                    "at 10^12 urls")
     args = ap.parse_args()
 
     from webpeel_spark.session import get_spark
@@ -123,10 +142,47 @@ def main() -> None:
         # appends docx rows beyond n, and throughput must divide by
         # what actually flowed through the stream
         n_rows = spark.read.parquet(corpus).count()
+        ttl = f"{args.ttl_days} days" if args.ttl_days else None
         _write_snapshot(spark, corpus, inp, "b0", day=1, edit_third=False)
-        p1 = _run_pass(spark, inp, out, ck)
+        p1 = _run_pass(spark, inp, out, ck, state_ttl=ttl)
         _write_snapshot(spark, corpus, inp, "b1", day=2, edit_third=True)
-        p2 = _run_pass(spark, inp, out, ck)
+        p2 = _run_pass(spark, inp, out, ck, state_ttl=ttl)
+
+        eviction = None
+        if ttl:
+            # pass 3: HALF the urls revisit past the TTL — the in-
+            # function last-seen rule re-adds them; pass 4: a one-url
+            # batch runs with the watermark past the dead half's
+            # last_seen+TTL, firing their event-time timeouts.  The
+            # state-row count must land at the live-key count
+            # (half + the probe url, which is in the kept half).
+            past = args.ttl_days + 10
+            n_half = (spark.read.parquet(corpus)
+                      .where("pmod(xxhash64(url), 2) = 0").count())
+            _write_snapshot(spark, corpus, inp, "b2", day=past,
+                            edit_third=False, keep_half=True)
+            p3 = _run_pass(spark, inp, out, ck, state_ttl=ttl)
+            _write_snapshot(spark, corpus, inp, "b3", day=past + 1,
+                            edit_third=False, keep_half=True, limit=1)
+            p4 = _run_pass(spark, inp, out, ck, state_ttl=ttl)
+            # eviction may land in pass 3 or pass 4: availableNow can
+            # split a multi-file snapshot into several micro-batches,
+            # and event-time timeouts fire one micro-batch after the
+            # watermark passes last_seen+TTL — so the adjudicable
+            # numbers are peak state (pass 2, every url tracked) vs
+            # final state (must equal the live-key count)
+            eviction = {
+                "ttl": ttl, "live_urls": n_half,
+                "pass3_past_ttl_revisit": {
+                    **p3, "docs_per_sec":
+                    round(n_half / p3["wall_sec"], 1)},
+                "pass4_probe": p4,
+                "state_rows_peak": p2.get("state_rows"),
+                "state_rows_final": p4.get("state_rows"),
+                "evicted": (p2.get("state_rows") or 0)
+                - (p4.get("state_rows") or 0),
+                "final_equals_live": p4.get("state_rows") == n_half,
+            }
 
         from pyspark.sql import functions as F
         res = spark.read.parquet(out)
@@ -142,6 +198,7 @@ def main() -> None:
                       round(n_rows / p1["wall_sec"], 1)},
             "pass2": {**p2, "docs_per_sec":
                       round(n_rows / p2["wall_sec"], 1)},
+            **({"eviction": eviction} if eviction else {}),
             "labels": labels,
             "checkpoint_bytes": ck_bytes,
             "state_bytes_per_url": round(

@@ -159,9 +159,12 @@ def stream_change_tracking(spark: SparkSession, input_dir: str,
             return
         prev, prev_ts = None, None
         if state.exists:
+            # schema is (fingerprint, last_ts) — a pre-last_ts
+            # checkpoint cannot reach here: Spark's state schema check
+            # rejects the resume outright (start a fresh checkpoint
+            # dir after a state-schema change)
             s = state.get
-            prev = s[0]
-            prev_ts = s[1] if len(s) > 1 else None
+            prev, prev_ts = s[0], s[1]
         rows = []
         batch = pd.concat(list(pdfs), ignore_index=True)
         if len(batch):
