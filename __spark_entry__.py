@@ -2318,9 +2318,15 @@ def _q_checkpoint_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("quality_bp_sum"),
         )
     )
-    got = {int(r["bucket"]): tuple(int(r[c]) for c in cols[2:])
+    # NULL-coerce like the progress writer (checkpoint.py `or 0`): a
+    # bucket whose rows all carry NULL token_estimate/quality must
+    # produce the engineered per-bucket diff, not a bare
+    # int(None) TypeError that hides the diagnosis
+    got = {int(r["bucket"]):
+           tuple(0 if r[c] is None else int(r[c]) for c in cols[2:])
            for r in progress.collect()}
-    want = {int(r["bucket"]): tuple(int(r[c]) for c in cols[2:])
+    want = {int(r["bucket"]):
+            tuple(0 if r[c] is None else int(r[c]) for c in cols[2:])
             for r in direct.collect()}
     if got != want:
         diff = [f"bucket {b}: progress={got.get(b)} direct={want.get(b)}"

@@ -273,7 +273,10 @@ def _skewed_corpus_parquet(n: int, hot_fraction: float = 0.3) -> str:
         from webpeel_spark.sources.corpus import generate_rows
 
         rows = generate_rows(n, seed=42, docx_fraction=0.02)
-        for i, r in enumerate(rows[: int(n * hot_fraction)]):
+        # fraction of the ACTUAL row count: generate_rows appends docx
+        # rows beyond n, so slicing int(n*f) of len(rows) > n would
+        # make the real hot share ~f/1.02 and mislabel the artifact
+        for i, r in enumerate(rows[: int(len(rows) * hot_fraction)]):
             r["url"] = f"https://hot-host.example.com/page/{i}"
         tbl = pa.table({
             "url": pa.array([r["url"] for r in rows], pa.string()),
@@ -316,6 +319,11 @@ def _skew_bench(cores: int, n_pages: int, trials: int = 3,
     _warm_workers(spark, path, cores)
 
     pages = spark.read.parquet(path).select("url", "html")
+    # measured, not intended: the artifact's label carries the actual
+    # hot share so a generator drift can't silently mislabel the run
+    hot_measured = round(
+        pages.where(url_host() == "hot-host.example.com").count()
+        / pages.count(), 4)
     nparts = cores * 2
     inner = _make_extract_fn(tuple(DEFAULT_OPTIONS))
 
@@ -386,6 +394,7 @@ def _skew_bench(cores: int, n_pages: int, trials: int = 3,
     return {
         "metric": f"skew_bench_local{cores}", "unit": "mixed",
         "pages": n_pages, "hot_fraction": hot_fraction,
+        "hot_fraction_measured": hot_measured,
         "hot_hosts_detected": hot,
         "extract_url_hash": min(url_runs, key=lambda r: r["wall_sec"]),
         "extract_host_partitioned": min(host_runs,

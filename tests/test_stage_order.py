@@ -223,3 +223,38 @@ class TestAuthWallBeforeDomainPass:
                          page.encode(), ExtractOptions())
         assert r["method"] == "domain"
         assert r["auth_required"] is False
+
+
+class TestLazyRawWalk:
+    """The raw-document parse + fused anchors/LD walk is lazy: with a
+    selector set, the JSON-LD/readable gates are skipped and the
+    standard path parses the selected fragment, so no stage reads the
+    raw tree — the walk must not run at all (it used to run eagerly,
+    doubling per-page DOM cost on the selector path)."""
+
+    def _count_walks(self, monkeypatch):
+        import webpeel_spark.pure.pipeline as pl
+        calls = []
+        real = pl.collect_anchors_and_ld
+
+        def counting(root):
+            calls.append(1)
+            return real(root)
+
+        monkeypatch.setattr(pl, "collect_anchors_and_ld", counting)
+        return calls
+
+    def test_selector_skips_raw_walk(self, monkeypatch):
+        calls = self._count_walks(monkeypatch)
+        page = ("<html><body><div id='x'><p>Selected body text here."
+                "</p></div><p>Other</p></body></html>")
+        r = extract_page("https://example.com/s", page.encode(),
+                         ExtractOptions(selector="#x"))
+        assert "Selected body text" in r["content"]
+        assert calls == []
+
+    def test_standard_path_walks_once(self, monkeypatch):
+        calls = self._count_walks(monkeypatch)
+        r = extract_page(URL, JSONLD_PAGE.encode(), ExtractOptions())
+        assert r["content"]
+        assert len(calls) == 1

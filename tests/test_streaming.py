@@ -469,3 +469,51 @@ def test_stream_change_tracking_out_of_order_dropped(spark, tmp_path):
     last = [r for r in spark.read.parquet(out).collect()
             if r["warc_ts"].day == 11]
     assert last and {r["change"] for r in last} == {"unchanged"}
+
+
+def test_stream_change_tracking_null_warc_ts_excluded(spark, tmp_path):
+    """Rows with NULL warc_ts are excluded up front: an event-time-
+    keyed tracker cannot sequence a sighting with no event time (and
+    pd.NaT decodes to -2^63, which would silently trip the
+    out-of-order guard or schedule an immediate eviction).  They emit
+    nothing and leave state untouched."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from webpeel_spark.streaming.extract_stream import (
+        stream_change_tracking,
+    )
+
+    src = tmp_path / "src.parquet"
+    _write_batch(str(src), 8, seed=29)
+    inp = tmp_path / "in"
+    inp.mkdir()
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+
+    def run():
+        q = stream_change_tracking(spark, str(inp), out, ck,
+                                   state_ttl="30 days")
+        q.awaitTermination(120)
+
+    pq.write_table(_snapshot_table(str(src), "2024-01-01"),
+                   str(inp / "b0.parquet"))
+    run()
+    n = spark.read.parquet(out).count()
+
+    # b1: same urls, EDITED html, warc_ts all NULL — excluded, so no
+    # rows are emitted and the stored fingerprints stay at v1
+    t = _snapshot_table(str(src), "2024-01-02", edit=True)
+    t = t.set_column(t.schema.get_field_index("warc_ts"), "warc_ts",
+                     pa.array([None] * t.num_rows, pa.timestamp("us")))
+    pq.write_table(t, str(inp / "b1.parquet"))
+    run()
+    assert spark.read.parquet(out).count() == n
+
+    # b2: original html at day 3 — 'unchanged' against v1 proves the
+    # null-ts edit never touched state
+    pq.write_table(_snapshot_table(str(src), "2024-01-03"),
+                   str(inp / "b2.parquet"))
+    run()
+    last = [r for r in spark.read.parquet(out).collect()
+            if r["warc_ts"] is not None and r["warc_ts"].day == 3]
+    assert last and {r["change"] for r in last} == {"unchanged"}

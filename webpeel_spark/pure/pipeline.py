@@ -359,8 +359,20 @@ def _html_branch(url: str, html: str, options: ExtractOptions,
     # by every stage below — and by the standard path too unless a
     # filter/selector option rewrites the document.  (The reference
     # re-loads cheerio per stage; per-row batch extraction can't.)
-    root = parse_html(html)
-    anchors, ld_scripts = collect_anchors_and_ld(root)
+    # LAZY: with a selector set, the JSON-LD/readable gates are
+    # skipped AND the standard path parses the selected fragment
+    # instead, so no stage reads the raw tree — eagerly parsing it
+    # would double per-page DOM cost on the selector path for nothing.
+    _raw = []
+
+    def _raw_walk():
+        """(root, anchors, ld_scripts) of the RAW document, parsed and
+        walked on first use."""
+        if not _raw:
+            r = parse_html(html)
+            a, ld = collect_anchors_and_ld(r)
+            _raw.append((r, a, ld))
+        return _raw[0]
 
     # language is a port addition (the reference's field comes from
     # request options, :423): meta/TLD when declared, else an n-gram
@@ -393,7 +405,7 @@ def _html_branch(url: str, html: str, options: ExtractOptions,
         The standard path caps only under a budget (:1023-1026)."""
         if len(html) > 100000:
             return select(parse_html(html[:100000]), "a[href]")
-        return anchors
+        return _raw_walk()[1]
 
     def _domain_then_finish(res: Dict[str, Any]) -> Dict[str, Any]:
         """postProcess domain pass (pipeline.ts:1361-1387): fires on the
@@ -417,7 +429,7 @@ def _html_branch(url: str, html: str, options: ExtractOptions,
     # JSON-LD first-class gate (pipeline.ts:914-939): raw html, gated
     # on the selector OPTION alone (tag filters don't disable it)
     if not options.raw and not options.selector:
-        jl = extract_jsonld_scripts(ld_scripts)
+        jl = extract_jsonld_scripts(_raw_walk()[2])
         if jl is not None and jl.found and len(jl.content) > 100:
             _fill_meta(html, _raw_capped_anchors())
             result["content"] = jl.content
@@ -472,14 +484,14 @@ def _html_branch(url: str, html: str, options: ExtractOptions,
         if removed:
             filtered = root0.inner_html()
 
-    froot = root if filtered is html else parse_html(filtered)
+    froot = _raw_walk()[0] if filtered is html else parse_html(filtered)
 
     # metadata + links from the (possibly) filtered document (:1014-1030);
     # link-extraction input capped at 100k ONLY when a budget is set
     if options.budget_tokens > 0 and len(filtered) > 100000:
         std_anchors = select(parse_html(filtered[:100000]), "a[href]")
-    elif froot is root:
-        std_anchors = anchors
+    elif filtered is html:
+        std_anchors = _raw_walk()[1]
     else:
         std_anchors = select(froot, "a[href]")
     _fill_meta(filtered, std_anchors)

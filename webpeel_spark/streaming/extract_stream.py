@@ -139,8 +139,14 @@ def stream_change_tracking(spark: SparkSession, input_dir: str,
             raise ValueError(f"state_ttl must be positive: {state_ttl!r}")
 
     pages = read_pages_stream(spark, input_dir)
-    envelopes = extracted_stream(pages, options).select(
-        "url", "warc_ts", "fingerprint")
+    # a sighting without an event time cannot be sequenced against the
+    # per-url history (and pd.NaT would decode to -2^63, silently
+    # tripping the out-of-order guard or scheduling an immediate
+    # eviction): change tracking is event-time-keyed, so null warc_ts
+    # rows are excluded up front
+    envelopes = (extracted_stream(pages, options)
+                 .where(F.col("warc_ts").isNotNull())
+                 .select("url", "warc_ts", "fingerprint"))
     if ttl_ms is not None:
         # the watermark drives event-time timeouts; it trails the
         # stream's max warc_ts by late_data_watermark (lateness budget)
