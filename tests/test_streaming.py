@@ -517,3 +517,134 @@ def test_stream_change_tracking_null_warc_ts_excluded(spark, tmp_path):
     last = [r for r in spark.read.parquet(out).collect()
             if r["warc_ts"] is not None and r["warc_ts"].day == 3]
     assert last and {r["change"] for r in last} == {"unchanged"}
+
+
+# ── pure state-machine differential (no Spark) ──────────────────────
+# make_change_tracker is module-level precisely so the transition
+# logic can be driven with a fake GroupState and compared against a
+# sequential oracle model under hypothesis — the integration tests
+# above pin the engine plumbing (watermark, timeouts, checkpoints);
+# these pin the semantics exhaustively.
+
+
+class _FakeGroupState:
+    """Just enough of pyspark's GroupState for make_change_tracker."""
+
+    def __init__(self):
+        self._v = None
+        self.hasTimedOut = False
+        self.timeout_ts = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+    def remove(self):
+        self._v = None
+
+    def setTimeoutTimestamp(self, ts):
+        self.timeout_ts = ts
+
+    def getCurrentWatermarkMs(self):
+        return 0
+
+
+def _drive_tracker(batches, ttl_ms):
+    """Feed (ts_ms, fp) batches through make_change_tracker with a
+    fake state; return [(change, old, new, ts_ms), ...]."""
+    import pandas as pd
+
+    from webpeel_spark.streaming.extract_stream import make_change_tracker
+
+    track = make_change_tracker(ttl_ms)
+    state = _FakeGroupState()
+    out = []
+    for batch in batches:
+        if not batch:
+            continue
+        pdf = pd.DataFrame({
+            "url": ["u"] * len(batch),
+            "warc_ts": pd.to_datetime([ts for ts, _ in batch], unit="ms"),
+            "fingerprint": [fp for _, fp in batch],
+        })
+        for res in track(("u",), iter([pdf]), state):
+            for r in res.itertuples(index=False):
+                out.append((r.change, r.fingerprint_old, r.fingerprint_new,
+                            int(r.warc_ts.value // 1_000_000)))
+    return out, state
+
+
+def _oracle_model(batches, ttl_ms):
+    """Sequential reference model of the documented semantics: within
+    a batch events replay in event-time order; rows older than the
+    stored last-seen are dropped; a gap > ttl re-adds."""
+    prev, prev_ts, out = None, None, []
+    for batch in batches:
+        for ts, fp in sorted(batch):
+            if prev_ts is not None and ts < prev_ts:
+                continue
+            p = prev
+            if ttl_ms is not None and p is not None and ts - prev_ts > ttl_ms:
+                p = None
+            change = ("added" if p is None
+                      else "changed" if fp != p else "unchanged")
+            out.append((change, p, fp, ts))
+            prev, prev_ts = fp, ts
+    return out, prev, prev_ts
+
+
+def _batches_strategy():
+    from hypothesis import strategies as st
+
+    fp = st.sampled_from(["fpA", "fpB", "fpC"])
+    ts = st.integers(min_value=0, max_value=5000)
+
+    def unique_ts(batch):
+        seen = set()
+        keep = []
+        for t, f in batch:
+            if t not in seen:  # ties within one batch sort unstably
+                seen.add(t)
+                keep.append((t, f))
+        return keep
+
+    batch = st.lists(st.tuples(ts, fp), max_size=6).map(unique_ts)
+    return st.lists(batch, max_size=6)
+
+
+def test_change_tracker_matches_oracle_model():
+    from hypothesis import given, settings
+
+    @settings(max_examples=300, deadline=None)
+    @given(batches=_batches_strategy(),
+           ttl=__import__("hypothesis").strategies.sampled_from(
+               [None, 1, 100, 1000]))
+    def run(batches, ttl):
+        got, state = _drive_tracker(batches, ttl)
+        want, prev, prev_ts = _oracle_model(batches, ttl)
+        assert got == want
+        if want:  # final state = newest surviving sighting
+            assert state.get == (prev, prev_ts)
+            if ttl is not None:
+                assert state.timeout_ts == max(prev_ts + ttl, 1)
+
+    run()
+
+
+def test_change_tracker_timeout_removes_state():
+    from webpeel_spark.streaming.extract_stream import make_change_tracker
+
+    track = make_change_tracker(1000)
+    state = _FakeGroupState()
+    state.update(("fpA", 42))
+    state.hasTimedOut = True
+    frames = list(track(("u",), iter([]), state))
+    assert len(frames) == 1 and frames[0].empty
+    assert not state.exists

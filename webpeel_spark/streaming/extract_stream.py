@@ -87,81 +87,32 @@ def stream_extraction(spark: SparkSession, input_dir: str, out_dir: str,
     return writer.start()
 
 
-def stream_change_tracking(spark: SparkSession, input_dir: str,
-                           out_dir: str, checkpoint_dir: str,
-                           options=None, available_now: bool = True,
-                           state_ttl: Optional[str] = None,
-                           late_data_watermark: str = "1 hour"):
-    """Stateful change tracking: per-url fingerprint state across
-    micro-batches via ``applyInPandasWithState`` — the streaming face
-    of watch.ts polling (batch analog: operators/extract
-    .change_detection).  First sighting of a url emits ``added``;
-    re-extractions emit ``changed``/``unchanged`` against the
-    fingerprint held in GroupState, which the stream checkpoint
-    persists — a restart resumes with every url's last-seen
-    fingerprint intact.
+CHANGE_COLS = ["url", "change", "fingerprint_old", "fingerprint_new",
+               "warc_ts"]
 
-    State size is one fingerprint + last-seen timestamp per url — at
-    10^12 urls this wants the RocksDB state store
-    (``get_spark(state_store="rocksdb")``) plus ``state_ttl``, the
-    watermark-based eviction that bounds state to urls seen within the
-    TTL window.  ``state_ttl`` (a pandas-parsable duration, e.g.
-    ``"30 days"``) has ONE semantic: a url unseen for longer than the
-    TTL is forgotten — its state is evicted when the event-time
-    watermark (which trails the stream maximum by
-    ``late_data_watermark``) passes last_seen + TTL, and a later
-    revisit emits ``added`` again.  The revisit rule is enforced
-    in-function from the stored last-seen timestamp, so it holds even
-    when the revisit lands in the same micro-batch that would have
-    fired the timeout; the GroupState timeout handles the pure
-    eviction (keys with no further data), which is what actually
-    bounds state size.  Labels match change_detection (``removed``
-    cannot occur in an append-only stream: absence of new data for a
-    url is not an event).
 
-    Out-of-order rows are DROPPED, not sequenced: per-batch sorting
-    orders rows within one micro-batch only, so a row whose
-    ``warc_ts`` predates the stored last-seen (a late file landing
-    after a newer snapshot was processed) cannot be placed in the
-    change sequence without rewriting emitted history — and letting
-    it through would regress the stored fingerprint and TTL clock and
-    emit an inverted old/new pair.  Equal timestamps (re-delivery of
-    the same snapshot) still flow through and compare as normal."""
-    import pandas as pd
-    from pyspark.sql.streaming.state import (
-        GroupState, GroupStateTimeout,
-    )
+def make_change_tracker(ttl_ms: Optional[int]):
+    """The per-url state machine behind ``stream_change_tracking``,
+    module-level so the pure transition logic is unit/property-testable
+    with a fake ``GroupState`` (tests/test_streaming.py runs it against
+    a sequential oracle model under hypothesis) — the streaming
+    integration tests then only need to pin the engine-side plumbing
+    (watermark, timeouts, checkpoint).
 
-    ttl_ms = None
-    if state_ttl is not None:
-        ttl_ms = int(pd.Timedelta(state_ttl).total_seconds() * 1000)
-        if ttl_ms <= 0:
-            raise ValueError(f"state_ttl must be positive: {state_ttl!r}")
+    Semantics (documented in full on ``stream_change_tracking``):
+    replay each micro-batch in event-time order; drop rows older than
+    the stored last-seen; a gap > ``ttl_ms`` makes the next sighting
+    ``added`` again; timed-out keys are removed."""
 
-    pages = read_pages_stream(spark, input_dir)
-    # a sighting without an event time cannot be sequenced against the
-    # per-url history (and pd.NaT would decode to -2^63, silently
-    # tripping the out-of-order guard or scheduling an immediate
-    # eviction): change tracking is event-time-keyed, so null warc_ts
-    # rows are excluded up front
-    envelopes = (extracted_stream(pages, options)
-                 .where(F.col("warc_ts").isNotNull())
-                 .select("url", "warc_ts", "fingerprint"))
-    if ttl_ms is not None:
-        # the watermark drives event-time timeouts; it trails the
-        # stream's max warc_ts by late_data_watermark (lateness budget)
-        envelopes = envelopes.withWatermark("warc_ts", late_data_watermark)
+    def track(key, pdfs, state):
+        import pandas as pd
 
-    out_cols = ["url", "change", "fingerprint_old", "fingerprint_new",
-                "warc_ts"]
-
-    def track(key, pdfs, state: GroupState):
         url = key[0]
         if state.hasTimedOut:
             # event-time watermark passed last_seen + TTL with no new
             # data for this url: forget it (state-size bound at 10^12)
             state.remove()
-            yield pd.DataFrame([], columns=out_cols)
+            yield pd.DataFrame([], columns=CHANGE_COLS)
             return
         prev, prev_ts = None, None
         if state.exists:
@@ -209,10 +160,76 @@ def stream_change_tracking(spark: SparkSession, input_dir: str,
                 # behind it — such a key is due for eviction ASAP)
                 state.setTimeoutTimestamp(
                     max(prev_ts + ttl_ms, state.getCurrentWatermarkMs() + 1))
-        yield pd.DataFrame(rows, columns=out_cols)
+        yield pd.DataFrame(rows, columns=CHANGE_COLS)
+
+    return track
+
+
+def stream_change_tracking(spark: SparkSession, input_dir: str,
+                           out_dir: str, checkpoint_dir: str,
+                           options=None, available_now: bool = True,
+                           state_ttl: Optional[str] = None,
+                           late_data_watermark: str = "1 hour"):
+    """Stateful change tracking: per-url fingerprint state across
+    micro-batches via ``applyInPandasWithState`` — the streaming face
+    of watch.ts polling (batch analog: operators/extract
+    .change_detection).  First sighting of a url emits ``added``;
+    re-extractions emit ``changed``/``unchanged`` against the
+    fingerprint held in GroupState, which the stream checkpoint
+    persists — a restart resumes with every url's last-seen
+    fingerprint intact.
+
+    State size is one fingerprint + last-seen timestamp per url — at
+    10^12 urls this wants the RocksDB state store
+    (``get_spark(state_store="rocksdb")``) plus ``state_ttl``, the
+    watermark-based eviction that bounds state to urls seen within the
+    TTL window.  ``state_ttl`` (a pandas-parsable duration, e.g.
+    ``"30 days"``) has ONE semantic: a url unseen for longer than the
+    TTL is forgotten — its state is evicted when the event-time
+    watermark (which trails the stream maximum by
+    ``late_data_watermark``) passes last_seen + TTL, and a later
+    revisit emits ``added`` again.  The revisit rule is enforced
+    in-function from the stored last-seen timestamp, so it holds even
+    when the revisit lands in the same micro-batch that would have
+    fired the timeout; the GroupState timeout handles the pure
+    eviction (keys with no further data), which is what actually
+    bounds state size.  Labels match change_detection (``removed``
+    cannot occur in an append-only stream: absence of new data for a
+    url is not an event).
+
+    Out-of-order rows are DROPPED, not sequenced: per-batch sorting
+    orders rows within one micro-batch only, so a row whose
+    ``warc_ts`` predates the stored last-seen (a late file landing
+    after a newer snapshot was processed) cannot be placed in the
+    change sequence without rewriting emitted history — and letting
+    it through would regress the stored fingerprint and TTL clock and
+    emit an inverted old/new pair.  Equal timestamps (re-delivery of
+    the same snapshot) still flow through and compare as normal."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ttl_ms = None
+    if state_ttl is not None:
+        ttl_ms = int(pd.Timedelta(state_ttl).total_seconds() * 1000)
+        if ttl_ms <= 0:
+            raise ValueError(f"state_ttl must be positive: {state_ttl!r}")
+
+    pages = read_pages_stream(spark, input_dir)
+    # a sighting without an event time cannot be sequenced against the
+    # per-url history (and pd.NaT would decode to -2^63, silently
+    # tripping the out-of-order guard or scheduling an immediate
+    # eviction): change tracking is event-time-keyed, so null warc_ts
+    # rows are excluded up front
+    envelopes = (extracted_stream(pages, options)
+                 .where(F.col("warc_ts").isNotNull())
+                 .select("url", "warc_ts", "fingerprint"))
+    if ttl_ms is not None:
+        # the watermark drives event-time timeouts; it trails the
+        # stream's max warc_ts by late_data_watermark (lateness budget)
+        envelopes = envelopes.withWatermark("warc_ts", late_data_watermark)
 
     changes = envelopes.groupBy("url").applyInPandasWithState(
-        track,
+        make_change_tracker(ttl_ms),
         outputStructType=("url string, change string, "
                           "fingerprint_old string, fingerprint_new string, "
                           "warc_ts timestamp"),
