@@ -422,3 +422,48 @@ def test_lsh_materialize_false_keeps_lazy_lineage(spark):
     lazy = {(r["id_a"], r["id_b"]) for r in lazy_df.collect()}
     assert lazy == eager
     spark.catalog.clearCache()  # materialize=False leaves caches to caller
+
+
+def test_ngram_jaccard_boundary_rounding_pair_kept(spark):
+    """The output filter is round(jaccard,4) >= t (matching the DuckDB
+    oracle), so every size-based prune must use the slackened bound
+    t - 0.5e-4: with t=0.5, |A|=9999 shingles ⊂ |B|=20000 gives
+    J=0.49995, which rounds to 0.5000 — the unrounded prefilter
+    (9999 >= 20000*0.5) used to drop it before the comparison."""
+    from webpeel_spark.operators.dedup import ngram_jaccard_pairs
+
+    words = [f"w{i}" for i in range(20002)]
+    doc_b = " ".join(words)                # 20000 distinct 3-shingles
+    doc_a = " ".join(words[:10001])        # 9999, all ⊂ B's
+    df = spark.createDataFrame(
+        [(1, doc_a), (2, doc_b)], "doc_id long, text string")
+    rows = ngram_jaccard_pairs(df, min_jaccard=0.5).collect()
+    assert [(r["id_a"], r["id_b"], r["jaccard"]) for r in rows] == \
+        [(1, 2, 0.5)]
+
+
+def test_srp_index_empty_corpus(spark):
+    """An empty corpus (upstream filter matched nothing) must yield an
+    empty result, not a NoneType crash in srp_index."""
+    from webpeel_spark.operators.similarity import srp_index, srp_lsh_topk
+
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>")
+    assert srp_index(empty).count() == 0
+    assert srp_lsh_topk(empty, [0.1, 0.2, 0.3], k=5).count() == 0
+
+
+def test_salted_key_agg_tolerates_map_columns(spark):
+    """The salt is row-local round-robin, not a hash of every column —
+    a MapType column in the frame used to crash xxhash64(*df.columns)."""
+    from pyspark.sql import functions as F
+
+    from webpeel_spark.plans.partitioning import salted_key_agg
+
+    df = spark.createDataFrame(
+        [("k1", 1, {"m": 1}), ("k1", 2, {"m": 2}), ("k2", 3, {"m": 3})],
+        "k string, v long, meta map<string,int>")
+    out = {r["k"]: (r["n"], r["s"]) for r in salted_key_agg(
+        df, "k", {"n": ("count", "*"), "s": ("sum", "v")},
+        hot_keys=["k1"], k=4).collect()}
+    assert out == {"k1": (2, 3), "k2": (1, 3)}

@@ -55,7 +55,6 @@ def dedup_exact(df: DataFrame, text_col: str = "text",
     single shuffle with partial aggregation, no skew risk (hashes are
     uniform).
     """
-    h = F.md5(F.col(text_col)).alias("__h")
     if order_col is None:
         return df.dropDuplicates([text_col])
     return (
@@ -390,6 +389,19 @@ def ngram_jaccard_pairs(
 
     from ..plans.partitioning import fan_out
 
+    # The output filter compares ROUND(jaccard, 4) >= t (as does the
+    # DuckDB oracle), so a pair whose true jaccard sits up to half a
+    # grid step BELOW t still passes.  Every size-based prune must
+    # therefore use the slackened bound t_eff = t - 0.5e-4, or it
+    # drops boundary pairs the rounded comparison keeps (e.g. t=0.5,
+    # |A|=9999 ⊂ |B|=20000: J=0.49995 rounds to 0.5000 and must
+    # survive, but 9999 >= 20000*0.5 fails).  With t_eff used for the
+    # band width too, the banding stays lossless wrt the rounded
+    # filter; the two-int prune is itself lossless, so it runs
+    # regardless of size_blocking (which only gates the band JOIN
+    # strategy).
+    t_eff = min_jaccard - 0.5e-4
+
     base = fan_out(df.select(F.col(id_col), F.col(text_col),
                              *( [F.col(block_col)] if block_col else [] ))).select(
         F.col(id_col).alias("id"),
@@ -401,8 +413,8 @@ def ngram_jaccard_pairs(
     ).withColumn("n", F.size("sh")).persist()
     cached_base = base  # `base` is rebound below; unpersist THIS frame
 
-    if size_blocking and 0 < min_jaccard < 1:
-        log_r = math.log(1.0 / min_jaccard)
+    if size_blocking and 1e-4 < min_jaccard < 1:
+        log_r = math.log(1.0 / t_eff)
         band = F.floor(F.log(F.greatest(F.col("n"), F.lit(1)).cast("double"))
                        / F.lit(log_r)).cast("long")
         base = base.withColumn("band", band)
@@ -436,8 +448,8 @@ def ngram_jaccard_pairs(
     union = F.col("n_a") + F.col("n_b") - inter
     out = (
         joined
-        .filter((F.col("n_a") >= F.col("n_b") * min_jaccard)
-                & (F.col("n_b") >= F.col("n_a") * min_jaccard))
+        .filter((F.col("n_a") >= F.col("n_b") * t_eff)
+                & (F.col("n_b") >= F.col("n_a") * t_eff))
         .withColumn("jaccard", F.round(inter / union, 4))
         .filter(F.col("jaccard") >= min_jaccard)
         .select("id_a", "id_b", "jaccard")

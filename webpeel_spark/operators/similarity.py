@@ -102,7 +102,12 @@ def srp_index(df: DataFrame, vec_col: str = "embedding",
     pruned scan instead of re-hashing the corpus per query — the
     round-1 exposure recomputed buckets for every query, which is the
     wrong shape for repeated lookups."""
-    first = df.select(vec_col).first()
+    first = (df.select(vec_col)
+             .where(F.col(vec_col).isNotNull()).first())
+    if first is None:
+        # empty corpus (or all-null vectors): no dimensionality to
+        # hash against — keep the schema, bucket nothing
+        return df.withColumn("__bucket", F.lit(None).cast("long"))
     dim = len(first[0])
     return df.withColumn(
         "__bucket", srp_bucket_udf(dim, bits, seed)(F.col(vec_col)))
@@ -255,12 +260,13 @@ def cosine_near_duplicate_pairs(df: DataFrame, threshold: float = 0.95,
                                 bits: Optional[int] = None,
                                 tables: int = 8, seed: int = 13,
                                 bucket_cap: int = 5000,
-                                metrics: Optional[dict] = None) -> DataFrame:
+                                metrics: Optional[dict] = None,
+                                materialize: bool = True) -> DataFrame:
     """Embedding near-dup pairs: banded multi-table SRP LSH + exact
     cosine verify.
 
     Round-1 flaws fixed: ``bits`` now derives from the corpus size
-    (2^bits ≈ n/64, so the bucket join stays O(n) instead of
+    (2^bits ≈ n/8 via derive_srp_bits, so the bucket join stays O(n) instead of
     O(N²/2^const)); a single SRP table's recall cliff is addressed by
     ``tables`` independent hash tables (a pair is a candidate if it
     collides in ANY table — the MinHash-band construction applied to
@@ -282,7 +288,7 @@ def cosine_near_duplicate_pairs(df: DataFrame, threshold: float = 0.95,
         )
     from ..plans.partitioning import fan_out
 
-    from .dedup import capped_bucket_pairs
+    from .dedup import _finalize_pairs, capped_bucket_pairs
 
     dim = len(first[0])
     if bits is None:
@@ -307,10 +313,14 @@ def cosine_near_duplicate_pairs(df: DataFrame, threshold: float = 0.95,
                                      bucket_cap, metrics=metrics)
     left = vecs.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"))
     right = vecs.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"))
-    return (
+    out = (
         candidates.join(left, "id_a").join(right, "id_b")
         .withColumn("cosine", F.round(
             cosine_similarity_col(F.col("v_a"), F.col("v_b")), 4))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+    # same cache-release contract as the dedup LSH operators: the two
+    # persisted intermediates would otherwise pin blocks for the
+    # session lifetime on every call (_finalize_pairs docstring)
+    return _finalize_pairs(out, vecs, buckets, materialize=materialize)

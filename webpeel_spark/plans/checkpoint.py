@@ -14,11 +14,17 @@ Work is split into ``num_buckets`` url-hash buckets
 1. reads the progress table (if any) and LEFT ANTI-joins completed
    buckets out of the input — the Spark equivalent of the reference's
    "skip URLs in completed map" (crawl-checkpoint.ts:76-89);
-2. processes remaining buckets in groups, appending output parquet
-   partitioned by bucket + one progress row per bucket, so a crash
-   loses at most one bucket group;
+2. processes remaining buckets in groups — write the group's output
+   parquet (partitioned by bucket, dynamic partition overwrite), then
+   derive the lineage row per bucket by READING BACK the committed
+   output, so metrics and data are one materialization and cannot
+   diverge (a stats-action + write-action pair over a cache could
+   recompute between the two); a crash loses at most one bucket group.
+   Empty buckets get zero-row progress rows — they complete too;
 3. re-running with the same run_id is idempotent: completed buckets are
-   skipped, and output directories are overwritten per-bucket
+   skipped, a re-extracted bucket's partition dir is cleared first
+   (dynamic overwrite alone keeps a stale dir when the bucket is empty
+   under the new input), and the rest are overwritten per-bucket
    (dynamic partition overwrite ≙ MERGE by partition key).
 
 On an Iceberg deployment the two appends become ``MERGE INTO`` on
@@ -67,11 +73,22 @@ def _progress_path(out_dir: str) -> str:
 
 
 def read_progress(spark: SparkSession, out_dir: str) -> Optional[DataFrame]:
+    """Progress table, or None when the run has never committed.
+
+    Only the missing-path case maps to None: a transient FS error or a
+    corrupted progress table must RAISE, not masquerade as a fresh run
+    — at the 4096-bucket design point, silently discarding resume
+    state re-extracts everything."""
+    from pyspark.errors import AnalysisException
+
     path = _progress_path(out_dir)
     try:
         return spark.read.schema(PROGRESS_SCHEMA).parquet(path)
-    except Exception:
-        return None
+    except AnalysisException as e:
+        msg = str(e)
+        if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+            return None
+        raise
 
 
 def completed_buckets(spark: SparkSession, out_dir: str, run_id: str,
@@ -81,7 +98,7 @@ def completed_buckets(spark: SparkSession, out_dir: str, run_id: str,
     With ``input_snapshot_id`` given, buckets recorded against a
     DIFFERENT snapshot are NOT treated as completed (skipping them
     would mix lineage: output extracted from an old input next to new
-    buckets).  Callers get the stale list via the second element."""
+    buckets); ``stale_buckets`` returns that complement."""
     progress = read_progress(spark, out_dir)
     if progress is None:
         return []
@@ -154,7 +171,6 @@ def run_extraction_checkpointed(
         # deterministic fingerprint of the (analyzed) input plan
         plan = pages._jdf.queryExecution().analyzed().toString()
         input_snapshot_id = hashlib.sha256(plan.encode()).hexdigest()[:16]
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     out_data = os.path.join(out_dir, "data")
     # resume matches on (run_id, input_snapshot_id): buckets completed
     # against a DIFFERENT snapshot are re-extracted, not skipped — a
@@ -181,54 +197,81 @@ def run_extraction_checkpointed(
     for start in range(0, len(all_buckets), buckets_per_commit):
         group = all_buckets[start : start + buckets_per_commit]
         subset = bucketed.filter(F.col("bucket").isin(group))
+        # Clear the group's partitions up front: dynamic overwrite only
+        # replaces partitions PRESENT in the new data, so a bucket that
+        # had rows under an earlier snapshot but is empty now would
+        # keep its stale directory — mixed-lineage output beside the
+        # new buckets.  These buckets are un-completed by definition
+        # (that's why they're in the group), so removing their data
+        # before the rewrite loses nothing a crash-resume wouldn't
+        # re-extract anyway.
+        for b in group:
+            _delete_partition_dir(spark, out_data, b)
         attempt = 0
         while True:
             extracted = extract_pages(
                 subset.select("url", "html"), options=options,
                 num_partitions=num_partitions,
             ).withColumn("bucket", bucket_expr.cast("int"))
-            extracted = extracted.cache()
+            (
+                extracted.drop("chunks")  # keep the progress-run output slim
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("bucket")
+                .parquet(out_data)
+            )
+            # Lineage derived by READING BACK the committed output —
+            # the progress row and the data are ONE materialization, so
+            # they cannot diverge (the previous stats-collect + write
+            # pair were two actions over a best-effort cache: an
+            # eviction or executor loss between them could recompute
+            # the write through the UDF and shift metrics vs data).
+            # The read is a partition-pruned scan of just-written
+            # parquet, far cheaper than the second UDF pass the cache
+            # was protecting against.
+            from pyspark.errors import AnalysisException
             try:
-                # lineage metrics per bucket — one hash-agg
-                stats = (
-                    extracted.groupBy("bucket").agg(
-                        F.count("*").alias("row_count"),
-                        F.sum(F.when(F.col("status") == "ok", 1).otherwise(0)).alias("ok_count"),
-                        F.sum(F.when(F.col("status") == "error", 1).otherwise(0)).alias("error_count"),
-                        F.sum("token_estimate").alias("token_sum"),
-                        F.sum("content_len").alias("content_bytes"),
-                        # order-invariant integer basis points: plain
-                        # long SUM of the fixed-point decode — no double
-                        # and no division anywhere in the lineage row
-                        F.sum(F.round(F.col("quality") * 100, 0)
-                              .cast("long")).alias("quality_bp_sum"),
-                        F.min(F.xxhash64("url")).alias("url_hash_min"),
-                        F.max(F.xxhash64("url")).alias("url_hash_max"),
-                        F.min(F.when(F.col("status") == "error",
-                                     F.concat_ws(" @ ", "error", "url"))
-                              ).alias("first_error"),
-                    ).collect()
-                )
-                group_errors = sum(int(r["error_count"]) for r in stats)
-                if group_errors and attempt < retry_on_error:
-                    attempt += 1
-                    import warnings
-                    first = next((r["first_error"] for r in stats
-                                  if r["first_error"]), None)
-                    warnings.warn(
-                        f"run_id={run_id} buckets {group}: {group_errors} "
-                        f"error row(s) (first: {first}); retry "
-                        f"{attempt}/{retry_on_error}", stacklevel=2)
-                    continue  # finally unpersists; loop re-extracts
-                (
-                    extracted.drop("chunks")  # keep the progress-run output slim
-                    .write.mode("overwrite")
-                    .partitionBy("bucket")
-                    .parquet(out_data)
-                )
+                committed = (spark.read.parquet(out_data)
+                             .filter(F.col("bucket").isin(group)))
+            except AnalysisException as e:
+                if ("PATH_NOT_FOUND" not in str(e)
+                        and "Path does not exist" not in str(e)):
+                    raise
+                # an all-empty first group writes no files at all, so
+                # the output path may not exist yet
+                stats = []
                 break
-            finally:
-                extracted.unpersist()
+            stats = (
+                committed.groupBy("bucket").agg(
+                    F.count("*").alias("row_count"),
+                    F.sum(F.when(F.col("status") == "ok", 1).otherwise(0)).alias("ok_count"),
+                    F.sum(F.when(F.col("status") == "error", 1).otherwise(0)).alias("error_count"),
+                    F.sum("token_estimate").alias("token_sum"),
+                    F.sum("content_len").alias("content_bytes"),
+                    # order-invariant integer basis points: plain
+                    # long SUM of the fixed-point decode — no double
+                    # and no division anywhere in the lineage row
+                    F.sum(F.round(F.col("quality") * 100, 0)
+                          .cast("long")).alias("quality_bp_sum"),
+                    F.min(F.xxhash64("url")).alias("url_hash_min"),
+                    F.max(F.xxhash64("url")).alias("url_hash_max"),
+                    F.min(F.when(F.col("status") == "error",
+                                 F.concat_ws(" @ ", "error", "url"))
+                          ).alias("first_error"),
+                ).collect()
+            )
+            group_errors = sum(int(r["error_count"]) for r in stats)
+            if group_errors and attempt < retry_on_error:
+                attempt += 1
+                import warnings
+                first = next((r["first_error"] for r in stats
+                              if r["first_error"]), None)
+                warnings.warn(
+                    f"run_id={run_id} buckets {group}: {group_errors} "
+                    f"error row(s) (first: {first}); retry "
+                    f"{attempt}/{retry_on_error}", stacklevel=2)
+                continue  # loop re-extracts and overwrites the group
+            break
         now = time.time()
         progress_rows = [
             (run_id, input_snapshot_id, int(r["bucket"]),
@@ -239,13 +282,32 @@ def run_extraction_checkpointed(
              now, r["first_error"])
             for r in stats
         ]
-        if progress_rows:
-            spark.createDataFrame(progress_rows, PROGRESS_SCHEMA) \
-                .coalesce(1).write.mode("append").parquet(_progress_path(out_dir))
-        for r in stats:
-            summary["processed_buckets"].append(int(r["bucket"]))
-            summary["rows"] += int(r["row_count"])
-            summary["errors"] += int(r["error_count"])
+        # Zero-row progress rows for the group's EMPTY buckets: without
+        # them an empty bucket is never marked completed and every
+        # resume re-launches a full extraction job for it, forever.
+        seen = {int(r["bucket"]) for r in stats}
+        progress_rows.extend(
+            (run_id, input_snapshot_id, b, None, None, 0, 0, 0, 0, 0, 0,
+             now, None)
+            for b in group if b not in seen)
+        spark.createDataFrame(progress_rows, PROGRESS_SCHEMA) \
+            .coalesce(1).write.mode("append").parquet(_progress_path(out_dir))
+        for r in progress_rows:
+            summary["processed_buckets"].append(int(r[2]))
+            summary["rows"] += int(r[5])
+            summary["errors"] += int(r[7])
 
     summary["processed_buckets"].sort()
     return summary
+
+
+def _delete_partition_dir(spark: SparkSession, out_data: str,
+                          bucket: int) -> None:
+    """Remove ``out_data/bucket=N`` via the Hadoop FileSystem API
+    (portable across local FS / HDFS / object stores, unlike shutil)."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(
+        os.path.join(out_data, f"bucket={bucket}"))
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(path):
+        fs.delete(path, True)

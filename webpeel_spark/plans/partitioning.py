@@ -59,18 +59,21 @@ def find_hot_hosts(df: DataFrame, threshold_fraction: float = 0.01,
                    url_col: str = "url") -> List[str]:
     """Hosts holding more than ``threshold_fraction`` of all rows.
 
-    One shuffle (hash-agg w/ map-side combine); output is tiny.
+    ONE pass over the input (hash-agg w/ map-side combine); the total
+    row count is derived from the tiny aggregated table instead of a
+    separate full ``df.count()`` scan — at 100 TB the pre-pass costs
+    one corpus read, not two.
     """
-    total = df.count()
-    if total == 0:
-        return []
-    threshold = max(1, int(total * threshold_fraction))
-    rows = (
-        df.select(url_host(url_col).alias("host"))
-        .groupBy("host").count()
-        .filter(F.col("count") > threshold)
-        .collect()
-    )
+    counts = (df.select(url_host(url_col).alias("host"))
+              .groupBy("host").count().persist())
+    try:
+        total = counts.agg(F.sum("count")).first()[0] or 0
+        if total == 0:
+            return []
+        threshold = max(1, int(total * threshold_fraction))
+        rows = counts.filter(F.col("count") > threshold).collect()
+    finally:
+        counts.unpersist()
     return [r["host"] for r in rows if r["host"]]
 
 
@@ -93,13 +96,18 @@ def with_salted_host(df: DataFrame, hot_hosts: Sequence[str], k: int = 16,
 def find_hot_keys(df: DataFrame, key_col: str,
                   threshold_fraction: float = 0.01) -> List:
     """Generic hot-key pre-pass: keys holding more than the threshold
-    fraction of rows (hash-agg with map-side combine, tiny output)."""
-    total = df.count()
-    if total == 0:
-        return []
-    threshold = max(1, int(total * threshold_fraction))
-    rows = (df.groupBy(key_col).count()
-            .filter(F.col("count") > threshold).collect())
+    fraction of rows (hash-agg with map-side combine, tiny output).
+    One pass: the total comes from the aggregated table, not a second
+    full scan."""
+    counts = df.groupBy(key_col).count().persist()
+    try:
+        total = counts.agg(F.sum("count")).first()[0] or 0
+        if total == 0:
+            return []
+        threshold = max(1, int(total * threshold_fraction))
+        rows = counts.filter(F.col("count") > threshold).collect()
+    finally:
+        counts.unpersist()
     return [r[key_col] for r in rows if r[key_col] is not None]
 
 
@@ -116,8 +124,14 @@ def salted_key_agg(df: DataFrame, key_col: str, agg_exprs: dict,
         is_hot = F.col(key_col).isin(list(hot_keys))
     else:
         is_hot = F.lit(False)
+    # the salt only needs WITHIN-key row variation (the two-stage
+    # result is salt-invariant); round-robin on the per-row id is free
+    # and type-safe — hashing every column (the previous scheme) broke
+    # on MapType inputs and burned a full-row hash of multi-KB payload
+    # columns per row just to pick 1 of k
     salt = F.when(is_hot,
-                  F.pmod(F.xxhash64(*df.columns), F.lit(k))).otherwise(F.lit(0))
+                  F.pmod(F.monotonically_increasing_id(),
+                         F.lit(k))).otherwise(F.lit(0))
     salted = df.withColumn("__salt", salt.cast("int"))
     partial_aggs, final_aggs = _two_stage_aggs(agg_exprs)
     partial = salted.groupBy(key_col, "__salt").agg(*partial_aggs)
