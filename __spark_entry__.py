@@ -1552,6 +1552,8 @@ def _det_avg_sql(col: str, scale: int = 100) -> str:
     bit-identical to the Spark expression (same operand order, same
     IEEE arithmetic), unlike round(avg(double), 4) whose partial-agg
     summation order flips boundary values between core counts."""
+    if 10000 % scale:  # mirrors deterministic_avg's guard
+        raise ValueError(f"scale must divide 10000: {scale}")
     factor = 10000 // scale
     return (f"round(CAST(sum(CAST(round({col} * {scale}) AS BIGINT)) "
             f"AS DOUBLE) * {factor} / count(*)) / CAST(10000 AS DOUBLE)")
@@ -2195,7 +2197,8 @@ def _q_streaming_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                              os.path.join(inp, "b0.parquet"), day=1)
     q = stream_extraction(spark, inp, os.path.join(tmp, "out"),
                           os.path.join(tmp, "ck"))
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        raise RuntimeError("availableNow stream did not finish in 300s")
     streamed = spark.read.parquet(os.path.join(tmp, "out")).select(
         "url", "status", "branch", "token_estimate", "fingerprint")
     batch = extract_pages(
@@ -2234,12 +2237,14 @@ def _q_streaming_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     _streaming_input_parquet(src, os.path.join(inp, "b0.parquet"), day=1)
     q = stream_change_tracking(spark, inp, os.path.join(tmp, "out"),
                                os.path.join(tmp, "ck"))
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        raise RuntimeError("availableNow stream did not finish in 300s")
     _streaming_input_parquet(src, os.path.join(inp, "b1.parquet"),
                              day=2, edit_third=True)
     q2 = stream_change_tracking(spark, inp, os.path.join(tmp, "out"),
                                 os.path.join(tmp, "ck"))
-    q2.awaitTermination(300)
+    if not q2.awaitTermination(300):
+        raise RuntimeError("availableNow stream did not finish in 300s")
     return spark.read.parquet(os.path.join(tmp, "out")).select(
         "url", "change",
         F.col("fingerprint_new").alias("fingerprint"),

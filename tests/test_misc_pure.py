@@ -92,6 +92,18 @@ class TestLangDetect:
         assert detect_language_ngram("the cat is on the mat and it is warm for now") == "en"
         assert detect_language_ngram("el gato está en la casa de los vecinos por una hora") == "es"
         assert detect_language_ngram("der Hund ist auf der Straße und das ist gut für ihn") == "de"
+        assert detect_language_ngram("o que não é uma coisa como para com os outros") == "pt"
+
+    def test_pt_stopwords_contain_no_cyrillic(self):
+        # regression: "как" (top-frequency RUSSIAN) sat in the pt set,
+        # making mixed Cyrillic text below the 30% script threshold
+        # vote 'pt' — and the oracle, generated from the same constant,
+        # stayed green on the wrong answer
+        from webpeel_spark.pure.langdetect import _STOPWORDS
+
+        for lang, words in _STOPWORDS.items():
+            for w in words:
+                assert all(ord(c) < 0x370 for c in w), (lang, w)
 
     def test_ngram_scripts(self):
         assert detect_language_ngram("这是一个中文句子，用来测试语言识别功能。") == "zh"

@@ -537,3 +537,37 @@ class TestCheckpointLineageIntegrity:
             assert prog == direct
         finally:
             shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def test_per_page_udtf_isolates_row_explosion(spark):
+    """Per-row isolation covers the ROW-EXPLOSION too, not just the
+    parse call: a page whose item-mapping raises (malformed item dict)
+    drops that page's rows; every other page still emits.  The
+    per-operator copies this helper replaced guarded only the parse,
+    so one bad item failed the whole Spark task."""
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    from webpeel_spark.operators.extract import _per_page_udtf
+
+    schema = StructType([
+        StructField("url", StringType(), False),
+        StructField("n", LongType(), False),
+    ])
+
+    def factory():
+        def rows(url, html):
+            if "poison" in url:
+                raise KeyError("text")  # malformed item mid-explosion
+            return [(url, len(html))]
+        return rows
+
+    df = spark.createDataFrame(
+        [("https://a.com/1", b"<p>a</p>"),
+         ("https://b.com/poison", b"<p>b</p>"),
+         ("https://c.com/3", b"<p>c</p>")],
+        "url string, html binary")
+    got = sorted(r["url"] for r in
+                 _per_page_udtf(df, schema, factory).collect())
+    assert got == ["https://a.com/1", "https://c.com/3"]

@@ -136,16 +136,25 @@ LISTING_SCHEMA = StructType([
 ])
 
 
-def extract_listings_pages(df: DataFrame,
-                           num_partitions: Optional[int] = None) -> DataFrame:
-    """UDTF-shaped listing auto-extraction: one input page row → N output
-    item rows (extract-listings.ts:483-500 semantics via the pure port).
-    Pages with no detectable listing pattern produce zero rows."""
+def _per_page_udtf(df: DataFrame, schema: StructType, rows_factory,
+                   num_partitions: Optional[int] = None) -> DataFrame:
+    """Shared shape of the UDTF-style per-page operators: the
+    ``(url, html)`` projection, optional explicit url-hash
+    repartition, Arrow-batched decode, and FULL per-row isolation —
+    the parse AND the row-explosion both run inside the try, so one
+    malformed item dict drops that page's rows instead of failing the
+    whole task (the module contract at the top of this file; the
+    previous per-operator copies guarded only the parse call).
+
+    ``rows_factory`` runs once per python worker and returns
+    ``rows(url, html) -> iterable of output tuples`` — pure-layer
+    imports belong inside it so executors resolve them locally.
+    Row building is all-or-nothing per page (the iterable is
+    materialized before extending the batch)."""
+    cols = [f.name for f in schema.fields]
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from webpeel_spark.pure.listings import extract_listings
-
-        cols = [f.name for f in LISTING_SCHEMA.fields]
+        rows_fn = rows_factory()
         for pdf in it:
             out = []
             for url, payload in zip(pdf["url"], pdf["html"]):
@@ -155,19 +164,37 @@ def extract_listings_pages(df: DataFrame,
                     payload = payload.tobytes()
                 try:
                     html = payload.decode("utf-8", errors="replace")
-                    items = extract_listings(html, url)
+                    page_rows = list(rows_fn(url, html))
                 except Exception:
                     continue  # per-row isolation: bad page → no rows
-                for i, item in enumerate(items):
-                    out.append((url, i, item.get("title"), item.get("price"),
-                                item.get("image"), item.get("link"),
-                                item.get("rating"), item.get("description")))
+                out.extend(page_rows)
             yield pd.DataFrame(out, columns=cols)
 
     pruned = df.select("url", "html")
     if num_partitions:
         pruned = pruned.repartition(num_partitions, F.xxhash64("url"))
-    return pruned.mapInPandas(batches, LISTING_SCHEMA)
+    return pruned.mapInPandas(batches, schema)
+
+
+def extract_listings_pages(df: DataFrame,
+                           num_partitions: Optional[int] = None) -> DataFrame:
+    """UDTF-shaped listing auto-extraction: one input page row → N output
+    item rows (extract-listings.ts:483-500 semantics via the pure port).
+    Pages with no detectable listing pattern produce zero rows."""
+
+    def factory():
+        from webpeel_spark.pure.listings import extract_listings
+
+        def rows(url, html):
+            return [
+                (url, i, item.get("title"), item.get("price"),
+                 item.get("image"), item.get("link"),
+                 item.get("rating"), item.get("description"))
+                for i, item in enumerate(extract_listings(html, url))
+            ]
+        return rows
+
+    return _per_page_udtf(df, LISTING_SCHEMA, factory, num_partitions)
 
 
 AUTO_EXTRACT_SCHEMA = StructType([
@@ -192,48 +219,34 @@ def auto_extract_pages(df: DataFrame,
     with the full typed result as a JSON string.  One narrow
     mapInPandas stage, same shape as extract_pages."""
 
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def factory():
         import json
 
         from webpeel_spark.pure.auto_extract import (auto_extract,
                                                      has_spa_indicators)
 
-        cols = [f.name for f in AUTO_EXTRACT_SCHEMA.fields]
-        for pdf in it:
-            out = []
-            for url, payload in zip(pdf["url"], pdf["html"]):
-                if payload is None:
-                    continue
-                if isinstance(payload, memoryview):
-                    payload = payload.tobytes()
-                try:
-                    html = payload.decode("utf-8", errors="replace")
-                    result = auto_extract(html, url)
-                    is_spa = has_spa_indicators(html)
-                except Exception:
-                    continue
-                ptype = result["type"]
-                items = result.get(_AUTO_COUNT_KEY.get(ptype, ""), [])
-                if ptype == "pricing":
-                    headline = items[0]["name"] if items else None
-                elif ptype == "products":
-                    headline = items[0]["name"] if items else None
-                elif ptype == "contact":
-                    headline = items[0] if items else None
-                elif ptype == "article":
-                    headline = result.get("title")
-                elif ptype == "api_docs":
-                    headline = result.get("baseUrl")
-                else:
-                    headline = None
-                out.append((url, ptype, len(items), headline, is_spa,
-                            json.dumps(result, sort_keys=True)))
-            yield pd.DataFrame(out, columns=cols)
+        def rows(url, html):
+            result = auto_extract(html, url)
+            is_spa = has_spa_indicators(html)
+            ptype = result["type"]
+            items = result.get(_AUTO_COUNT_KEY.get(ptype, ""), [])
+            if ptype == "pricing":
+                headline = items[0]["name"] if items else None
+            elif ptype == "products":
+                headline = items[0]["name"] if items else None
+            elif ptype == "contact":
+                headline = items[0] if items else None
+            elif ptype == "article":
+                headline = result.get("title")
+            elif ptype == "api_docs":
+                headline = result.get("baseUrl")
+            else:
+                headline = None
+            return [(url, ptype, len(items), headline, is_spa,
+                     json.dumps(result, sort_keys=True))]
+        return rows
 
-    pruned = df.select("url", "html")
-    if num_partitions:
-        pruned = pruned.repartition(num_partitions, F.xxhash64("url"))
-    return pruned.mapInPandas(batches, AUTO_EXTRACT_SCHEMA)
+    return _per_page_udtf(df, AUTO_EXTRACT_SCHEMA, factory, num_partitions)
 
 
 OBSERVE_SCHEMA = StructType([
@@ -254,37 +267,23 @@ def observe_pages(df: DataFrame,
     extraction via the pure port), exploded to one row per element —
     UDTF-shaped like extract_images_pages."""
 
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def factory():
         import json
 
         from webpeel_spark.pure.observe import observe_html
 
-        cols = [f.name for f in OBSERVE_SCHEMA.fields]
-        for pdf in it:
-            out = []
-            for url, payload in zip(pdf["url"], pdf["html"]):
-                if payload is None:
-                    continue
-                if isinstance(payload, memoryview):
-                    payload = payload.tobytes()
-                try:
-                    html = payload.decode("utf-8", errors="replace")
-                    result = observe_html(html, url)
-                except Exception:
-                    continue
-                for category, items in result["elements"].items():
-                    for item in items:
-                        out.append((url, category, item["ref"],
-                                    item["tag"], item["selector"],
-                                    item["text"], item["role"],
-                                    json.dumps(item["attributes"],
-                                               sort_keys=True)))
-            yield pd.DataFrame(out, columns=cols)
+        def rows(url, html):
+            result = observe_html(html, url)
+            return [
+                (url, category, item["ref"], item["tag"],
+                 item["selector"], item["text"], item["role"],
+                 json.dumps(item["attributes"], sort_keys=True))
+                for category, items in result["elements"].items()
+                for item in items
+            ]
+        return rows
 
-    pruned = df.select("url", "html")
-    if num_partitions:
-        pruned = pruned.repartition(num_partitions, F.xxhash64("url"))
-    return pruned.mapInPandas(batches, OBSERVE_SCHEMA)
+    return _per_page_udtf(df, OBSERVE_SCHEMA, factory, num_partitions)
 
 
 LINK_PAIR_SCHEMA = StructType([
@@ -299,30 +298,15 @@ def extract_link_pairs_pages(df: DataFrame,
                              ) -> DataFrame:
     """{url, text} link pairs per page (links.ts port), exploded."""
 
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def factory():
         from webpeel_spark.pure.links import extract_link_pairs
 
-        cols = [f.name for f in LINK_PAIR_SCHEMA.fields]
-        for pdf in it:
-            out = []
-            for url, payload in zip(pdf["url"], pdf["html"]):
-                if payload is None:
-                    continue
-                if isinstance(payload, memoryview):
-                    payload = payload.tobytes()
-                try:
-                    html = payload.decode("utf-8", errors="replace")
-                    pairs = extract_link_pairs(html, url)
-                except Exception:
-                    continue
-                for p in pairs:
-                    out.append((url, p["url"], p["text"]))
-            yield pd.DataFrame(out, columns=cols)
+        def rows(url, html):
+            return [(url, p["url"], p["text"])
+                    for p in extract_link_pairs(html, url)]
+        return rows
 
-    pruned = df.select("url", "html")
-    if num_partitions:
-        pruned = pruned.repartition(num_partitions, F.xxhash64("url"))
-    return pruned.mapInPandas(batches, LINK_PAIR_SCHEMA)
+    return _per_page_udtf(df, LINK_PAIR_SCHEMA, factory, num_partitions)
 
 
 IMAGE_SCHEMA = StructType([
@@ -341,31 +325,28 @@ def extract_images_pages(df: DataFrame,
     pure port): img[src] + picture>source[srcset] + CSS background
     url(), absolutized, deduped by src — exploded to one row per image."""
 
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def factory():
         from webpeel_spark.pure.metadata import extract_images
 
-        cols = [f.name for f in IMAGE_SCHEMA.fields]
-        for pdf in it:
-            out = []
-            for url, payload in zip(pdf["url"], pdf["html"]):
-                if payload is None:
-                    continue
-                if isinstance(payload, memoryview):
-                    payload = payload.tobytes()
-                try:
-                    html = payload.decode("utf-8", errors="replace")
-                    images = extract_images(html, url)
-                except Exception:
-                    continue
-                for im in images:
-                    out.append((url, im.src, im.alt, im.title,
-                                im.width, im.height))
-            yield pd.DataFrame(out, columns=cols)
+        def rows(url, html):
+            return [(url, im.src, im.alt, im.title, im.width, im.height)
+                    for im in extract_images(html, url)]
+        return rows
 
-    pruned = df.select("url", "html")
-    if num_partitions:
-        pruned = pruned.repartition(num_partitions, F.xxhash64("url"))
-    return pruned.mapInPandas(batches, IMAGE_SCHEMA)
+    return _per_page_udtf(df, IMAGE_SCHEMA, factory, num_partitions)
+
+
+def _change_status() -> Column:
+    """THE added/removed/changed/unchanged rule (change-tracking.ts
+    fingerprint diff) over ``__fp_old``/``__fp_new`` — one definition
+    shared by change_detection and change_detection_with_diff so the
+    two can never drift."""
+    return (
+        F.when(F.col("__fp_old").isNull(), F.lit("added"))
+        .when(F.col("__fp_new").isNull(), F.lit("removed"))
+        .when(F.col("__fp_old") != F.col("__fp_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
 
 
 def change_detection(old: DataFrame, new: DataFrame) -> DataFrame:
@@ -377,12 +358,7 @@ def change_detection(old: DataFrame, new: DataFrame) -> DataFrame:
     o = old.select(F.col("url"), F.col("fingerprint").alias("__fp_old"))
     n = new.select(F.col("url"), F.col("fingerprint").alias("__fp_new"))
     joined = o.join(n, "url", "full_outer")
-    status = (
-        F.when(F.col("__fp_old").isNull(), F.lit("added"))
-        .when(F.col("__fp_new").isNull(), F.lit("removed"))
-        .when(F.col("__fp_old") != F.col("__fp_new"), F.lit("changed"))
-        .otherwise(F.lit("unchanged"))
-    )
+    status = _change_status()
     return joined.select(
         "url", status.alias("change"),
         F.col("__fp_old").alias("fingerprint_old"),
@@ -406,13 +382,7 @@ def change_detection_with_diff(old: DataFrame, new: DataFrame) -> DataFrame:
     n = new.select(F.col("url"), F.col("fingerprint").alias("__fp_new"),
                    F.col("content").alias("__c_new"))
     joined = o.join(n, "url", "full_outer")
-    status = (
-        F.when(F.col("__fp_old").isNull(), F.lit("added"))
-        .when(F.col("__fp_new").isNull(), F.lit("removed"))
-        .when(F.col("__fp_old") != F.col("__fp_new"), F.lit("changed"))
-        .otherwise(F.lit("unchanged"))
-    )
-    classified = joined.withColumn("change", status)
+    classified = joined.withColumn("change", _change_status())
 
     def diff_batches(batches):
         from webpeel_spark.pure.diffs import compute_diff
@@ -456,33 +426,20 @@ def sitemap_parse_pages(df: DataFrame,
     sitemap url — the reference's recursive fetch becomes a self-join
     against the stored corpus when the child is present."""
 
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def factory():
         from webpeel_spark.pure.sitemap import parse_sitemap_xml
 
-        cols = [f.name for f in SITEMAP_SCHEMA.fields]
-        for pdf in it:
-            out = []
-            for url, payload in zip(pdf["url"], pdf["html"]):
-                if payload is None:
-                    continue
-                if isinstance(payload, memoryview):
-                    payload = payload.tobytes()
-                try:
-                    xml = payload.decode("utf-8", errors="replace")
-                    parsed = parse_sitemap_xml(xml, max_urls=max_urls)
-                except Exception:
-                    continue
-                for child in parsed["sitemaps"]:
-                    out.append((url, "index", child, None, None, None))
-                for e in parsed["urls"]:
-                    out.append((url, "urlset", e["url"], e.get("lastmod"),
-                                e.get("changefreq"), e.get("priority")))
-            yield pd.DataFrame(out, columns=cols)
+        def rows(url, xml):
+            parsed = parse_sitemap_xml(xml, max_urls=max_urls)
+            out = [(url, "index", child, None, None, None)
+                   for child in parsed["sitemaps"]]
+            out.extend((url, "urlset", e["url"], e.get("lastmod"),
+                        e.get("changefreq"), e.get("priority"))
+                       for e in parsed["urls"])
+            return out
+        return rows
 
-    pruned = df.select("url", "html")
-    if num_partitions:
-        pruned = pruned.repartition(num_partitions, F.xxhash64("url"))
-    return pruned.mapInPandas(batches, SITEMAP_SCHEMA)
+    return _per_page_udtf(df, SITEMAP_SCHEMA, factory, num_partitions)
 
 
 SERP_SCHEMA = StructType([
@@ -503,35 +460,21 @@ def serp_parse_pages(df: DataFrame,
     """Stored Google SERP pages → one row per organic result, with
     page-level block counts (google-serp-parser.ts via the pure port)."""
 
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def factory():
         from webpeel_spark.pure.serp import parse_google_serp
 
-        cols = [f.name for f in SERP_SCHEMA.fields]
-        for pdf in it:
-            out = []
-            for url, payload in zip(pdf["url"], pdf["html"]):
-                if payload is None:
-                    continue
-                if isinstance(payload, memoryview):
-                    payload = payload.tobytes()
-                try:
-                    html = payload.decode("utf-8", errors="replace")
-                    serp = parse_google_serp(html)
-                except Exception:
-                    continue
-                n_paa = len(serp.get("people_also_ask", []))
-                n_rel = len(serp.get("related_searches", []))
-                has_kp = "knowledge_panel" in serp
-                total = serp.get("total_results")
-                for o in serp["organic_results"]:
-                    out.append((url, o["position"], o["title"], o["url"],
-                                o["snippet"], n_paa, n_rel, has_kp, total))
-            yield pd.DataFrame(out, columns=cols)
+        def rows(url, html):
+            serp = parse_google_serp(html)
+            n_paa = len(serp.get("people_also_ask", []))
+            n_rel = len(serp.get("related_searches", []))
+            has_kp = "knowledge_panel" in serp
+            total = serp.get("total_results")
+            return [(url, o["position"], o["title"], o["url"],
+                     o["snippet"], n_paa, n_rel, has_kp, total)
+                    for o in serp["organic_results"]]
+        return rows
 
-    pruned = df.select("url", "html")
-    if num_partitions:
-        pruned = pruned.repartition(num_partitions, F.xxhash64("url"))
-    return pruned.mapInPandas(batches, SERP_SCHEMA)
+    return _per_page_udtf(df, SERP_SCHEMA, factory, num_partitions)
 
 
 BUSINESS_INTEL_SCHEMA = StructType([
@@ -551,32 +494,19 @@ def business_intel_pages(df: DataFrame,
     analyzers): schema.org/OG company facts, tech-stack fingerprints,
     social links, pricing plans, industry vote."""
 
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def factory():
         from webpeel_spark.pure.business_intel import business_intel
 
-        cols = [f.name for f in BUSINESS_INTEL_SCHEMA.fields]
-        for pdf in it:
-            out = []
-            for url, payload in zip(pdf["url"], pdf["html"]):
-                if payload is None:
-                    continue
-                if isinstance(payload, memoryview):
-                    payload = payload.tobytes()
-                try:
-                    html = payload.decode("utf-8", errors="replace")
-                    intel = business_intel(html)
-                except Exception:
-                    continue
-                out.append((url, intel.get("name"), intel.get("industry"),
-                            intel["tech_stack"],
-                            [s["platform"] for s in intel["social_media"]],
-                            len(intel["pricing"]), intel.get("founded")))
-            yield pd.DataFrame(out, columns=cols)
+        def rows(url, html):
+            intel = business_intel(html)
+            return [(url, intel.get("name"), intel.get("industry"),
+                     intel["tech_stack"],
+                     [s["platform"] for s in intel["social_media"]],
+                     len(intel["pricing"]), intel.get("founded"))]
+        return rows
 
-    pruned = df.select("url", "html")
-    if num_partitions:
-        pruned = pruned.repartition(num_partitions, F.xxhash64("url"))
-    return pruned.mapInPandas(batches, BUSINESS_INTEL_SCHEMA)
+    return _per_page_udtf(df, BUSINESS_INTEL_SCHEMA, factory,
+                          num_partitions)
 
 
 def semantic_diff_snapshots(old: DataFrame, new: DataFrame) -> DataFrame:
@@ -644,9 +574,15 @@ def deterministic_avg(col: Union[str, Column], scale: int = 100) -> Column:
     order-independent and reproducible bit-for-bit by the DuckDB
     oracles (same formula, same IEEE ops, same operand order).
     """
+    if 10000 % scale:
+        # the DuckDB twin (_det_avg_sql) computes the factor with
+        # integer division; a non-divisor scale would make the two
+        # "bit-identical" formulas silently diverge (10000.0/3 vs 3333)
+        raise ValueError(f"scale must divide 10000: {scale}")
     c = F.col(col) if isinstance(col, str) else col
     int_sum = F.sum(F.round(c * scale, 0).cast("long"))
-    bp = F.round(int_sum * F.lit(10000.0 / scale) / F.count(F.lit(1)), 0)
+    bp = F.round(int_sum * F.lit(float(10000 // scale))
+                 / F.count(F.lit(1)), 0)
     return bp / F.lit(10000.0)
 
 

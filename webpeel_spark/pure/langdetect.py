@@ -52,7 +52,11 @@ _STOPWORDS = {
     "es": {"el", "la", "de", "que", "en", "los", "del", "las", "por", "una", "con", "para"},
     "fr": {"le", "la", "les", "des", "est", "dans", "une", "pour", "que", "qui", "sur", "avec"},
     "de": {"der", "die", "und", "das", "von", "mit", "ist", "den", "für", "auf", "ein", "nicht"},
-    "pt": {"de", "que", "não", "uma", "para", "com", "os", "do", "da", "em", "um", "как"},
+    # ("como", not "как" — a review caught the Russian word in this
+    # set: "как" is top-frequency Russian, so one poisoned entry made
+    # Cyrillic text vote 'pt' while the oracle, generated from the
+    # same constant, stayed green on the wrong answer)
+    "pt": {"de", "que", "não", "uma", "para", "com", "os", "do", "da", "em", "um", "como"},
     "it": {"di", "che", "il", "per", "con", "una", "del", "gli", "della", "nel", "sono", "più"},
     "nl": {"de", "het", "een", "van", "en", "dat", "is", "voor", "met", "aan", "niet", "zijn"},
 }

@@ -42,12 +42,16 @@ GENERIC_HOSTS = [
 
 DOMAIN_HOSTS = ["www.amazon.com", "medium.com", "en.wikipedia.org"]
 
-# host weights: Zipf-ish — first hosts dominate (skew driver)
+# host weights: Zipf-ish — first hosts dominate (skew driver).
+# Hoisted: _host_for runs once per generated row, and rebuilding the
+# list + 13 weights per call is pure waste at 768k-row soak sizes.
+_HOSTS = DOMAIN_HOSTS + GENERIC_HOSTS
+# P(host_i) ∝ 1/(i+1): heavy head
+_HOST_WEIGHTS = [1.0 / (i + 1) for i in range(len(_HOSTS))]
+
+
 def _host_for(rng: random.Random) -> str:
-    hosts = DOMAIN_HOSTS + GENERIC_HOSTS
-    # P(host_i) ∝ 1/(i+1): heavy head
-    weights = [1.0 / (i + 1) for i in range(len(hosts))]
-    return rng.choices(hosts, weights=weights, k=1)[0]
+    return rng.choices(_HOSTS, weights=_HOST_WEIGHTS, k=1)[0]
 
 
 def _sentence(rng: random.Random, n: int) -> str:
