@@ -1,0 +1,180 @@
+"""Reference-semantics edge parity (round-8 review findings).
+
+Each case pins a divergence found by source-level comparison against
+the reference (readability.ts / markdown.ts / turndown 7.2 +
+turndown-plugin-gfm 1.0.2 semantics, versions from the reference's
+package-lock).  The reference could not be EXECUTED in this sandbox
+(no node_modules, no network), so these encode the behavior of the
+cited source lines.
+"""
+
+from webpeel_spark.pure.mdemit import node_to_markdown
+from webpeel_spark.dom import parse_html, document_body
+
+
+def _md(html: str) -> str:
+    return node_to_markdown(document_body(parse_html(html))).strip()
+
+
+class TestBodyNoiseWalk:
+    def test_noise_class_on_body_removes_everything(self):
+        # readability.ts:313-314 walk(body): isNoise(body) runs on the
+        # body element itself — <body class="modal-open"> matches
+        # /\bmodal\b/ and the whole page is dropped
+        from webpeel_spark.pure.readability import extract_readable_content
+
+        page = ('<html><body class="modal-open"><article><h1>T</h1>'
+                + "<p>Real article text here with plenty of words. </p>" * 10
+                + "</article></body></html>")
+        r = extract_readable_content(page, "https://x.com/a")
+        assert "Real article text" not in (r.content or "")
+
+    def test_clean_body_keeps_content(self):
+        from webpeel_spark.pure.readability import extract_readable_content
+
+        page = ('<html><body class="article-page"><article><h1>T</h1>'
+                + "<p>Real article text here with plenty of words. </p>" * 10
+                + "</article></body></html>")
+        r = extract_readable_content(page, "https://x.com/a")
+        assert "Real article text" in (r.content or "")
+
+
+class TestTitleConcat:
+    def test_svg_titles_concatenate(self):
+        # readability.ts:191 $('title').text() joins EVERY title
+        # element's text, including inline-SVG icon titles
+        from webpeel_spark.pure.readability import extract_readable_content
+
+        page = ("<html><head><title>Docs</title></head><body>"
+                "<svg><title>Menu icon</title></svg>"
+                "<article><p>Body text with some words in it.</p>"
+                "</article></body></html>")
+        r = extract_readable_content(page, "https://x.com/a")
+        assert r.title == "DocsMenu icon"
+
+
+class TestJsRound:
+    def test_reading_time_half_up(self):
+        # readability.ts:499 Math.round(500/200)=3; banker's round said 2
+        from webpeel_spark.pure.readability import calc_reading_time
+
+        assert calc_reading_time(500) == "3 min read"
+
+    def test_quality_half_up(self):
+        from webpeel_spark.pure.cli_helpers import _js_round
+
+        assert _js_round(12.5) == 13
+        assert _js_round(2.5) == 3
+        assert _js_round(-2.5) == -2  # toward +inf, like Math.round
+
+
+class TestTurndownEdges:
+    def test_empty_href_emits_bare_text(self):
+        # turndown inlineLink filter requires a TRUTHY href
+        assert _md('<p><a href="">Sign in</a></p>') == "Sign in"
+        assert _md('<p><a href="/x">Sign in</a></p>') == "[Sign in](/x)"
+
+    def test_pre_with_whitespace_sibling_is_inline_code(self):
+        # turndown hasSiblings counts whitespace text nodes (never
+        # collapsed inside pre); the custom codeBlocks rule checks
+        # firstChild, which here is the ' ' text node (markdown.ts:566)
+        assert _md("<pre> <code>ls</code></pre>") == "`ls`"
+        assert _md("<pre><code>ls</code></pre>") == "```\nls\n```"
+
+    def test_ol_start_js_number_semantics(self):
+        # turndown listItem: (start ? Number(start)+index : index+1)
+        assert _md('<ol start="abc"><li>a</li></ol>').startswith("NaN.")
+        assert _md('<ol start="3"><li>a</li><li>b</li></ol>').splitlines()[
+            -1].startswith("4.")
+        assert _md('<ol start="0"><li>a</li></ol>').startswith("0.")
+
+
+class TestTableEdges:
+    def test_rowless_table_raw_path_text_fallback(self):
+        # gfm's table filter calls isHeadingRow(node.rows[0]) — a
+        # rowless table throws and rawHtmlToMarkdown (markdown.ts:703-707,
+        # no cleanHTML) falls back to $.text() whitespace-collapse of
+        # the WHOLE page
+        from webpeel_spark.pure.markdown import raw_html_to_markdown
+
+        page = ("<html><body><h1>Head</h1><p>Hello world</p>"
+                "<table><tbody></tbody></table></body></html>")
+        assert raw_html_to_markdown(page) == "HeadHello world"
+
+    def test_rowless_table_clean_path_is_layout_converted(self):
+        # the CLEANED path never crashes: the layout-table pass
+        # (markdown.ts:261-296, rowCount 0 → layout) replaces the
+        # rowless table with an empty div before the converter runs
+        from webpeel_spark.pure.markdown import html_to_markdown
+
+        page = ("<html><body><h1>Head</h1><p>Hello world</p>"
+                "<table><tbody></tbody></table></body></html>")
+        assert html_to_markdown(page, prune=False) == "# Head\n\nHello world"
+
+    def test_colspan_parseint_semantics(self):
+        # parseInt('50%')=50 (capped at 6 dup cells); parseInt('abc')=NaN
+        # → s < NaN false → ZERO cells pushed (markdown.ts:348)
+        from webpeel_spark.pure.markdown import html_to_markdown
+
+        t = ("<html><body><table>"
+             "<tr><td>h1</td><td>h2</td><td>h3</td></tr>"
+             "<tr><td colspan='50%'>X</td></tr>"
+             "<tr><td colspan='abc'>Y</td><td>Z</td></tr>"
+             "</table></body></html>")
+        out = html_to_markdown(t, prune=False)
+        assert "X · X · X" in out     # 50% → 50 → capped at 3 (list path)
+        assert "Y" not in out         # NaN colspan → cell dropped
+        assert "Z" in out
+
+    def test_rebuild_interpolates_raw_cell_text(self):
+        # markdown.ts:340-384 template literals interpolate cell text
+        # RAW — '<'+letter re-parses as markup in the rebuilt fragment;
+        # the old port escaped it, producing bytes the reference never
+        # emits ('&lt;' / 'i\\<j')
+        from webpeel_spark.pure.markdown import html_to_markdown
+
+        t = ("<html><body><table>"
+             "<tr><td>n1</td><td>n2</td></tr>"
+             "<tr><td>i<j</td><td>ok</td></tr>"
+             "<tr><td>a</td><td>b</td></tr>"
+             "</table></body></html>")
+        out = html_to_markdown(t, prune=False)
+        assert "&lt;" not in out and "\\<" not in out
+
+
+class TestAsciiRegexSemantics:
+    def test_noise_boundary_matches_before_nonascii_letter(self):
+        # JS /\bmenu\b/ without /u: 'ü' is a NON-word char, so
+        # class="menuübersicht" matches (boundary between 'u' and 'ü');
+        # Python's Unicode default treated 'ü' as a word char and kept
+        # the node
+        from webpeel_spark.pure.readability import NOISE_CLASS_PATTERNS
+
+        assert any(p.search("menuübersicht") for p in NOISE_CLASS_PATTERNS)
+
+    def test_chrome_pattern_ascii_boundary(self):
+        from webpeel_spark.pure.pruner import CHROME_PATTERNS
+
+        assert any(p.search("modalübersicht")
+                   for p in CHROME_PATTERNS)  # boundary before 'ü'
+
+    def test_cta_digit_class_is_ascii(self):
+        # '٣ answers' (Arabic-Indic digit): JS ^\d+ does not match it,
+        # so the line SURVIVES the CTA filter there — and now here
+        from webpeel_spark.pure.markdown import _is_cta_noise_line
+
+        assert not _is_cta_noise_line("٣ answers")
+        assert _is_cta_noise_line("3 answers")
+
+    def test_ordered_list_escape_ascii_digits(self):
+        # turndown escapes /^(\d+)\. / with ASCII \d: '٣. x' is NOT
+        # escaped by the reference
+        from webpeel_spark.pure.mdemit import node_to_markdown
+        from webpeel_spark.dom import parse_html, document_body
+
+        out = node_to_markdown(document_body(parse_html(
+            "<html><body><p>٣. x</p></body></html>")))
+        assert "٣\\." not in out
+        out2 = node_to_markdown(document_body(parse_html(
+            "<html><body><p>3. x</p></body></html>")))
+        assert "3\\." in out2

@@ -15,7 +15,6 @@ from __future__ import annotations
 
 import math
 import re
-from html import escape as _esc
 from typing import Dict, List, Optional, Tuple
 
 from ..dom import (Node, parse_html, parse_fragment, select, select_first,
@@ -25,6 +24,14 @@ from .pruner import prune_content
 
 MAX_HTML_BYTES = 10 * 1024 * 1024  # markdown.ts:233
 MAX_MARKDOWN_BYTES = 1024 * 1024   # markdown.ts:608
+
+_PARSEINT_RE = re.compile(r"\s*([+-]?[0-9]+)")  # parseInt: ASCII digits
+
+
+def _js_parse_int(s: str):
+    """JS ``parseInt(s, 10)``: leading digits prefix, else NaN (None)."""
+    m = _PARSEINT_RE.match(s)
+    return int(m.group(1)) if m else None
 
 JUNK_SELECTORS = [
     'script', 'style', 'noscript', 'iframe', 'link[rel="stylesheet"]',
@@ -267,7 +274,11 @@ def _convert_complex_tables(root: Node) -> None:
         start_idx = 1 if headers else 0
 
         if 2 <= len(headers) <= 6:
-            thead_row = "<tr>" + "".join(f"<th>{_esc(h)}</th>" for h in headers) + "</tr>"
+            # RAW interpolation like the reference template literals
+            # (markdown.ts:340,354,379-384): cell text is NOT escaped
+            # before the rebuild re-parse, so text containing markup
+            # re-parses as markup there — faithfully
+            thead_row = "<tr>" + "".join(f"<th>{h}</th>" for h in headers) + "</tr>"
             tbody_rows: List[str] = []
             ROW_CAP = 50
             total = len(data_rows) - start_idx
@@ -276,17 +287,17 @@ def _convert_complex_tables(root: Node) -> None:
                 for td in data_rows[r].element_children():
                     if td.tag not in ("td", "th"):
                         continue
-                    try:
-                        span = int(td.get("colspan") or "1")
-                    except ValueError:
-                        span = 1
+                    # parseInt('50%')=50, parseInt('abc')=NaN -> zero
+                    # cells pushed (s < NaN is false) — markdown.ts:348
+                    span = _js_parse_int(td.get("colspan") or "1")
                     text = td.text().strip()
-                    for _ in range(min(span, 6)):
+                    for _ in range(max(0, min(span, 6)) if span is not None
+                                   else 0):
                         cells.append(text)
                 while len(cells) < len(headers):
                     cells.append("")
                 tbody_rows.append(
-                    "<tr>" + "".join(f"<td>{_esc(c)}</td>" for c in cells[: len(headers)]) + "</tr>"
+                    "<tr>" + "".join(f"<td>{c}</td>" for c in cells[: len(headers)]) + "</tr>"
                 )
             if total > ROW_CAP:
                 tbody_rows.append(
@@ -306,23 +317,21 @@ def _convert_complex_tables(root: Node) -> None:
             for td in data_rows[r].element_children():
                 if td.tag not in ("td", "th"):
                     continue
-                try:
-                    span = int(td.get("colspan") or "1")
-                except ValueError:
-                    span = 1
+                span = _js_parse_int(td.get("colspan") or "1")
                 text = td.text().strip()
-                for _ in range(min(span, 3)):
+                for _ in range(max(0, min(span, 3)) if span is not None
+                               else 0):
                     cells.append(text)
             if any(cells):
                 if headers:
                     parts = [
-                        f"<strong>{_esc(headers[j])}:</strong> {_esc(c)}" if (j < len(headers) and headers[j] and c) else _esc(c)
+                        f"<strong>{headers[j]}:</strong> {c}" if (j < len(headers) and headers[j] and c) else c
                         for j, c in enumerate(cells)
                     ]
                     parts = [p for p in parts if p]
                     li_items.append("<li>" + " &middot; ".join(parts) + "</li>")
                 else:
-                    li_items.append("<li>" + " &middot; ".join(_esc(c) for c in cells if c) + "</li>")
+                    li_items.append("<li>" + " &middot; ".join(c for c in cells if c) + "</li>")
         if total > ROW_CAP_LIST:
             li_items.append(f"<li><em>... ({ROW_CAP_LIST} of {total} rows shown)</em></li>")
         if li_items:
@@ -515,7 +524,11 @@ def calculate_quality(content: str, original_html: str) -> float:
         + (has_headings * has_paragraphs) * 0.2
         + length_score * 0.2
     )
-    return round(quality * 100) / 100
+    # Math.round semantics (half toward +∞, markdown.ts:535), not
+    # Python's banker's round — 0.125*100=12.5 must become 13 not 12
+    from .cli_helpers import _js_round
+
+    return _js_round(quality * 100) / 100
 
 
 # ── htmlToMarkdown (markdown.ts:586-684) ─────────────────────────────────
@@ -546,9 +559,9 @@ _CTA_LINE_REGEXES = [re.compile(p, re.I) for p in (
     r"^\[?(share|follow|flag|report)\]?(\(.*\))?$",
     r"^\[?improve this (question|answer)\]?",
     r"^(sorted by|highest score|trending|date modified|date created)",
-    r"^\[?(edited|answered|asked)\s+\w+\s+\d",
+    r"^\[?(edited|answered|asked)\s+[0-9A-Za-z_]+\s+[0-9]",  # JS \w,\d=ASCII
     r"^community wiki$",
-    r"^\d+\s*(answers?|votes?|views?)\s*\d*$",
+    r"^[0-9]+\s*(answers?|votes?|views?)\s*[0-9]*$",
     r"^\[?reset to default\]?",
     r"^\[?(bookmark|save|pin|mute|hide|block)\]?(\(.*\))?$",
     r"^\[?(reply|retweet|repost|quote)\]?(\(.*\))?$",
@@ -739,11 +752,11 @@ def clean_for_ai(markdown: str) -> str:
         markdown,
     )
     result = re.sub(r"\[([^\]]+)\]\([^)]+\)", r"\1", result)
-    result = re.sub(r"^\[[\w-]+\]:\s+\S+.*$", "", result, flags=re.M)
+    result = re.sub(r"^\[[0-9A-Za-z_-]+\]:\s+\S+.*$", "", result, flags=re.M)
     result = re.sub(r"^https?://\S+$", "", result, flags=re.M)
     result = re.sub(r"<!--[\s\S]*?-->", "", result)
     result = re.sub(r"\[\s*\]", "", result)
-    result = re.sub(r"\[(\d+)\]", "", result)
+    result = re.sub(r"\[([0-9]+)\]", "", result)
     result = re.sub(r"\n{3,}", "\n\n", result)
     result = re.sub(r"[ \t]+$", "", result, flags=re.M)
     return result.strip()

@@ -19,10 +19,37 @@ Head content (``<title>``/``<meta>``) never emits output.
 
 from __future__ import annotations
 
+import math
 import re
 from typing import Optional
 
 from ..dom import Node, VOID_TAGS, parse_html, document_body
+
+
+def _js_number(s: str) -> float:
+    """JS ``Number(string)``: trimmed; '' → 0; hex accepted; else NaN."""
+    t = s.strip()
+    if not t:
+        return 0.0
+    try:
+        low = t.lower()
+        if low.startswith(("0x", "+0x", "-0x")):
+            sign = -1.0 if low.startswith("-") else 1.0
+            return sign * int(low.lstrip("+-"), 16)
+        return float(t)
+    except ValueError:
+        return float("nan")
+
+
+def _js_num_str(x: float) -> str:
+    """JS number-to-string for the common cases (integers bare, NaN)."""
+    if math.isnan(x):
+        return "NaN"
+    if math.isinf(x):
+        return "Infinity" if x > 0 else "-Infinity"
+    if x == int(x) and abs(x) < 1e21:
+        return str(int(x))
+    return repr(x)
 
 # ── element classification (Turndown's block-elements list) ─────────────
 
@@ -151,14 +178,14 @@ _ESCAPE_STEPS = [
     (re.compile(r"\]"), "\\]"),
     (re.compile(r"^>"), "\\>"),
     (re.compile(r"_"), "\\_"),
-    (re.compile(r"^(\d+)\. "), "\\1\\\\. "),
+    (re.compile(r"^([0-9]+)\. "), "\\1\\\\. "),  # JS \d = ASCII
 ]
 
 
 # one search deciding whether ANY escape step can fire: the unanchored
 # chars, or a line-start char of the anchored steps (superset test —
 # false positives just run the full table, never change output)
-_ESCAPE_NEEDED = re.compile(r"[\\*`\[\]_]|^[-+=#~>]|^\d+\. ")
+_ESCAPE_NEEDED = re.compile(r"[\\*`\[\]_]|^[-+=#~>]|^[0-9]+\. ")
 
 
 def escape_markdown(text: str) -> str:
@@ -374,7 +401,7 @@ class MarkdownEmitter:
             first_child = node.children[0] if node.children else None
             if first is not None and first is first_child and first.tag == "code":
                 cls = first.get("class") or ""
-                m = re.search(r"language-(\w+)", cls)
+                m = re.search(r"language-([0-9A-Za-z_]+)", cls)  # JS \w = ASCII
                 language = m.group(1) if m else ""
                 return "\n\n```" + language + "\n" + first.text() + "\n```\n\n"
 
@@ -395,6 +422,15 @@ class MarkdownEmitter:
         if tag in ("thead", "tbody", "tfoot"):
             return content
         if tag == "table":
+            if not any(e.tag == "tr" for e in node.iter_elements()):
+                # turndown-plugin-gfm's table filter calls
+                # isHeadingRow(node.rows[0]); a rowless table makes
+                # rows[0] undefined and 'tr.parentNode' THROW, which
+                # markdown.ts:599-605 catches by converting the WHOLE
+                # page via $.text() whitespace-collapse — reproduce
+                # the crash so the same fallback fires here
+                raise ValueError("rowless <table>: gfm isHeadingRow "
+                                 "TypeError equivalent")
             if self._table_convertible(node):
                 return "\n\n" + content.replace("\n\n", "\n", 1) + "\n\n"
             return "\n\n" + node.html() + "\n\n"  # keep: raw table
@@ -448,7 +484,9 @@ class MarkdownEmitter:
             return self._list_item(node, content)
         if tag == "hr":
             return "\n\n" + self.hr + "\n\n"
-        if tag == "a" and node.get("href") is not None:
+        # truthy-href filter like Turndown's inlineLink (href="" falls
+        # through to the default rule and emits bare content)
+        if tag == "a" and node.get("href"):
             href = (node.get("href") or "").replace("(", "\\(").replace(")", "\\)")
             title = node.get("title") or ""
             title = re.sub(r"(\n+\s*)+", "\n", title)
@@ -480,11 +518,13 @@ class MarkdownEmitter:
             kids = parent.element_children()
             index = kids.index(node)
             start_attr = parent.get("start")
-            try:
-                start = int(start_attr) if start_attr else 1
-            except ValueError:
-                start = 1
-            prefix = f"{start + index}.  "
+            # turndown: (start ? Number(start) + index : index + 1) —
+            # JS Number semantics, so start="abc" yields 'NaN.  ' and
+            # start="5.5" yields '5.5.  ', faithfully
+            if start_attr:
+                prefix = f"{_js_num_str(_js_number(start_attr) + index)}.  "
+            else:
+                prefix = f"{index + 1}.  "
         has_next = False
         if parent is not None:
             idx = parent.children.index(node)
@@ -493,10 +533,13 @@ class MarkdownEmitter:
 
     def _inline_code(self, node: Node, content: str) -> str:
         # code inside pre handled by the pre rule; a lone code child of pre
-        # without siblings would be a code block — treat as inline elsewhere
+        # without siblings would be a code block — treat as inline elsewhere.
+        # Turndown's hasSiblings = previousSibling || nextSibling counts ANY
+        # sibling node, including whitespace text (never collapsed inside
+        # pre), so '<pre> <code>ls</code></pre>' is INLINE code there —
+        # count raw children, don't strip-filter them.
         if node.parent is not None and node.parent.tag == "pre":
-            sibs = [c for c in node.parent.children if isinstance(c, Node) or c.strip()]
-            if len(sibs) == 1:
+            if len(node.parent.children) == 1:
                 return content
         text = content
         if not text:

@@ -21,11 +21,15 @@ import re
 from typing import List, NamedTuple, Optional
 
 from ..dom import Node, VOID_TAGS, parse_html, document_body
+from .cli_helpers import _js_round  # Math.round half-up (content-pruner.ts:444)
 
 CHROME_TAGS = frozenset(("nav", "footer", "aside", "noscript"))
 
 # content-pruner.ts:49-113 — ported verbatim (JS → Python re)
-CHROME_PATTERNS = [re.compile(p) for p in (
+# re.ASCII: JS \b/\w without /u are ASCII — <div class="menü">
+# MATCHES /\bmenu\b/ there (ü is a non-word char) but not under
+# Python's Unicode default
+CHROME_PATTERNS = [re.compile(p, re.ASCII) for p in (
     r"\bsidebar\b",
     r"\bcookie",
     r"\bbanner\b",
@@ -95,7 +99,7 @@ DENSITY_SAFE_TAGS = frozenset((
     "table", "thead", "tbody", "tfoot", "tr", "th", "td",
 ))
 
-CONTENT_PATTERNS = [re.compile(p) for p in (
+CONTENT_PATTERNS = [re.compile(p, re.ASCII) for p in (
     r"\barticle",
     r"\bpost-?content",
     r"\bentry-?content",
@@ -296,7 +300,7 @@ def prune_content(html: str, threshold: float = 0.3, min_words: int = 3,
     result_html = html_el.html() if html_el is not None else root.inner_html()
     result_len = len(result_html)
     reduction = (
-        max(0, round(((original_length - result_len) / original_length) * 100))
+        max(0, _js_round(((original_length - result_len) / original_length) * 100))
         if original_length > 0 else 0
     )
     return PruneResult(result_html, nodes_removed, reduction)

@@ -26,7 +26,10 @@ NOISE_TAGS = frozenset((
     "script", "style", "noscript", "iframe", "form",
 ))
 
-NOISE_CLASS_PATTERNS = [re.compile(p) for p in (
+# re.ASCII on all three tables: JS \b without /u is an ASCII word
+# boundary, so non-ASCII class names match/unmatch differently
+# under Python's Unicode default (see test_reference_edge_parity)
+NOISE_CLASS_PATTERNS = [re.compile(p, re.ASCII) for p in (
     r"\bsidebar\b",
     r"\bmenu\b",
     r"\bnav(bar|igation)?\b",
@@ -61,7 +64,7 @@ NOISE_CLASS_PATTERNS = [re.compile(p) for p in (
 
 NOISE_ROLES = frozenset(("navigation", "banner", "contentinfo", "complementary", "search"))
 
-CONTENT_PATTERNS = [re.compile(p) for p in (
+CONTENT_PATTERNS = [re.compile(p, re.ASCII) for p in (
     r"\barticle",
     r"\bpost-?content",
     r"\bentry-?content",
@@ -73,7 +76,7 @@ CONTENT_PATTERNS = [re.compile(p) for p in (
     r"\bmarkdown-?body\b",
 )]
 
-INLINE_NOISE_PATTERNS = [re.compile(p) for p in (
+INLINE_NOISE_PATTERNS = [re.compile(p, re.ASCII) for p in (
     r"\bshare\b", r"\bsocial\b", r"\bfollow\b", r"\btwitter\b", r"\bfacebook\b",
     r"\blinkedin\b", r"\binstagram\b", r"\bpinterest\b", r"\bprint\b",
     r"\bsave\b", r"\bbookmark\b",
@@ -141,7 +144,10 @@ def _extract_meta(root: Node) -> _PageMeta:
     title = (
         _meta_content(root, 'meta[property="og:title"]')
         or _meta_content(root, 'meta[name="twitter:title"]')
-        or _first_text(root, "title")
+        # $('title').text() concatenates EVERY title element's text —
+        # including inline-SVG <title>s (readability.ts:191) — with no
+        # separator; only the h1 fallback takes .first()
+        or "".join(el.text() for el in select(root, "title"))
         or _first_text(root, "h1")
         or ""
     )
@@ -246,9 +252,11 @@ def _remove_noise(root: Node) -> None:
 
     body = document_body(root)
     if body is not None:
-        for child in body.children:
-            if isinstance(child, Node):
-                walk(child)
+        # readability.ts:313-314 calls walk(body) — the body ELEMENT
+        # itself is noise-tested too: <body class="modal-open"> removes
+        # everything (walking only the children kept the body and
+        # extracted a full article the reference would have dropped)
+        walk(body)
     for el in to_remove:
         el.remove()
 
@@ -378,7 +386,11 @@ def extract_excerpt(text: str) -> str:
 
 
 def calc_reading_time(word_count: int) -> str:
-    minutes = max(1, round(word_count / 200))
+    # Math.round (half toward +∞): 500 words → 2.5 → '3 min read';
+    # Python's banker's round would say 2
+    from .cli_helpers import _js_round
+
+    minutes = max(1, _js_round(word_count / 200))
     return f"{minutes} min read"
 
 
