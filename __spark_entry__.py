@@ -1270,13 +1270,13 @@ def _q_extract_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_lite_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lite-mode extraction (ExtractOptions.lite — pipeline.ts:895-911)
     over the planted article corpus, proving the option plumbs through
-    the Arrow UDF options tuple (operators/extract.py:80).  On this
-    corpus the body IS the article element, so lite markdown (bare
-    ``html_to_markdown(html, prune=False)``, no detection/pruning) is
-    byte-identical to the envelope oracle's content formula; the
-    lite-specific envelope — method='lite', pinned quality 0.5, title
-    from the raw <title> regex, NO metadata/links/language — is what
-    this query pins at the driver level."""
+    the Arrow UDF options tuple (operators/extract.py:80).  Lite
+    converts the FULL document (no detection/pruning), and turndown
+    emits the head <title> text before the body content — so lite
+    content = title + blank line + the envelope formula's body
+    markdown; the lite-specific envelope — method='lite', pinned
+    quality 0.5, title from the raw <title> regex, NO metadata/links/
+    language — is what this query pins at the driver level."""
     from webpeel_spark.operators.extract import extract_pages
     from webpeel_spark.pure.pipeline import ExtractOptions
 
@@ -2636,20 +2636,28 @@ def oracle_sql() -> dict[str, str]:
         "transcript_export": _transcripts_oracle(),
         "pii_signals": _pii_oracle(),
         "ann_lsh_topk": _ANN_TOPK_ORACLE,
-        # lite_extract: content/fingerprint/counts are the envelope
-        # oracle's formulas verbatim (lite over this corpus converts
-        # the same article element the detector picks); the overrides
-        # are the lite pins — method, 0.5 quality, no metadata
+        # lite_extract: lite converts the FULL document (no detection),
+        # and turndown emits the <title> text before the body content —
+        # so lite content = title + blank line + the envelope formula's
+        # body markdown, with counts/fingerprint recomputed over it;
+        # the other overrides are the lite pins — method, 0.5 quality,
+        # no metadata
         "lite_extract": f"""
-            SELECT url, status, 'lite' AS method, title, content,
+            SELECT url, status, 'lite' AS method, title, lc AS content,
                    CAST(NULL AS VARCHAR) AS description,
                    CAST(NULL AS VARCHAR) AS author,
                    CAST(NULL AS VARCHAR) AS language,
-                   word_count, token_estimate,
+                   CAST(len(string_split_regex(trim(lc), '\\s+')) AS INT)
+                     AS word_count,
+                   CAST(ceil(length(lc) / 4.0) AS INT) AS token_estimate,
                    CAST(0.5 AS DOUBLE) AS quality,
                    CAST(0 AS INT) AS link_count,
-                   fingerprint, content_len
-            FROM ({_EXTRACT_PLANTED_ORACLE}) ORDER BY url
+                   sha256(lc) AS fingerprint,
+                   CAST(length(lc) AS BIGINT) AS content_len
+            FROM (SELECT url, status, title,
+                         title || e'\\n\\n' || content AS lc
+                  FROM ({_EXTRACT_PLANTED_ORACLE}))
+            ORDER BY url
         """,
         "multimodal_features": f"""
             SELECT item_id, kind,

@@ -178,3 +178,59 @@ class TestAsciiRegexSemantics:
         out2 = node_to_markdown(document_body(parse_html(
             "<html><body><p>3. x</p></body></html>")))
         assert "3\\." in out2
+
+
+class TestTitleEmission:
+    """Turndown re-parses a full document inside <x-turndown>: the
+    <html>/<head>/<body> tokens dissolve (in-body parsing ignores
+    them) but <title> stays in the tree and, having no rule, emits its
+    text — reference markdown of an UNDETECTED page therefore starts
+    with the page title (cleanHTML never removes <title>: it is not a
+    junk selector and has text, markdown.ts:10-55,:398-405).  Detected
+    pages convert a fragment with no head, so they are unaffected."""
+
+    def test_undetected_page_markdown_starts_with_title(self):
+        from webpeel_spark.pure.markdown import html_to_markdown
+
+        page = ("<html><head><title>My Page</title></head>"
+                "<body><p>Hi</p></body></html>")
+        assert html_to_markdown(page, prune=False) == "My Page\n\nHi"
+
+    def test_raw_path_emits_title_too(self):
+        # rawHtmlToMarkdown (markdown.ts:693-718) also turndowns the
+        # full $.html(), removing only script/style/noscript
+        from webpeel_spark.pure.markdown import raw_html_to_markdown
+
+        page = ("<html><head><title>My Page</title></head>"
+                "<body><p>Hi</p></body></html>")
+        assert raw_html_to_markdown(page) == "My Page\n\nHi"
+
+    def test_detected_page_has_no_leading_title(self):
+        from webpeel_spark.pure.pipeline import ExtractOptions, extract_page
+
+        page = ("<html><head><title>My Page</title></head><body><article>"
+                "<h1>Heading</h1>"
+                + "<p>Substantial paragraph with plenty of words here.</p>"
+                * 8 + "</article></body></html>")
+        r = extract_page("https://x.com/a", page.encode(), ExtractOptions())
+        assert r["method"] == "detected"
+        assert not r["content"].startswith("My Page")
+
+    def test_svg_title_text_emits(self):
+        # svg has no turndown rule either: its <title> label text flows
+        # into the output (an icon-accessibility artifact the reference
+        # reproduces; title is no longer in the emitter's skip set)
+        from webpeel_spark.pure.markdown import html_to_markdown
+
+        page = ("<html><body><p>Before</p>"
+                "<svg><title>Menu icon</title></svg>"
+                "<p>After</p></body></html>")
+        out = html_to_markdown(page, prune=False)
+        assert "Menu icon" in out
+
+    def test_title_text_is_markdown_escaped(self):
+        from webpeel_spark.pure.markdown import html_to_markdown
+
+        page = ("<html><head><title>A*B</title></head>"
+                "<body><p>Hi</p></body></html>")
+        assert html_to_markdown(page, prune=False) == "A\\*B\n\nHi"

@@ -625,9 +625,9 @@ def html_to_markdown(html, raw: bool = False, prune: bool = True) -> str:
             # string (content-pruner.ts:323-333) — keep the string path
             cleaned = _serialize_doc(root)
             cleaned = prune_content(cleaned, dynamic=True).html
-            body = _body_of(cleaned)
+            body = _conv_of(cleaned)
         else:
-            body = document_body(root) or root
+            body = _conv_root(root)
         try:
             markdown = node_to_markdown(body)
         except Exception:
@@ -641,7 +641,7 @@ def html_to_markdown(html, raw: bool = False, prune: bool = True) -> str:
         cleaned = prune_content(cleaned, dynamic=True).html
 
     try:
-        markdown = node_to_markdown(_body_of(cleaned))
+        markdown = node_to_markdown(_conv_of(cleaned))
     except Exception:
         root = parse_html(cleaned)
         for el in select(root, "script, style, noscript, svg, iframe"):
@@ -675,6 +675,30 @@ def _body_of(html: str) -> Node:
     return document_body(root) or root
 
 
+def _conv_root(root: Node) -> Node:
+    """The conversion tree turndown sees.
+
+    Turndown wraps the input string in ``<x-turndown>`` and re-parses;
+    for a full document the ``<html>``/``<head>``/``<body>`` tokens
+    dissolve (in-body parsing ignores them) but head CHILDREN like
+    ``<title>`` stay in the tree before the body content — and title,
+    having no rule, emits its text (so reference markdown of an
+    undetected page STARTS with the page title).  Converting the
+    ``<html>`` element reproduces that: head is neither skipped nor a
+    block, so it is a transparent inline container around the title.
+    Fragments (no <html> wrapper) convert as before."""
+    if root.tag != "#root":
+        return root
+    first = next((c for c in root.children if isinstance(c, Node)), None)
+    if first is not None and first.tag == "html":
+        return first
+    return root
+
+
+def _conv_of(html: str) -> Node:
+    return _conv_root(parse_html(html))
+
+
 def _serialize_doc(root: Node) -> str:
     """Serialize like clean_html: the <html> element's outer HTML."""
     if root.tag != "#root":
@@ -689,7 +713,7 @@ def raw_html_to_markdown(html: str) -> str:
     for el in select(root, "script, style, noscript"):
         el.remove()
     try:
-        markdown = node_to_markdown(document_body(root) or root)
+        markdown = node_to_markdown(_conv_root(root))
     except Exception:
         markdown = re.sub(r"\s+", " ", root.text()).strip()
     return _collapse_blank_runs(markdown).strip()

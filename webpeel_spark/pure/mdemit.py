@@ -64,7 +64,14 @@ _MEANINGFUL_WHEN_BLANK = frozenset(
     "a table thead tbody tfoot th td iframe script audio video".split()
 )
 
-_SKIP_ENTIRELY = frozenset(("head", "title", "meta", "link", "base", "#comment"))
+# head and title are NOT skipped: turndown's re-parse of a full
+# document dissolves <html>/<head>/<body> but keeps <title> in the
+# tree, and title has no rule — its text is EMITTED by the default
+# rule (the well-known turndown behavior that makes full-document
+# conversion start with the page title; also why <svg><title> icon
+# labels appear in reference output).  head is not in turndown's
+# block list, so it acts as a transparent inline container here.
+_SKIP_ENTIRELY = frozenset(("meta", "link", "base", "#comment"))
 
 
 def _is_block(node: Node) -> bool:
