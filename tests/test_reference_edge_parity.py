@@ -234,3 +234,53 @@ class TestTitleEmission:
         page = ("<html><head><title>A*B</title></head>"
                 "<body><p>Hi</p></body></html>")
         assert html_to_markdown(page, prune=False) == "A\\*B\n\nHi"
+
+
+class TestOutrankedEdges:
+    """The review's 'verified but outranked' items, fixed and pinned."""
+
+    def test_empty_tr_is_heading_row(self):
+        # JS Array.every on EMPTY childNodes is true: a childless first
+        # <tr> IS a heading row in gfm's isHeadingRow, so the table
+        # passes the gfm filter and CONVERTS (the old len>0 guard made
+        # it non-convertible and emitted raw <table> HTML).  gfm emits
+        # no border cells for the empty heading — just the data row.
+        from webpeel_spark.dom import document_body, parse_html
+        from webpeel_spark.pure.mdemit import node_to_markdown
+
+        t = ("<html><body><table><tr></tr>"
+             "<tr><td>a</td><td>b</td></tr></table></body></html>")
+        out = node_to_markdown(document_body(parse_html(t))).strip()
+        assert out == "| a | b |"
+        assert "<table>" not in out
+
+    def test_highlight_div_requires_pre_as_firstchild(self):
+        # gfm highlightedCodeBlock checks node.firstChild (ANY node):
+        # non-whitespace text before the <pre> defeats the rule
+        from webpeel_spark.dom import document_body, parse_html
+        from webpeel_spark.pure.mdemit import node_to_markdown
+
+        fenced = node_to_markdown(document_body(parse_html(
+            '<html><body><div class="highlight-source-py">'
+            "<pre>x = 1</pre></div></body></html>")))
+        assert "```py" in fenced
+        defeated = node_to_markdown(document_body(parse_html(
+            '<html><body><div class="highlight-source-py">intro'
+            "<pre>x = 1</pre></div></body></html>")))
+        assert "```py" not in defeated
+
+    def test_ldjson_null_element_aborts_that_script(self):
+        # readability.ts:254-266 — obj.datePublished on null THROWS and
+        # the catch abandons the whole script's array; a later script
+        # still gets its chance
+        from webpeel_spark.pure.readability import extract_readable_content
+
+        page = ("<html><head>"
+                '<script type="application/ld+json">'
+                '[null, {"datePublished": "2024-01-01"}]</script>'
+                '<script type="application/ld+json">'
+                '{"datePublished": "2024-02-02"}</script>'
+                "</head><body><article><p>Body words here now.</p>"
+                "</article></body></html>")
+        r = extract_readable_content(page, "https://x.com/a")
+        assert r.date == "2024-02-02"  # first script aborted, second won

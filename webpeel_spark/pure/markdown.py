@@ -371,17 +371,6 @@ MAIN_CONTENT_SELECTORS = [
 _MAIN_MATCHER = PriorityMatcher(MAIN_CONTENT_SELECTORS)
 
 
-def _visible_text_length(el: Node) -> int:
-    total = 0
-    stack = list(reversed(el.children))
-    while stack:
-        c = stack.pop()
-        if isinstance(c, str):
-            total += len(c)
-        elif c.tag not in ("script", "style", "noscript"):
-            stack.extend(reversed(c.children))
-    return total
-
 
 def detect_main_content(html: str) -> Tuple[str, bool]:
     """Returns (content_html, detected)."""
@@ -625,15 +614,20 @@ def html_to_markdown(html, raw: bool = False, prune: bool = True) -> str:
             # string (content-pruner.ts:323-333) — keep the string path
             cleaned = _serialize_doc(root)
             cleaned = prune_content(cleaned, dynamic=True).html
-            body = _conv_of(cleaned)
+            froot = parse_html(cleaned)
+            body = _conv_root(froot)
         else:
+            froot = root
             body = _conv_root(root)
         try:
             markdown = node_to_markdown(body)
         except Exception:
-            for el in select(root, "script, style, noscript, svg, iframe"):
+            # the reference's catch loads cleanedHTML — the PRUNED
+            # document when pruning ran (markdown.ts:599-605), so the
+            # fallback text must come from froot, not the unpruned root
+            for el in select(froot, "script, style, noscript, svg, iframe"):
                 el.remove()
-            markdown = re.sub(r"\s+", " ", root.text()).strip()
+            markdown = re.sub(r"\s+", " ", froot.text()).strip()
         return _post_markdown(markdown)
 
     cleaned = clean_html(html)

@@ -327,9 +327,11 @@ def _is_heading_row(tr: Node) -> bool:
         return False
     if parent.tag != "table" and not _is_first_tbody(parent):
         return False
+    # JS Array.every on EMPTY childNodes is true: a childless first
+    # <tr> IS a heading row in gfm's isHeadingRow (no len>0 guard)
     return all(
         (isinstance(c, Node) and c.tag == "th") for c in tr.children
-    ) and len(tr.children) > 0
+    )
 
 
 def _table_cell(content: str, node: Node) -> str:
@@ -464,8 +466,10 @@ class MarkdownEmitter:
         if tag == "div":
             cls = node.get("class") or ""
             m = re.search(r"highlight-(?:text|source)-([a-z0-9]+)", cls)
-            first = next((c for c in node.children if isinstance(c, Node)), None)
-            if m and first is not None and first.tag == "pre":
+            # gfm's highlightedCodeBlock filter checks firstChild (ANY
+            # node): non-whitespace text before the <pre> defeats it
+            first = node.children[0] if node.children else None
+            if m and isinstance(first, Node) and first.tag == "pre":
                 return "\n\n```" + m.group(1) + "\n" + first.text() + "\n```\n\n"
 
         # ── default Turndown rules ────────────────────────────────────

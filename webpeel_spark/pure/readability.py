@@ -196,17 +196,24 @@ def _extract_meta(root: Node) -> _PageMeta:
             date = time_el.get("datetime") or time_el.text().strip() or None
     if not date:
         for el in select(root, 'script[type="application/ld+json"]'):
-            try:
-                parsed = json.loads(el.text() or "{}")
-            except Exception:
-                continue
-            candidates = parsed if isinstance(parsed, list) else [parsed]
-            for obj in candidates:
-                if isinstance(obj, dict) and obj.get("datePublished"):
-                    date = str(obj["datePublished"])
-                    break
             if date:
                 break
+            try:
+                parsed = json.loads(el.text() or "{}")
+                candidates = parsed if isinstance(parsed, list) else [parsed]
+                for obj in candidates:
+                    if obj is None:
+                        # JS: null.datePublished THROWS — the catch
+                        # (readability.ts:265) abandons THIS script's
+                        # whole array, even if a later element had a
+                        # date; other primitives yield undefined and
+                        # are just skipped
+                        raise TypeError("null element in ld+json array")
+                    if isinstance(obj, dict) and obj.get("datePublished"):
+                        date = str(obj["datePublished"])
+                        break
+            except Exception:
+                continue
     if date:
         date = date.strip() or None
 
