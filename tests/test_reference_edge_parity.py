@@ -284,3 +284,144 @@ class TestOutrankedEdges:
                 "</article></body></html>")
         r = extract_readable_content(page, "https://x.com/a")
         assert r.date == "2024-02-02"  # first script aborted, second won
+
+
+class TestWhatwgUrls:
+    """extractLinks/extractImages absolutize with new URL(href, base)
+    (metadata.ts:259/:303) — WHATWG normalization RFC-3986 urljoin
+    does not apply; link_pairs (links.ts:39-41) normalizes only the
+    relative branch, keeping case-sensitively-absolute hrefs verbatim."""
+
+    def test_absolute_hrefs_normalize_and_dedupe(self):
+        from webpeel_spark.pure.metadata import extract_links
+
+        page = ('<html><body>'
+                '<a href="https://Example.com">a</a>'
+                '<a href="https://example.com/">b</a>'
+                "</body></html>")
+        assert extract_links(page, "http://base.com/") == \
+            ["https://example.com/"]
+
+    def test_relative_href_percent_encodes(self):
+        from webpeel_spark.pure.metadata import extract_links
+
+        page = '<html><body><a href="page with space.html">x</a></body></html>'
+        assert extract_links(page, "http://a.com/dir/") == \
+            ["http://a.com/dir/page%20with%20space.html"]
+
+    def test_backslash_acts_as_slash(self):
+        from webpeel_spark.pure.urlfast import whatwg_urljoin
+
+        assert whatwg_urljoin("http://a.com/", "\\foo") == "http://a.com/foo"
+
+    def test_invalid_base_drops_all_links(self):
+        # new URL(href, base) parses the base FIRST: an invalid base
+        # throws per element, so every link drops — absolute or not
+        from webpeel_spark.pure.metadata import extract_links
+
+        page = '<html><body><a href="https://x.com/ok">x</a></body></html>'
+        assert extract_links(page, "not a url") == []
+
+    def test_link_pairs_keep_absolute_verbatim(self):
+        from webpeel_spark.pure.links import extract_link_pairs
+
+        page = ('<html><body><a href="https://Example.com/KeepCase">x</a>'
+                '<a href="sub dir/p.html">y</a></body></html>')
+        pairs = {p["url"] for p in
+                 extract_link_pairs(page, "http://a.com/base/")}
+        assert "https://Example.com/KeepCase" in pairs       # verbatim
+        assert "http://a.com/base/sub%20dir/p.html" in pairs  # normalized
+
+
+class TestJsonLdRobustness:
+    def test_object_in_cuisine_list_stringifies(self):
+        # json-ld.ts:552 Array.join → '[object Object]', never a crash
+        import json
+
+        from webpeel_spark.pure.jsonld import extract_jsonld
+
+        ld = {"@type": "Restaurant", "name": "X",
+              "servesCuisine": ["Thai", {"name": "Fusion"}]}
+        page = ('<html><head><script type="application/ld+json">'
+                + json.dumps(ld) + "</script></head><body></body></html>")
+        r = extract_jsonld(page)
+        assert r is not None
+        assert "Thai, [object Object]" in r.content
+
+    def test_dict_at_type_falls_through(self):
+        # switch(typeStr) on an object matches nothing — no crash
+        import json
+
+        from webpeel_spark.pure.jsonld import extract_jsonld
+
+        page = ('<html><head><script type="application/ld+json">'
+                + json.dumps([{"@type": [{"bad": 1}], "name": "X"},
+                              {"@type": "Article", "headline": "Real",
+                               "articleBody": "Body words. " * 30}])
+                + "</script></head><body></body></html>")
+        r = extract_jsonld(page)
+        assert r is not None and r.title == "Real"
+
+    def test_offer_price_parsefloat(self):
+        # parseFloat('99 USD')=99 beats 120 (json-ld.ts:316)
+        import json
+
+        from webpeel_spark.pure.jsonld import extract_jsonld
+
+        ld = {"@type": "Product", "name": "X",
+              "offers": [{"price": "120", "priceCurrency": "USD"},
+                         {"price": "99 USD"}]}
+        page = ('<html><head><script type="application/ld+json">'
+                + json.dumps(ld) + "</script></head><body></body></html>")
+        r = extract_jsonld(page)
+        assert r is not None and "99 USD" in r.content
+
+    def test_object_valued_field_never_leaks_python_repr(self):
+        from webpeel_spark.pure.jsonld import _str
+
+        assert _str({"name": {"@value": "X"}}) == ""
+        assert _str([4, "4 servings"]) == "4,4 servings"
+
+
+class TestMetadataEdges:
+    def test_rfc2822_publish_date(self):
+        from webpeel_spark.pure.metadata import js_to_iso
+
+        assert js_to_iso("Tue, 15 Aug 2023 10:00:00 GMT") == \
+            "2023-08-15T10:00:00.000Z"
+        assert js_to_iso("2021") == "2021-01-01T00:00:00.000Z"
+        assert js_to_iso("2023-1-5") == "2023-01-05T00:00:00.000Z"
+
+    def test_zero_dimension_image_reports_none(self):
+        # `width && !isNaN(width)`: 0 is falsy (metadata.ts:322)
+        from webpeel_spark.pure.metadata import extract_images
+
+        ims = extract_images(
+            '<html><body><img src="/a.png" width="0" height="0">'
+            "</body></html>", "http://a.com/")
+        assert ims[0].width is None and ims[0].height is None
+
+    def test_title_concatenates_all_title_elements(self):
+        from webpeel_spark.dom import parse_html
+        from webpeel_spark.pure.metadata import extract_title
+
+        root = parse_html(
+            "<html><head><title>News Site</title></head><body>"
+            "<svg><title>menu</title></svg></body></html>")
+        assert extract_title(root) == "News Sitemenu"
+
+
+class TestSelectorBacktracking:
+    def test_sibling_chain_backtracks(self):
+        from webpeel_spark.dom import parse_html, select
+
+        root = parse_html('<html><body><x></x><b id="b1"></b>'
+                          '<b id="b2"></b><c></c></body></html>')
+        assert [e.tag for e in select(root, "x + b ~ c")] == ["c"]
+
+    def test_descendant_chain_backtracks(self):
+        from webpeel_spark.dom import parse_html, select
+
+        root = parse_html("<html><body><a><b><div><b><p>t</p></b>"
+                          "</div></b></a></body></html>")
+        assert [e.tag for e in select(root, "a > b p")] == ["p"]

@@ -208,57 +208,52 @@ def _chain_matches(chain, node: Node) -> bool:
     comb, simple = chain[-1]
     if not simple.matches(node):
         return False
-    idx = len(chain) - 2
-    cur = node
-    while idx >= 0:
-        comb_right = chain[idx + 1][0]
-        want = chain[idx][1]
-        if comb_right == ">":
-            parent = cur.parent
-            if parent is None or not want.matches(parent):
-                return False
-            cur = parent
-            idx -= 1
-        elif comb_right in ("~", "+"):
-            # sibling combinators: the left simple matches a PRECEDING
-            # element sibling (any for ~, immediate for +)
-            parent = cur.parent
-            if parent is None:
-                return False
-            sibs = [c for c in parent.children if isinstance(c, Node)]
-            pos = next((i for i, s in enumerate(sibs) if s is cur), -1)
-            if pos <= 0:
-                return False
-            if comb_right == "+":
-                if not want.matches(sibs[pos - 1]):
-                    return False
-                cur = sibs[pos - 1]
-            else:
-                # nearest matching preceding sibling (keeps the most
-                # elements before it for any further sibling steps —
-                # same greedy discipline the descendant step uses)
-                found = None
-                for s in reversed(sibs[:pos]):
-                    if want.matches(s):
-                        found = s
-                        break
-                if found is None:
-                    return False
-                cur = found
-            idx -= 1
-        else:  # descendant: any ancestor
-            parent = cur.parent
-            found = None
-            while parent is not None:
-                if want.matches(parent):
-                    found = parent
-                    break
-                parent = parent.parent
-            if found is None:
-                return False
-            cur = found
-            idx -= 1
-    return True
+    return _match_rest(chain, len(chain) - 2, node)
+
+
+def _match_rest(chain, idx: int, cur: Node) -> bool:
+    """Right-to-left match with BACKTRACKING on the multi-candidate
+    combinators: ``~`` and descendant must try EVERY candidate
+    (nearest first), not only the nearest — greedy binding gave false
+    negatives vs css-select on chains like ``x + b ~ c`` where the
+    nearest ``b`` fails the remaining steps but a farther one matches.
+    Nearest-first keeps the old single-probe cost whenever the greedy
+    choice succeeds (the overwhelmingly common case)."""
+    if idx < 0:
+        return True
+    comb_right = chain[idx + 1][0]
+    want = chain[idx][1]
+    if comb_right == ">":
+        parent = cur.parent
+        return (parent is not None and want.matches(parent)
+                and _match_rest(chain, idx - 1, parent))
+    if comb_right == "+":
+        parent = cur.parent
+        if parent is None:
+            return False
+        sibs = [c for c in parent.children if isinstance(c, Node)]
+        pos = next((i for i, s in enumerate(sibs) if s is cur), -1)
+        if pos <= 0 or not want.matches(sibs[pos - 1]):
+            return False
+        return _match_rest(chain, idx - 1, sibs[pos - 1])
+    if comb_right == "~":
+        parent = cur.parent
+        if parent is None:
+            return False
+        sibs = [c for c in parent.children if isinstance(c, Node)]
+        pos = next((i for i, s in enumerate(sibs) if s is cur), -1)
+        if pos <= 0:
+            return False
+        return any(
+            want.matches(s) and _match_rest(chain, idx - 1, s)
+            for s in reversed(sibs[:pos]))
+    # descendant: try every matching ancestor, nearest first
+    parent = cur.parent
+    while parent is not None:
+        if want.matches(parent) and _match_rest(chain, idx - 1, parent):
+            return True
+        parent = parent.parent
+    return False
 
 
 def _single_simple(chains):

@@ -48,21 +48,50 @@ def _str(val: Any) -> str:
         return strip_html(val)
     if isinstance(val, dict):
         if val.get("@value"):
-            return strip_html(str(val["@value"]))
+            # json-ld.ts:34 wraps @value in String() explicitly
+            return strip_html(_js_string(val["@value"]))
         if val.get("name"):
-            return strip_html(val["name"] if isinstance(val["name"], str) else str(val["name"]))
+            # :35 passes val.name to stripHtml RAW — its typeof guard
+            # returns '' for non-strings (no Python repr leak)
+            n = val["name"]
+            return strip_html(n) if isinstance(n, str) else ""
         if val.get("text"):
-            return strip_html(val["text"] if isinstance(val["text"], str) else str(val["text"]))
+            t = val["text"]
+            return strip_html(t) if isinstance(t, str) else ""
     return strip_html(_js_string(val))
 
 
 def _js_string(val: Any) -> str:
-    """Approximate JS String(val) for the values that reach it."""
+    """JS ``String(val)`` for JSON-decoded values: arrays join on ','
+    (null elements → ''), objects are '[object Object]' — never a
+    Python repr."""
+    if val is None:
+        return "null"
     if isinstance(val, bool):
         return "true" if val else "false"
     if isinstance(val, float) and val.is_integer():
         return str(int(val))
+    if isinstance(val, list):
+        return ",".join("" if v is None else _js_string(v) for v in val)
+    if isinstance(val, dict):
+        return "[object Object]"
     return str(val)
+
+
+def _js_array_join(arr: list, sep: str) -> str:
+    """JS ``Array.prototype.join``: String() per element, null → ''."""
+    return sep.join("" if v is None else _js_string(v) for v in arr)
+
+
+_PARSEFLOAT_RE = re.compile(
+    r"\s*([+-]?(?:Infinity|\d+\.?\d*(?:[eE][+-]?\d+)?|\.\d+(?:[eE][+-]?\d+)?))")
+
+
+def _js_parse_float(s: str) -> Optional[float]:
+    """JS ``parseFloat``: longest numeric prefix, else NaN (None) —
+    '99 USD' → 99.0, '1,299' → 1.0, 'abc' → None."""
+    m = _PARSEFLOAT_RE.match(s)
+    return float(m.group(1)) if m else None
 
 
 def author_name(author: Any) -> str:
@@ -172,6 +201,10 @@ def extract_jsonld_scripts(script_nodes) -> Optional[JsonLdResult]:
         if not type_:
             continue
         type_str = type_[0] if isinstance(type_, list) else type_
+        if not isinstance(type_str, str):
+            # switch(typeStr) on an object matches no case and falls
+            # through to the next item (dict.get would raise unhashable)
+            continue
         converter = _CONVERTERS.get(type_str)
         if converter is not None:
             r = converter(item)
@@ -311,9 +344,11 @@ def convert_product(item: dict) -> Optional[JsonLdResult]:
         for offer in offers:
             if not isinstance(offer, dict):
                 continue
-            try:
-                p = float(_str(offer.get("price")))
-            except ValueError:
+            # parseFloat, not float(): '99 USD' → 99, '1,299' → 1
+            # (json-ld.ts:316) — float() rejected both, skipping offers
+            # the reference selects
+            p = _js_parse_float(_str(offer.get("price")))
+            if p is None:
                 continue
             if p < lowest_price:
                 lowest_price = p
@@ -487,7 +522,10 @@ def convert_local_business(item: dict) -> Optional[JsonLdResult]:
     url = _str(item.get("url"))
     price_range = _str(item.get("priceRange"))
     sc = item.get("servesCuisine")
-    serves_cuisine = ", ".join(sc) if isinstance(sc, list) else (_str(sc) if sc else "")
+    # Array.join stringifies non-string members ('[object Object]')
+    # instead of raising (json-ld.ts:552)
+    serves_cuisine = (_js_array_join(sc, ", ") if isinstance(sc, list)
+                      else (_str(sc) if sc else ""))
 
     rating = item.get("aggregateRating")
     rating_value = _str(rating.get("ratingValue")) if isinstance(rating, dict) else ""
@@ -496,7 +534,8 @@ def convert_local_business(item: dict) -> Optional[JsonLdResult]:
         if isinstance(rating, dict) else ""
     )
     hours = item.get("openingHours")
-    hours_str = ", ".join(hours) if isinstance(hours, list) else (_str(hours) if hours else "")
+    hours_str = (_js_array_join(hours, ", ") if isinstance(hours, list)
+                 else (_str(hours) if hours else ""))
 
     lines: List[str] = [f"# {name}", ""]
     if description:

@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import re
 from typing import Dict, List, Optional
-from .urlfast import fast_urljoin
+from .urlfast import whatwg_urljoin
 
 from ..dom import parse_html, select
 
@@ -48,9 +48,12 @@ def link_pairs_from_anchors(anchors,
             continue
         url = href
         if base_url and not _ABS_RE.match(href):
-            try:
-                url = fast_urljoin(base_url, href)
-            except ValueError:
+            # links.ts:41 resolves RELATIVE hrefs with new URL(...)
+            # (WHATWG normalization); case-sensitively-absolute
+            # http(s) hrefs stay verbatim, exactly as the reference's
+            # /^https?:\\/\\// guard leaves them
+            url = whatwg_urljoin(base_url, href, require_http=False)
+            if url is None:
                 continue  # skip unresolvable relative URLs
         if url not in seen:
             seen.add(url)

@@ -23,7 +23,7 @@ from functools import lru_cache
 from typing import Dict, List, NamedTuple, Optional
 from urllib.parse import urlsplit
 
-from .urlfast import fast_urljoin
+from .urlfast import whatwg_urljoin
 
 from ..dom import Node, parse_html, select, select_first
 
@@ -48,6 +48,12 @@ _WORDY_RE = re.compile(r"^([A-Za-z]+)\.?\s+(\d{1,2})(?:st|nd|rd|th)?,?\s+(\d{4})
 _WORDY2_RE = re.compile(r"^(\d{1,2})\s+([A-Za-z]+)\.?,?\s+(\d{4})$")
 
 
+_RFC2822_RE = re.compile(
+    r"^(?:[A-Za-z]{3},?\s+)?([0-9]{1,2})\s+([A-Za-z]{3,9})\.?\s+([0-9]{2,4})"
+    r"(?:\s+([0-9]{1,2}):([0-9]{2})(?::([0-9]{2}))?"
+    r"(?:\s*(GMT|UTC|Z|[+-][0-9]{4}))?)?\s*$")
+_BARE_YEAR_RE = re.compile(r"^([0-9]{4})$")
+_LOOSE_ISO_RE = re.compile(r"^([0-9]{4})-([0-9]{1,2})-([0-9]{1,2})$")
 _TWITTER_DATE_RE = re.compile(
     r"^[A-Za-z]{3}\s+([A-Za-z]{3})\s+(\d{1,2})\s+(\d{2}):(\d{2}):(\d{2})"
     r"\s+([+-]\d{4})\s+(\d{4})$")
@@ -109,6 +115,46 @@ def _parse_js_date(s: str) -> Optional[datetime]:
                                 tzinfo=timezone.utc)
             except ValueError:
                 return None
+    m = _RFC2822_RE.match(s)
+    if m:
+        # RFC 2822/1123 — 'Tue, 15 Aug 2023 10:00:00 GMT' — a format
+        # V8 accepts natively that the chains above miss (review find)
+        mon = (_MONTHS.get(m.group(2).lower())
+               or _MONTH_ABBR.get(m.group(2).lower()[:3]))
+        if mon:
+            year = int(m.group(3))
+            if year < 50:
+                year += 2000  # JS two-digit year windowing
+            elif year < 100:
+                year += 1900
+            try:
+                dt = datetime(year, mon, int(m.group(1)),
+                              int(m.group(4) or 0), int(m.group(5) or 0),
+                              int(m.group(6) or 0), tzinfo=timezone.utc)
+            except ValueError:
+                return None
+            tz = m.group(7)
+            if tz and tz not in ("GMT", "UTC", "Z"):
+                sign = 1 if tz[0] == "+" else -1
+                offs = timedelta(hours=int(tz[1:3]), minutes=int(tz[3:5]))
+                dt = dt - sign * offs
+            return dt
+    m = _BARE_YEAR_RE.match(s)
+    if m:
+        # new Date('2021') → 2021-01-01T00:00:00.000Z (ISO year form)
+        try:
+            return datetime(int(m.group(1)), 1, 1, tzinfo=timezone.utc)
+        except ValueError:
+            return None
+    m = _LOOSE_ISO_RE.match(s)
+    if m:
+        # '2023-1-5' (single-digit month/day): V8's legacy parser
+        # accepts it; UTC per this module's container assumption
+        try:
+            return datetime(int(m.group(1)), int(m.group(2)),
+                            int(m.group(3)), tzinfo=timezone.utc)
+        except ValueError:
+            return None
     m = _TWITTER_DATE_RE.match(s)
     if m:
         # "Wed Oct 10 20:19:24 +0000 2018" (Twitter legacy created_at;
@@ -202,9 +248,11 @@ def extract_title(root: Node) -> str:
     title = _meta(root, 'meta[name="twitter:title"]')
     if title:
         return title.strip()
-    el = select_first(root, "title")
-    if el is not None and el.text():
-        return clean_concatenated_title(el.text().strip())
+    # $('title').text() concatenates EVERY title element's text,
+    # including inline-SVG icon <title>s (metadata.ts:48)
+    t = "".join(el.text() for el in select(root, "title"))
+    if t:
+        return clean_concatenated_title(t.strip())
     el = select_first(root, "h1")
     if el is not None and el.text():
         return el.text().strip()
@@ -327,24 +375,27 @@ def extract_canonical(root: Node) -> Optional[str]:
 
 # ── links / images (metadata.ts:250-402) ─────────────────────────────────
 
-def _absolutize(href: str, base_url: str) -> Optional[str]:
-    if href.startswith(("http://", "https://")):
-        # already absolute: urljoin returns such refs verbatim (no dot
-        # normalization, scheme already lowercase) — skip its parse of
-        # base+ref; keep the urlsplit so malformed hosts still → None
-        try:
-            urlsplit(href)
-        except ValueError:
-            return None
-        return href
+def _valid_http_base(base_url: str) -> bool:
+    """``new URL(href, base)`` parses the BASE first — an invalid base
+    throws even when href is absolute, dropping every link/image on
+    the page (metadata.ts:259/:303 catch per element)."""
     try:
-        absolute = fast_urljoin(base_url, href)
-        parts = urlsplit(absolute)
+        b = urlsplit(base_url)
     except ValueError:
+        return False
+    return b.scheme in ("http", "https") and bool(b.hostname)
+
+
+def _absolutize(href: str, base_url: str) -> Optional[str]:
+    """WHATWG join+normalize — the reference runs EVERY href through
+    ``new URL(href, baseUrl).href`` (metadata.ts:259), so absolute
+    hrefs normalize too (host lowercase, default port dropped, dot
+    segments collapsed, disallowed code points percent-encoded);
+    RFC-3986 urljoin kept them verbatim, splitting dedup keys the
+    reference merges ('https://Example.com' vs 'https://example.com/')."""
+    if not _valid_http_base(base_url):
         return None
-    if parts.scheme not in ("http", "https"):
-        return None
-    return absolute
+    return whatwg_urljoin(base_url, href)
 
 
 def extract_links(html: str, base_url: str) -> List[str]:
@@ -361,8 +412,11 @@ def links_from_anchors(anchors, base_url: str) -> List[str]:
     """Link extraction over a pre-selected anchor list (shared-walk
     form — see links.link_pairs_from_anchors)."""
     links: set = set()
+    # the anchor-skip compares against new URL(baseUrl) — the
+    # NORMALIZED base (metadata.ts:267), not the raw string
+    nb = whatwg_urljoin(base_url, "") if _valid_http_base(base_url) else None
     try:
-        base = urlsplit(base_url)
+        base = urlsplit(nb) if nb else None
     except ValueError:
         base = None
     for a in anchors:
@@ -396,7 +450,7 @@ class ImageInfo(NamedTuple):
 def _parse_int(v: Optional[str]) -> Optional[int]:
     if not v:
         return None
-    m = re.match(r"^\s*([+-]?\d+)", v)
+    m = re.match(r"^\s*([+-]?[0-9]+)", v)  # JS parseInt: ASCII digits
     return int(m.group(1)) if m else None
 
 
@@ -415,8 +469,10 @@ def extract_images(html: str, base_url: str) -> List[ImageInfo]:
             src=absolute,
             alt=img.get("alt") or "",
             title=img.get("title"),
-            width=_parse_int(img.get("width")),
-            height=_parse_int(img.get("height")),
+            # `width && !isNaN(width)` (metadata.ts:322): 0 is falsy —
+            # a 0-dimension tracking pixel reports undefined, not 0
+            width=_parse_int(img.get("width")) or None,
+            height=_parse_int(img.get("height")) or None,
         )
 
     for source in select(root, "picture source[srcset]"):
