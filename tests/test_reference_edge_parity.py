@@ -425,3 +425,58 @@ class TestSelectorBacktracking:
         root = parse_html("<html><body><a><b><div><b><p>t</p></b>"
                           "</div></b></a></body></html>")
         assert [e.tag for e in select(root, "a > b p")] == ["p"]
+
+
+class TestPostExtractionTier:
+    def test_bm25_tokenize_ascii_word_class(self):
+        # bm25-filter.ts:53 strips [^\w\s] with ASCII \w: accented and
+        # CJK letters are separators there, never token characters
+        from webpeel_spark.pure.bm25_filter import tokenize
+
+        assert tokenize("café résumé 北京") == ["caf", "r", "sum"]
+
+    def test_chunker_falsy_options_coerce_to_defaults(self):
+        # chunker.ts:55-57 `options.overlap || DEFAULT_OVERLAP`:
+        # overlap=0 means the 50-token default, not zero overlap
+        from webpeel_spark.pure.chunker import chunk_content
+
+        para = ("Twelve ordinary words fill this sentence up nicely "
+                "for the test. ")
+        content = "\n\n".join([para * 12] * 6)
+        zero = chunk_content(content, overlap=0)
+        default = chunk_content(content)
+        assert [c.text for c in zero] == [c.text for c in default]
+        assert len(zero) > 1
+
+    def test_distill_json_js_number_formatting(self):
+        # JSON.stringify prints whole floats bare; JSON.parse rejects
+        # NaN/Infinity (those take the hardTruncate path)
+        from webpeel_spark.pure.budget import _distill_json
+
+        out = _distill_json('[{"price": 10.0}]', budget=1000)
+        assert '"price": 10' in out and "10.0" not in out
+        # JSON.parse('[1e999]') overflows to Infinity; stringify → null
+        assert _distill_json("[1e999]", budget=1000) == "[\n  null\n]"
+        assert "NaN" not in _distill_json("NaN", budget=1000) or \
+            "[Content distilled" in _distill_json("NaN", budget=1)
+
+    def test_auto_extract_error_results_are_isolated(self):
+        from webpeel_spark.pure.auto_extract import _EMPTY_RESULTS, auto_extract
+        from unittest.mock import patch
+
+        with patch("webpeel_spark.pure.auto_extract.detect_page_type",
+                   side_effect=["contact", "contact"]), \
+             patch("webpeel_spark.pure.auto_extract._extract_contact",
+                   side_effect=RuntimeError("boom")):
+            r1 = auto_extract("<html><body>x</body></html>", "http://a.com")
+            r1["emails"].append("polluted@example.com")
+            r2 = auto_extract("<html><body>x</body></html>", "http://a.com")
+        assert r2["emails"] == []
+        assert _EMPTY_RESULTS["contact"]["emails"] == []
+
+    def test_listings_digit_classes_ascii(self):
+        # /^\d+\.?$/ with JS ASCII \d keeps an Arabic-Indic-digit title
+        from webpeel_spark.pure.listings import is_header_or_junk
+
+        assert is_header_or_junk("1234")
+        assert not is_header_or_junk("١٢٣٤")  # len>3, not ASCII digits

@@ -27,15 +27,15 @@ from ..dom import Node, parse_html, select, select_first
 
 # ── regexes (auto-extract.ts:98-104) ────────────────────────────────────
 
-_PRICE_INLINE = re.compile(r"(\$|€|£)\s*\d+")
+_PRICE_INLINE = re.compile(r"(\$|€|£)\s*[0-9]+")  # JS \d = ASCII
 _FREE_PLAN = re.compile(r"\bfree\b", re.IGNORECASE)
 _HTTP_METHOD = re.compile(r"\b(GET|POST|PUT|PATCH|DELETE|HEAD|OPTIONS)\b")
-_URL_PATH = re.compile(r"/(v\d+/)?[a-z_-]+(/\{[^}]+\}|/?[a-z_-]*)*\b")
+_URL_PATH = re.compile(r"/(v[0-9]+/)?[a-z_-]+(/\{[^}]+\}|/?[a-z_-]*)*\b")
 _EMAIL = re.compile(r"[a-zA-Z0-9._%+\-]+@[a-zA-Z0-9.\-]+\.[a-zA-Z]{2,}")
 _PHONE = re.compile(
-    r"(\+?1[-.\s]?)?\(?\d{3}\)?[-.\s]?\d{3}[-.\s]?\d{4}"
-    r"|\+\d{1,3}[-.\s]?\d{2,4}[-.\s]?\d{4,}")
-_TAG = re.compile(r"<[^>]+>")
+    r"(\+?1[-.\s]?)?\(?[0-9]{3}\)?[-.\s]?[0-9]{3}[-.\s]?[0-9]{4}"
+    r"|\+[0-9]{1,3}[-.\s]?[0-9]{2,4}[-.\s]?[0-9]{4,}")
+_TAG = re.compile(r"<[^>]*>")  # strategies.ts:206 uses * — "<>" strips too
 _ENTITY = re.compile(r"&[a-z#\d]+;", re.IGNORECASE)
 _WS = re.compile(r"\s+")
 
@@ -171,7 +171,7 @@ def detect_page_type(html: str, url: str) -> str:
 
 # ── pricing (auto-extract.ts:213-360) ───────────────────────────────────
 
-_PRICE_VALUE = re.compile(r"(\$|€|£|free)\s*[\d,]+(\.\d+)?", re.IGNORECASE)
+_PRICE_VALUE = re.compile(r"(\$|€|£|free)\s*[0-9,]+(\.[0-9]+)?", re.IGNORECASE)
 _PERIOD = re.compile(r"/(mo(nth)?|yr|year|week|day|annual)", re.IGNORECASE)
 _CTA = re.compile(r"get started|sign up|buy|subscribe|choose|select|try"
                   r"|start|upgrade", re.IGNORECASE)
@@ -410,7 +410,10 @@ def _estimate_reading_time(root: Node) -> str:
 def _extract_article(root: Node) -> Dict:
     title = (_first_text(root, "h1")
              or _first_attr(root, 'meta[property="og:title"]', "content")
-             or _first_text(root, "title") or None)
+             # $('title').text() concatenates ALL title elements,
+             # SVG icon titles included (auto-extract.ts:513)
+             or "".join(el.text() for el in select(root, "title")).strip()
+             or None)
     author = (_first_attr(root, 'meta[name="author"]', "content")
               or _first_text(root, '[itemprop="author"]')
               or _first_text(root, '[class*="author"]')
@@ -650,4 +653,9 @@ def auto_extract(html: str, url: str) -> Dict:
             return _extract_api_docs(root, url)
         return {"type": "unknown"}
     except Exception:
-        return dict(_EMPTY_RESULTS.get(page_type, {"type": "unknown"}))
+        # DEEP copy: the shallow dict() shared the nested lists/dicts
+        # module-wide, so a caller mutation polluted every later
+        # error-path result in the long-lived executor process
+        import copy
+        return copy.deepcopy(_EMPTY_RESULTS.get(page_type,
+                                                {"type": "unknown"}))

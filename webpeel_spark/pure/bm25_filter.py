@@ -29,7 +29,7 @@ def tokenize(text: str) -> List[str]:
     t = re.sub(r"\[.*?\]\(.*?\)", " ", t)
     t = re.sub(r"`{1,3}[^`]*`{1,3}", " ", t)
     t = re.sub(r"[#*_~`>|\\]", " ", t)
-    t = re.sub(r"[^\w\s]", " ", t)
+    t = re.sub(r"[^\w\s]", " ", t, flags=re.ASCII)  # JS \w is ASCII
     return [x for x in re.split(r"\s+", t) if x]
 
 
@@ -198,6 +198,7 @@ def filter_by_relevance(content: str, query: str,
     else:
         parts = [b.raw for b in kept_blocks]
     filtered = "\n\n".join(parts)
-    reduction = (round((len(content) - len(filtered)) / len(content) * 100)
+    from .cli_helpers import _js_round  # Math.round (bm25-filter.ts:359)
+    reduction = (_js_round((len(content) - len(filtered)) / len(content) * 100)
                  if content else 0)
     return BM25FilterResult(filtered, len(kept_blocks), total, reduction)

@@ -10,6 +10,7 @@ prefix that fits.  1 token ≈ 4 chars (markdown.ts:753-755).
 from __future__ import annotations
 
 import json
+import math
 import re
 from typing import List
 
@@ -200,11 +201,35 @@ def hard_truncate(content: str, budget: int) -> str:
     return content[:cut].rstrip() + "\n\n[Content distilled to fit budget]"
 
 
+def _reject_constant(name: str):
+    # JSON.parse rejects the NaN/Infinity literals Python accepts —
+    # such content takes the reference's hardTruncate path instead
+    raise ValueError(f"JSON.parse rejects {name}")
+
+
+def _js_jsonify(obj):
+    """JSON.stringify number formatting: whole floats print bare
+    ('10', never '10.0'); non-finite numbers (JSON.parse accepts the
+    1e999 overflow to Infinity) stringify as null."""
+    if isinstance(obj, float):
+        if math.isinf(obj) or math.isnan(obj):
+            return None
+        if obj.is_integer():
+            return int(obj)
+        return obj
+    if isinstance(obj, list):
+        return [_js_jsonify(v) for v in obj]
+    if isinstance(obj, dict):
+        return {k: _js_jsonify(v) for k, v in obj.items()}
+    return obj
+
+
 def _distill_json(content: str, budget: int) -> str:
     """budget.ts:330-369 — arrays binary-search max prefix; objects
     fall back to hard truncation."""
     try:
-        parsed = json.loads(content)
+        parsed = _js_jsonify(json.loads(content,
+                                        parse_constant=_reject_constant))
     except Exception:
         return hard_truncate(content, budget)
     if isinstance(parsed, list):

@@ -195,6 +195,11 @@ def chunk_by_fixed(content: str, max_tokens: int, overlap: int) -> List[ContentC
 def chunk_content(content: str, max_tokens: int = DEFAULT_MAX_TOKENS,
                   overlap: int = DEFAULT_OVERLAP,
                   strategy: str = "section") -> List[ContentChunk]:
+    # `options.maxTokens || DEFAULT` (chunker.ts:55-57): FALSY values
+    # coerce to the defaults — overlap=0 means 50-token overlap there
+    max_tokens = max_tokens or DEFAULT_MAX_TOKENS
+    overlap = overlap or DEFAULT_OVERLAP
+    strategy = strategy or "section"
     if strategy == "paragraph":
         return chunk_by_paragraph(content, max_tokens, overlap)
     if strategy == "fixed":

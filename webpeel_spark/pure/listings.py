@@ -20,7 +20,8 @@ from ..dom import Node, parse_html, select, select_first
 CONTAINER_CHILD_TAGS = {"li", "div", "article", "section", "tr", "a"}
 
 PRICE_RE = re.compile(
-    r"(?:[\$£€¥₹])\s*[\d,]+(?:\.\d{1,2})?|[\d,]+(?:\.\d{1,2})?\s*(?:USD|EUR|GBP|JPY|INR)",
+    r"(?:[\$£€¥₹])\s*[0-9,]+(?:\.[0-9]{1,2})?"
+    r"|[0-9,]+(?:\.[0-9]{1,2})?\s*(?:USD|EUR|GBP|JPY|INR)",  # JS \d = ASCII
     re.I,
 )
 
@@ -72,7 +73,7 @@ def is_header_or_junk(title: str) -> bool:
         return True
     if len(title) <= 3:
         return True
-    if re.fullmatch(r"\d+\.?", title):
+    if re.fullmatch(r"[0-9]+\.?", title):  # JS \d = ASCII
         return True
     if not re.search(r"\s", title) and title.lower() in HEADER_WORDS:
         return True
