@@ -480,3 +480,102 @@ class TestPostExtractionTier:
 
         assert is_header_or_junk("1234")
         assert not is_header_or_junk("١٢٣٤")  # len>3, not ASCII digits
+
+
+class TestStructuralParsers:
+    def test_generic_host_tries_all_job_parsers(self):
+        # jobs.ts:662-668: unknown hosts fall through linkedin →
+        # glassdoor → indeed → upwork until one yields jobs
+        from webpeel_spark.pure.jobs import parse_job_search
+
+        md = ("# 10 jobs\n"
+              "\n- [Engineer](https://www.linkedin.com/jobs/view/123)\n"
+              "  ### Engineer\n  #### [Acme](https://a.com)\n"
+              "  New York, NY 2 days ago\n")
+        out = parse_job_search(md, "https://jobs.smallboard.io/search")
+        assert out["source"] == "generic"
+        assert len(out["jobs"]) == 1
+
+    def test_comma_only_total_degrades_not_crashes(self):
+        # parseInt('') is NaN → jobs.length fallback (jobs.ts:157)
+        from webpeel_spark.pure.jobs import parse_linkedin
+
+        out = parse_linkedin("# , results for you\n", "https://x.com")
+        assert out["totalFound"] == 0
+
+    def test_encode_uri_component_semantics(self):
+        from webpeel_spark.pure.jobs import build_search_url
+
+        url = build_search_url("indeed", "UI/UX (senior)", "St. John's")
+        assert "q=UI%2FUX%20(senior)" in url
+        assert "l=St.%20John's" in url
+
+    def test_schema_rating_parsefloat_prefix(self):
+        # business-intel.ts:209-210 parseFloat/parseInt with || 0
+        import json
+
+        from webpeel_spark.pure.business_intel import extract_schema_org_data
+
+        page = ('<html><head><script type="application/ld+json">'
+                + json.dumps({"@type": "Organization", "name": "X",
+                              "numberOfEmployees": {"minValue": None,
+                                                    "maxValue": 50},
+                              "aggregateRating": {
+                                  "ratingValue": "4.5 out of 5",
+                                  "reviewCount": "1,234"}})
+                + "</script></head></html>")
+        r = extract_schema_org_data(page)
+        assert r["employees"] == "–50"  # minValue ?? '' catches null
+        assert r["reviews"] == [{"source": "Schema.org",
+                                 "rating": 4.5, "count": 1}]
+
+    def test_sitemap_priority_parsefloat(self):
+        from webpeel_spark.pure.sitemap import parse_sitemap_xml
+
+        xml = ('<urlset><url><loc>http://a.com/</loc>'
+               "<priority>0.5x</priority></url>"
+               "<url><loc>http://a.com/b</loc>"
+               "<priority>high</priority></url></urlset>")
+        urls = parse_sitemap_xml(xml)["urls"]
+        assert urls[0]["priority"] == 0.5   # numeric prefix
+        assert urls[1]["priority"] is None  # NaN → JSON null, key kept
+
+    def test_observe_uppercase_input_type(self):
+        # browser: [type="submit"] matches case-insensitively and
+        # HTMLInputElement.type lowercases (observe.ts:220,316)
+        from webpeel_spark.pure.observe import observe_html
+
+        r = observe_html('<html><body><form>'
+                         '<input TYPE="SUBMIT" value="Go"></form>'
+                         "</body></html>", "http://a.com")
+        assert len(r["elements"]["buttons"]) == 1
+        btn = r["elements"]["buttons"][0]
+        assert btn["role"] == "submit"
+        assert btn["attributes"]["type"] == "submit"
+        assert r["elements"]["inputs"] == []
+
+    def test_featured_snippet_without_container_has_empty_source(self):
+        # closest() yields an empty set → find() on it finds nothing →
+        # source/sourceUrl '' (google-serp-parser.ts:225-235)
+        from webpeel_spark.pure.serp import parse_google_serp
+
+        html = ('<html><body><div><div class="c2xzTb">'
+                + "A long enough answer text for the snippet here. "
+                '<a href="http://example.com/x"><cite>example.com</cite>'
+                "</a></div></div></body></html>")
+        snip = parse_google_serp(html)["featured_snippet"]
+        assert snip["source"] == "" and snip["source_url"] == ""
+
+    def test_local_pack_zero_rating_dropped(self):
+        # parseFloat(...) || undefined: falsy ZERO drops the key
+        from webpeel_spark.pure.serp import parse_google_serp
+
+        html = ('<html><body><div class="VkpGBb">'
+                '<div class="dbg0pd">Zero Cafe</div>'
+                '<span class="MW4etd">0.0</span>'
+                '<span class="UY7F9">(0)</span></div></body></html>')
+        out = parse_google_serp(html)
+        lp = out.get("local_pack", [])
+        if lp:  # reached the local-pack parser
+            assert "rating" not in lp[0]
+            assert "review_count" not in lp[0]

@@ -13,6 +13,8 @@ import json
 import re
 from typing import Any, Dict, List, Optional
 
+from .jsonld import _js_parse_float
+
 TECH_PATTERNS = [
     ("React", r"react(?:\.min)?\.js|__reactFiber|react-dom", "script"),
     ("Vue.js", r"vue(?:\.min)?\.js|Vue\.component|__vue_", "script"),
@@ -154,6 +156,25 @@ def detect_industry(text: str) -> Optional[str]:
     return best_industry
 
 
+def _num_str(v) -> str:
+    """String form parseFloat/parseInt see (numbers print bare)."""
+    if v is None:
+        return ""
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float) and v.is_integer():
+        return str(int(v))
+    return str(v)
+
+
+_INT_PREFIX_RE = re.compile(r"\s*([+-]?[0-9]+)")
+
+
+def _js_parse_int_prefix(s: str):
+    m = _INT_PREFIX_RE.match(s)
+    return int(m.group(1)) if m else None
+
+
 def extract_schema_org_data(content: str) -> Dict[str, Any]:
     """business-intel.ts:186 — JSON-LD company facts, OG fallback."""
     result: Dict[str, Any] = {}
@@ -176,20 +197,26 @@ def extract_schema_org_data(content: str) -> Dict[str, Any]:
             if not result.get("employees") and item.get("numberOfEmployees"):
                 emp = item["numberOfEmployees"]
                 if isinstance(emp, dict):
-                    result["employees"] = (f"{emp.get('minValue', '')}–"
-                                           f"{emp.get('maxValue', '')}")
+                    # `emp.minValue ?? ''` also catches explicit null
+                    # (business-intel.ts:202) — dict.get's default only
+                    # fires on a MISSING key
+                    lo = emp.get("minValue")
+                    hi = emp.get("maxValue")
+                    result["employees"] = (
+                        f"{'' if lo is None else lo}–"
+                        f"{'' if hi is None else hi}")
                 else:
                     result["employees"] = str(emp)
-            if isinstance(item.get("aggregateRating"), dict):
+            if item.get("aggregateRating"):
+                # truthiness gate + parseFloat/parseInt prefix
+                # semantics with || 0 (business-intel.ts:205-211):
+                # '4.5 out of 5' → 4.5, '1,234' → 1, 3.9 count → 3
                 agg = item["aggregateRating"]
-                try:
-                    rating = float(agg.get("ratingValue", 0) or 0)
-                except (TypeError, ValueError):
-                    rating = 0.0
-                try:
-                    count = int(str(agg.get("reviewCount", 0) or 0))
-                except (TypeError, ValueError):
-                    count = 0
+                rv = agg.get("ratingValue") if isinstance(agg, dict) else None
+                rc = agg.get("reviewCount") if isinstance(agg, dict) else None
+                rating = _js_parse_float(_num_str(rv)) or 0.0
+                pi = _js_parse_int_prefix(_num_str(rc))
+                count = pi if pi is not None else 0
                 result.setdefault("reviews", []).append(
                     {"source": "Schema.org", "rating": rating,
                      "count": count})
@@ -212,9 +239,18 @@ def business_intel(content: str, text: Optional[str] = None,
     used for industry detection; reference uses both the same way)."""
     intel: Dict[str, Any] = extract_schema_org_data(content)
     intel["tech_stack"] = detect_tech_stack(content, headers)
-    intel["social_media"] = extract_social_media(content)
+    # extractSocialMedia(homeHtml + homeContent) — BOTH surfaces
+    # (business-intel.ts:271)
+    intel["social_media"] = extract_social_media(
+        content + (text or ""))
     intel["pricing"] = extract_pricing(text if text is not None else content)
-    industry = detect_industry(text if text is not None else content)
+    # industry text = [schemaData.description, homeContent]
+    # .filter(Boolean).join(' ') (business-intel.ts:275): the schema/OG
+    # description participates in the keyword vote
+    industry_text = " ".join(
+        p for p in (intel.get("description"),
+                    text if text is not None else content) if p)
+    industry = detect_industry(industry_text)
     if industry:
         intel["industry"] = industry
     return intel

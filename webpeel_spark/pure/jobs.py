@@ -45,7 +45,8 @@ def detect_source(url: str) -> Source:
 
 
 def build_search_url(src: Source, kw: str, loc: str) -> str:
-    enc = quote
+    def enc(s: str) -> str:  # encodeURIComponent (jobs.ts:108)
+        return quote(s, safe="-_.!~*'()")
     if src == "linkedin":
         return (f"https://www.linkedin.com/jobs/search/?keywords={enc(kw)}"
                 f"&location={enc(loc)}")
@@ -109,7 +110,12 @@ _TOTAL_HEADING = re.compile(r"^#\s+([\d,]+)\+?\s+", re.MULTILINE)
 
 def parse_total_from_heading(content: str) -> int:
     m = _TOTAL_HEADING.search(content)
-    return int(m.group(1).replace(",", "")) if m else 0
+    if not m:
+        return 0
+    digits = m.group(1).replace(",", "")
+    # parseInt('') is NaN → the caller's jobs.length fallback
+    # (jobs.ts:157); int('') raised on a comma-only match
+    return int(digits) if digits else 0
 
 
 # ── LinkedIn (jobs.ts:162-230) ──────────────────────────────────────────
@@ -345,7 +351,8 @@ def parse_indeed(content: str, search_url: str,
                 })
 
     tm = _IN_TOTAL.search(content) or _IN_TOTAL2.search(content)
-    total_found = int(tm.group(1).replace(",", "")) if tm else len(jobs)
+    digits = tm.group(1).replace(",", "") if tm else ""
+    total_found = int(digits) if digits else len(jobs)
     return {"jobs": jobs, "totalFound": total_found}
 
 
@@ -464,14 +471,21 @@ _PARSERS = {"linkedin": parse_linkedin, "glassdoor": parse_glassdoor,
 def parse_job_search(content: str, search_url: str,
                      limit: int = 25) -> Dict[str, Any]:
     """Dispatch by host (jobs.ts searchJobs parse step): returns
-    {jobs, totalFound, source}.  The reference raises for generic
-    sources at fetch time (jobs.ts:628-630); the batch engine
-    classifies instead — generic hosts yield an empty result with
-    source='generic' so one bad row never fails a corpus stage."""
+    {jobs, totalFound, source}.  Unknown hosts try each parser in
+    sequence until one yields jobs (jobs.ts:662-668) — the reference
+    only raises for generic sources when BUILDING a url (jobs.ts:104),
+    never when parsing."""
     src = detect_source(search_url)
     parser = _PARSERS.get(src)
     if parser is None:
-        return {"jobs": [], "totalFound": 0, "source": src}
+        out = {"jobs": [], "totalFound": 0}
+        for fallback in (parse_linkedin, parse_glassdoor, parse_indeed,
+                         parse_upwork):
+            out = fallback(content, search_url, limit)
+            if out["jobs"]:
+                break
+        out["source"] = src
+        return out
     out = parser(content, search_url, limit)
     out["source"] = src
     return out

@@ -210,6 +210,16 @@ def observe_html(html: str, url: str = "", selector: Optional[str] = None,
     {url, title, elements{links,buttons,inputs,selects,forms,media},
     totalElements, summary}."""
     root = parse_html(html or "")
+    # browser semantics (the reference runs in-page): the `type`
+    # attribute matches selectors ASCII-case-insensitively and
+    # HTMLInputElement.type lowercases — normalize once on our own
+    # fresh tree so '<input TYPE="SUBMIT">' categorizes as a button
+    # with role 'submit' exactly as in the browser (observe.ts:220,316)
+    for el in root.iter_elements():
+        if el.tag == "input":
+            t = el.get("type")
+            if t is not None and t != t.lower():
+                el.attrs["type"] = t.lower()
     scope = root
     if selector:
         scope = select_first(root, selector) or root

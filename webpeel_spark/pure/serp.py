@@ -169,19 +169,24 @@ def parse_google_serp(html: str) -> Dict[str, Any]:
     if f_snippet is not None:
         f_text = _text(f_snippet)
         if f_text and len(f_text) > 20:
-            container = f_snippet
-            for a in [f_snippet, *f_snippet.ancestors()]:
-                if matches(a, ".g") or matches(a, ".xpdopen") \
-                        or matches(a, "[data-hveid]"):
-                    container = a
-                    break
-            f_source_el = select_first(container, 'a[href^="http"]')
+            # closest('.g, .xpdopen, [data-hveid]') yields an EMPTY set
+            # when no ancestor-or-self matches — find() on it finds
+            # nothing, so source/sourceUrl are '' (:225-235); falling
+            # back to the snippet element itself took a source the
+            # reference never emits
+            container = next(
+                (a for a in [f_snippet, *f_snippet.ancestors()]
+                 if matches(a, ".g") or matches(a, ".xpdopen")
+                 or matches(a, "[data-hveid]")), None)
+            f_source_el = (select_first(container, 'a[href^="http"]')
+                           if container is not None else None)
             has_list = select_first(f_snippet, "ol, ul") is not None
             has_table = select_first(f_snippet, "table") is not None
             source = ""
             if f_source_el is not None:
                 source = _first_text(f_source_el, "h3, cite")
-            source = source or _first_text(container, "cite")
+            if not source and container is not None:
+                source = _first_text(container, "cite")
             result["featured_snippet"] = {
                 "text": f_text[:1000],
                 "source": source,
@@ -340,9 +345,11 @@ def parse_google_serp(html: str) -> Dict[str, Any]:
             "type": _first_text(el, ".YhemCb, .Q2vNVc") or None,
             "phone": _first_text(el, '.fhNHSe, [data-dtype="d3ph"]') or None,
         }
-        if rating is not None:
+        # `parseFloat(...) || undefined`: falsy ZERO drops the key too
+        # (google-serp-parser.ts:385-386)
+        if rating:
             item["rating"] = rating
-        if count is not None:
+        if count:
             item["review_count"] = count
         local_pack.append(item)
     if local_pack:

@@ -57,10 +57,11 @@ def parse_sitemap_xml(xml: str, max_urls: int = 10000) -> Dict[str, Any]:
         if changefreq:
             entry["changefreq"] = changefreq
         if priority:
-            try:
-                entry["priority"] = float(priority)
-            except ValueError:
-                pass
+            # parseFloat (sitemap.ts:102): numeric-prefix semantics,
+            # and a non-numeric value still ASSIGNS (NaN → JSON null);
+            # strict float() silently omitted the key on '0.5x'/'high'
+            from .jsonld import _js_parse_float
+            entry["priority"] = _js_parse_float(priority)
         entries.append(entry)
     result["urls"] = entries
     return result
