@@ -375,26 +375,17 @@ def extract_canonical(root: Node) -> Optional[str]:
 
 # ── links / images (metadata.ts:250-402) ─────────────────────────────────
 
-def _valid_http_base(base_url: str) -> bool:
-    """``new URL(href, base)`` parses the BASE first — an invalid base
-    throws even when href is absolute, dropping every link/image on
-    the page (metadata.ts:259/:303 catch per element)."""
-    try:
-        b = urlsplit(base_url)
-    except ValueError:
-        return False
-    return b.scheme in ("http", "https") and bool(b.hostname)
-
-
 def _absolutize(href: str, base_url: str) -> Optional[str]:
     """WHATWG join+normalize — the reference runs EVERY href through
     ``new URL(href, baseUrl).href`` (metadata.ts:259), so absolute
     hrefs normalize too (host lowercase, default port dropped, dot
     segments collapsed, disallowed code points percent-encoded);
     RFC-3986 urljoin kept them verbatim, splitting dedup keys the
-    reference merges ('https://Example.com' vs 'https://example.com/')."""
-    if not _valid_http_base(base_url):
-        return None
+    reference merges ('https://Example.com' vs 'https://example.com/').
+    Base validity is the join's own contract: ``new URL`` parses the
+    BASE first, so an invalid base throws (→ None) even for absolute
+    hrefs (metadata.ts:259/:303 catch per element), while a valid
+    non-http base still resolves absolute http(s) hrefs."""
     return whatwg_urljoin(base_url, href)
 
 
@@ -414,7 +405,7 @@ def links_from_anchors(anchors, base_url: str) -> List[str]:
     links: set = set()
     # the anchor-skip compares against new URL(baseUrl) — the
     # NORMALIZED base (metadata.ts:267), not the raw string
-    nb = whatwg_urljoin(base_url, "") if _valid_http_base(base_url) else None
+    nb = whatwg_urljoin(base_url, "")
     try:
         base = urlsplit(nb) if nb else None
     except ValueError:
