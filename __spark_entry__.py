@@ -2342,6 +2342,45 @@ def _q_checkpoint_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "aggregates over the committed output "
             f"({', '.join(cols[2:])}): " + "; ".join(diff))
 
+    # (b) round-9 differential: a PLAIN (non-checkpointed) extraction
+    # over the same planted corpus in the same session, aggregated
+    # per-bucket with the same SUM/COUNT/CASE arithmetic.  This tests
+    # the last surviving in-repo hypothesis from five driver hash-reds:
+    # partitioning/batch-split-dependent nondeterminism in the
+    # extraction UDF that only manifests under the bucketed grouped
+    # write.  A mismatch raises with the full per-bucket diff in the
+    # driver's ``err`` string; err=null + still-red would prove
+    # checkpointed == plain == progress in the driver env (with
+    # extract_planted separately proving plain == planted formulas),
+    # exhausting every in-repo mechanism.
+    from webpeel_spark.operators.extract import extract_pages
+    plain = (
+        extract_pages(pages.select("url", "html"), num_partitions=8)
+        .withColumn("bucket", bucket.cast("int"))
+        .groupBy("bucket").agg(
+            F.count("*").alias("row_count"),
+            F.sum(F.when(F.col("status") == "ok", 1).otherwise(0))
+            .alias("ok_count"),
+            F.sum(F.when(F.col("status") == "error", 1).otherwise(0))
+            .alias("error_count"),
+            F.sum("token_estimate").alias("token_sum"),
+            F.sum(F.round(F.col("quality") * 100, 0).cast("long"))
+            .alias("quality_bp_sum"),
+        )
+    )
+    plain_got = {int(r["bucket"]):
+                 tuple(0 if r[c] is None else int(r[c]) for c in cols[2:])
+                 for r in plain.collect()}
+    if plain_got != want:
+        diff = [f"bucket {b}: plain={plain_got.get(b)} "
+                f"checkpointed={want.get(b)}"
+                for b in sorted(set(plain_got) | set(want))
+                if plain_got.get(b) != want.get(b)]
+        raise RuntimeError(
+            "checkpoint_lineage: plain-run aggregates diverge from the "
+            "checkpointed run's committed output "
+            f"({', '.join(cols[2:])}): " + "; ".join(diff))
+
     return progress.select(*cols).orderBy("bucket")
 
 
