@@ -258,3 +258,73 @@ class TestLazyRawWalk:
         r = extract_page(URL, JSONLD_PAGE.encode(), ExtractOptions())
         assert r["content"]
         assert len(calls) == 1
+
+
+class TestDomainSecondPassOnExtractedContent:
+    """postProcess tries the domain extractor on raw HTML first, then
+    retries with the already-extracted content when the raw pass
+    returns nothing — some SPAs only expose data after readability
+    processing (pipeline.ts:1366-1371)."""
+
+    PAGE = """
+    <html><head><title>Shell</title></head><body>
+    <article><p>%s</p></article>
+    </body></html>
+    """ % ("Readable body sentence with plenty of ordinary words. " * 8)
+
+    def _patched(self, monkeypatch, behavior):
+        import webpeel_spark.pure.pipeline as pl
+
+        calls = []
+
+        def fake(html, url):
+            calls.append(html)
+            return behavior(html, url)
+
+        monkeypatch.setattr(pl, "extract_domain_data", fake)
+        return calls
+
+    def test_second_pass_fires_with_extracted_content(self, monkeypatch):
+        from webpeel_spark.pure.extractors import DomainExtractResult
+
+        def behavior(html, url):
+            if html.lstrip().startswith("<"):
+                return None  # raw pass finds nothing
+            return DomainExtractResult(
+                type="article", domain="medium.com",
+                clean_content="second-pass content from markdown input",
+                structured={"title": "Second Pass"})
+
+        calls = self._patched(monkeypatch, behavior)
+        r = extract_page("https://medium.com/@a/post-1",
+                         self.PAGE.encode(), ExtractOptions())
+        assert len(calls) == 2
+        assert calls[0].lstrip().startswith("<")       # raw html first
+        assert "Readable body sentence" in calls[1]     # then content
+        assert not calls[1].lstrip().startswith("<html")
+        assert r["method"] == "domain"
+        assert r["content"] == "second-pass content from markdown input"
+        assert r["title"] == "Second Pass"
+
+    def test_no_second_pass_when_raw_succeeds(self, monkeypatch):
+        from webpeel_spark.pure.extractors import DomainExtractResult
+
+        def behavior(html, url):
+            return DomainExtractResult(
+                type="article", domain="medium.com",
+                clean_content="raw-pass content long enough to keep",
+                structured={})
+
+        calls = self._patched(monkeypatch, behavior)
+        extract_page("https://medium.com/@a/post-1",
+                     self.PAGE.encode(), ExtractOptions())
+        assert len(calls) == 1
+
+    def test_no_second_pass_without_content(self, monkeypatch):
+        # empty page → empty extracted content → the ctx.content guard
+        # (`!ddResult && ctx.content`) suppresses the second pass
+        calls = self._patched(monkeypatch, lambda h, u: None)
+        r = extract_page("https://medium.com/@a/post-1",
+                         b"<html><body></body></html>", ExtractOptions())
+        assert r["content"] == ""
+        assert len(calls) == 1

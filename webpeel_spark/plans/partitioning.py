@@ -112,26 +112,45 @@ def find_hot_keys(df: DataFrame, key_col: str,
 
 
 def salted_key_agg(df: DataFrame, key_col: str, agg_exprs: dict,
-                   hot_keys: Sequence, k: int = 16) -> DataFrame:
+                   hot_keys: Sequence, k: int = 16,
+                   salt_col=None) -> DataFrame:
     """Two-stage skew-safe aggregation on an arbitrary key column.
 
     Same shape as salted_host_agg: hot keys get a salt derived from a
     uniform row hash so one k-times-skewed reducer becomes k uniform
     ones; stage 2 combines partials by key.  ``agg_exprs`` maps output
     column → ('sum'|'count'|'max'|'min', input col).
+
+    The salt MUST be deterministic: a shuffle key built from a
+    nondeterministic expression (monotonically_increasing_id, rand) can
+    re-salt rows differently when a map task is recomputed after a
+    shuffle-fetch failure, double-counting or dropping rows in the
+    hot-key partials (the SPARK-23207 failure class).  Default: hash
+    the key plus the non-count agg input expressions — stable columns
+    the aggregation reads anyway (cheap scalars, never the multi-KB
+    payload columns a full-row hash would burn).  ``salt_col`` names
+    an explicit cheap stable column/expression instead (required when
+    every agg is a count, where no scalar input exists to vary on).
     """
     if hot_keys:
         is_hot = F.col(key_col).isin(list(hot_keys))
     else:
         is_hot = F.lit(False)
-    # the salt only needs WITHIN-key row variation (the two-stage
-    # result is salt-invariant); round-robin on the per-row id is free
-    # and type-safe — hashing every column (the previous scheme) broke
-    # on MapType inputs and burned a full-row hash of multi-KB payload
-    # columns per row just to pick 1 of k
-    salt = F.when(is_hot,
-                  F.pmod(F.monotonically_increasing_id(),
-                         F.lit(k))).otherwise(F.lit(0))
+    if salt_col is None:
+        scalar_inputs = [F.col(c) if isinstance(c, str) else c
+                         for fn, c in agg_exprs.values()
+                         if fn != "count"]
+        if not scalar_inputs:
+            raise ValueError(
+                "salted_key_agg: count-only aggregations carry no "
+                "scalar input to derive a deterministic salt from; "
+                "pass salt_col= a cheap stable column (e.g. an id or "
+                "timestamp column of df)")
+        salt_src = F.xxhash64(F.col(key_col), *scalar_inputs)
+    else:
+        salt_src = F.xxhash64(
+            F.col(salt_col) if isinstance(salt_col, str) else salt_col)
+    salt = F.when(is_hot, F.pmod(salt_src, F.lit(k))).otherwise(F.lit(0))
     salted = df.withColumn("__salt", salt.cast("int"))
     partial_aggs, final_aggs = _two_stage_aggs(agg_exprs)
     partial = salted.groupBy(key_col, "__salt").agg(*partial_aggs)

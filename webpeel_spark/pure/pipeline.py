@@ -415,6 +415,12 @@ def _html_branch(url: str, html: str, options: ExtractOptions,
         diagnostics: the reference's `method` field is the FETCH method
         (:1840) and its postProcess keeps the prior path's quality."""
         dd = extract_domain_data(html, url)
+        if dd is None and res.get("content"):
+            # second pass on the already-extracted content — some SPAs
+            # (Google Flights) only expose data after readability
+            # processing ("Try raw HTML first, then fall back to
+            # readability-processed content", pipeline.ts:1366-1371)
+            dd = extract_domain_data(res["content"], url)
         if dd is not None and dd.type != "pdf":
             res["content"] = dd.clean_content
             res["extractor"] = dd.domain
