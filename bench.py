@@ -537,9 +537,16 @@ def main() -> None:
     ext28 = None
     if calibrated:
         big_path = _corpus_parquet(28800)
+        # 4 passes with the full series in-artifact (the simhash
+        # treatment): round-8's driver capture read −7% on a single
+        # windowed draw while same-day builder runs sat 12-18% higher —
+        # a published series separates window noise from a real
+        # regression the way a lone min cannot
         ext28_runs = [_run_extraction(spark, big_path, args.cores)
-                      for _ in range(2)]
-        ext28 = min(ext28_runs, key=lambda r: r["sec"])
+                      for _ in range(4)]
+        ext28 = dict(min(ext28_runs, key=lambda r: r["sec"]))
+        ext28["runs_sec"] = [r["sec"] for r in ext28_runs]
+        ext28["runs_docs_per_sec"] = [r["docs_per_sec"] for r in ext28_runs]
     qt = _bench_queries(spark, SF_DIR, calibrated)
     total = round(time.perf_counter() - t_start, 3)
     spark.stop()

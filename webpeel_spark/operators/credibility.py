@@ -45,64 +45,113 @@ def _map_lit(d: dict) -> Column:
     return F.create_map(*[F.lit(x) for kv in d.items() for x in kv])
 
 
-def _credibility_columns(url_col: str):
-    """(tier, score, label) expression triple over a URL column —
-    shared by the standalone scorer and the envelope attacher."""
+def _with_credibility_layers(df: DataFrame, url_col: str):
+    """Append ``__cred_tier/__cred_score/__cred_label`` via LAYERED
+    projections (each layer's expressions reference the previous
+    layer's columns).
+
+    A single flat expression triple re-derived the whole score chain —
+    the 647-domain InSets, the 24-keyword phishing chain, the map
+    lookups — once per output column and once more per conditional
+    branch; whole-stage codegen can't split or share subexpressions
+    across ``CASE`` branches, so the fused projection's
+    ``processNext()`` crossed janino's 64 KB method limit and the
+    entire stage fell back to interpreted execution.  Layering works
+    because ``CollapseProject`` only inlines an alias referenced more
+    than once when it is CHEAP (attribute/literal), so each expensive
+    sub-tree below stays materialized exactly once in the generated
+    code.  Caller drops the ``__cred_*`` temporaries."""
     u = F.col(url_col)
-    protocol = F.lower(F.regexp_extract(u, _PROTO_RE, 1))
+
+    # L1: host parse
     raw_host = F.lower(F.regexp_extract(u, _HOST_RE, 1))
     host = F.regexp_replace(raw_host, r"^www\.", "")
     parts = F.split(host, r"\.")
     nparts = F.size(parts)
-    tld = F.when(nparts >= 2,
-                 F.concat(F.lit("."), F.element_at(parts, -1))) \
-        .otherwise(F.lit(""))
-    sld = F.when(nparts >= 2, F.concat_ws(".", F.slice(parts, -2, 2))) \
-        .otherwise(host)
-    subs = F.greatest(
-        F.lit(0),
-        F.size(F.split(F.regexp_replace(raw_host, r"^www\.", ""),
-                       r"\.")) - F.lit(2))
+    l1 = df.select(
+        "*",
+        F.lower(F.regexp_extract(u, _PROTO_RE, 1)).alias("__cred_protocol"),
+        raw_host.alias("__cred_raw_host"),
+        host.alias("__cred_host"),
+        F.when(nparts >= 2,
+               F.concat(F.lit("."), F.element_at(parts, -1)))
+        .otherwise(F.lit("")).alias("__cred_tld"),
+        F.when(nparts >= 2, F.concat_ws(".", F.slice(parts, -2, 2)))
+        .otherwise(host).alias("__cred_sld"),
+        F.greatest(F.lit(0), F.size(parts) - F.lit(2)).alias("__cred_subs"),
+    )
+
+    protocol = F.col("__cred_protocol")
+    raw_host = F.col("__cred_raw_host")
+    host = F.col("__cred_host")
+    tld = F.col("__cred_tld")
+    sld = F.col("__cred_sld")
+    subs = F.col("__cred_subs")
 
     tld_map = _map_lit(TLD_TRUST)
     cat_map = _map_lit(DOMAIN_CATEGORY)
     comm_map = _map_lit(COMMUNITY_PLATFORMS)
 
+    # L2: per-signal scores and flags
     https_pts = F.when(protocol == "https", F.lit(10)).otherwise(F.lit(0))
     tld_pts = F.coalesce(F.try_element_at(tld_map, tld), F.lit(5))
-    base = https_pts + tld_pts
-
-    official = (tld.isin(*OFFICIAL_TLDS) | host.isin(*OFFICIAL_DOMAINS)
-                | sld.isin(*OFFICIAL_DOMAINS))
-    category = F.coalesce(F.try_element_at(cat_map, host),
-                          F.try_element_at(cat_map, sld),
-                          F.lit("Official Source"))
-    official_label = F.coalesce(
-        F.try_element_at(_map_lit(_OFFICIAL_TLD_LABELS), tld), category)
-    official_score = F.least(F.lit(100), base + F.lit(55))
-
-    structure_pts = (F.when(subs == 0, F.lit(15))
-                     .when(subs == 1, F.lit(10))
-                     .when(subs == 2, F.lit(5)).otherwise(F.lit(0)))
-    comm = F.coalesce(F.try_element_at(comm_map, host),
-                      F.try_element_at(comm_map, sld))
-    est = host.isin(*ESTABLISHED_DOMAINS) | sld.isin(*ESTABLISHED_DOMAINS)
-    bonus = (F.when(comm.isNotNull(), F.lit(15))
-             .when(est, F.lit(40)).otherwise(F.lit(0)))
-    s1 = base + structure_pts + bonus
-    s2 = F.when(tld.isin(*SUSPICIOUS_TLDS), F.least(s1, F.lit(15))) \
-        .otherwise(s1)
     phishy = F.lit(False)
     for kw in PHISHING_KEYWORDS:
         phishy = phishy | host.contains(kw)
-    s3 = F.when(phishy & ~est & comm.isNull(), F.least(s2, F.lit(19))) \
-        .otherwise(s2)
-    score = F.greatest(F.lit(0), F.least(F.lit(100), s3))
+    l2 = l1.select(
+        "*",
+        (https_pts + tld_pts).alias("__cred_base"),
+        (tld.isin(*OFFICIAL_TLDS) | host.isin(*OFFICIAL_DOMAINS)
+         | sld.isin(*OFFICIAL_DOMAINS)).alias("__cred_official"),
+        F.coalesce(F.try_element_at(cat_map, host),
+                   F.try_element_at(cat_map, sld)).alias("__cred_category"),
+        F.coalesce(F.try_element_at(comm_map, host),
+                   F.try_element_at(comm_map, sld)).alias("__cred_comm"),
+        (host.isin(*ESTABLISHED_DOMAINS)
+         | sld.isin(*ESTABLISHED_DOMAINS)).alias("__cred_est"),
+        phishy.alias("__cred_phishy"),
+        (F.when(subs == 0, F.lit(15)).when(subs == 1, F.lit(10))
+         .when(subs == 2, F.lit(5)).otherwise(F.lit(0)))
+        .alias("__cred_structure_pts"),
+        ((protocol == "") | (raw_host == "")).alias("__cred_invalid"),
+    )
 
-    tier = (F.when(score >= 90, F.lit("official"))
-            .when(score >= 60, F.lit("established"))
-            .when(score >= 40, F.lit("community"))
-            .when(score >= 20, F.lit("new")).otherwise(F.lit("suspicious")))
+    base = F.col("__cred_base")
+    official = F.col("__cred_official")
+    category = F.col("__cred_category")
+    comm = F.col("__cred_comm")
+    est = F.col("__cred_est")
+    invalid = F.col("__cred_invalid")
+
+    # L3: composed score
+    bonus = (F.when(comm.isNotNull(), F.lit(15))
+             .when(est, F.lit(40)).otherwise(F.lit(0)))
+    s1 = base + F.col("__cred_structure_pts") + bonus
+    s2 = F.when(tld.isin(*SUSPICIOUS_TLDS), F.least(s1, F.lit(15))) \
+        .otherwise(s1)
+    s3 = F.when(F.col("__cred_phishy") & ~est & comm.isNull(),
+                F.least(s2, F.lit(19))).otherwise(s2)
+    l3 = l2.select(
+        "*",
+        F.greatest(F.lit(0), F.least(F.lit(100), s3)).alias("__cred_raw_score"),
+    )
+
+    score = F.col("__cred_raw_score")
+
+    # L4: tier from score
+    l4 = l3.select(
+        "*",
+        (F.when(score >= 90, F.lit("official"))
+         .when(score >= 60, F.lit("established"))
+         .when(score >= 40, F.lit("community"))
+         .when(score >= 20, F.lit("new")).otherwise(F.lit("suspicious")))
+        .alias("__cred_base_tier"),
+    )
+
+    tier = F.col("__cred_base_tier")
+
+    # L5: final triple (everything below references computed columns,
+    # so each branch duplicates only small when-chains)
     tier_label = (
         F.when(tier == "official", F.lit("Official Source"))
         .when(tier == "established",
@@ -118,27 +167,41 @@ def _credibility_columns(url_col: str):
                             F.lit(") — Exercise Caution")))
             .otherwise(F.lit("Unrecognized Domain — Exercise Caution"))))
     label = (F.when(comm.isNotNull(), comm)
-             .when(est, F.coalesce(F.try_element_at(cat_map, host),
-                                   F.try_element_at(cat_map, sld),
-                                   tier_label))
+             .when(est, F.coalesce(category, tier_label))
              .otherwise(tier_label))
+    official_label = F.coalesce(
+        F.try_element_at(_map_lit(_OFFICIAL_TLD_LABELS), tld),
+        category, F.lit("Official Source"))
+    official_score = F.least(F.lit(100), base + F.lit(55))
 
-    invalid = (protocol == "") | (raw_host == "")
-    tier_out = (F.when(invalid, F.lit("suspicious"))
-                .when(official, F.lit("official")).otherwise(tier))
-    score_out = (F.when(invalid, F.lit(0))
-                 .when(official, official_score).otherwise(score)
-                 .cast("bigint"))
-    label_out = (F.when(invalid, F.lit(_INVALID_LABEL))
-                 .when(official, official_label).otherwise(label))
-    return tier_out, score_out, label_out
+    return l4.select(
+        "*",
+        (F.when(invalid, F.lit("suspicious"))
+         .when(official, F.lit("official")).otherwise(tier))
+        .alias("__cred_tier"),
+        (F.when(invalid, F.lit(0))
+         .when(official, official_score).otherwise(score)
+         .cast("bigint")).alias("__cred_score"),
+        (F.when(invalid, F.lit(_INVALID_LABEL))
+         .when(official, official_label).otherwise(label))
+        .alias("__cred_label"),
+    )
+
+
+_CRED_TMP = ["__cred_protocol", "__cred_raw_host", "__cred_host",
+             "__cred_tld", "__cred_sld", "__cred_subs", "__cred_base",
+             "__cred_official", "__cred_category", "__cred_comm",
+             "__cred_est", "__cred_phishy", "__cred_structure_pts",
+             "__cred_invalid", "__cred_raw_score", "__cred_base_tier"]
 
 
 def credibility_scores(df: DataFrame, url_col: str = "url") -> DataFrame:
     """(url, tier, score, label) per row — builtin expressions only."""
-    tier, score, label = _credibility_columns(url_col)
-    return df.select(F.col(url_col).alias("url"), tier.alias("tier"),
-                     score.alias("score"), label.alias("label"))
+    out = _with_credibility_layers(df, url_col)
+    return out.select(F.col(url_col).alias("url"),
+                      F.col("__cred_tier").alias("tier"),
+                      F.col("__cred_score").alias("score"),
+                      F.col("__cred_label").alias("label"))
 
 
 def with_credibility(df: DataFrame, url_col: str = "url") -> DataFrame:
@@ -146,10 +209,11 @@ def with_credibility(df: DataFrame, url_col: str = "url") -> DataFrame:
     to any DataFrame with a URL column — inline expressions, no join,
     no shuffle (the reference attaches the same envelope per result in
     ``buildResult``, pipeline.ts:1645+)."""
-    tier, score, label = _credibility_columns(url_col)
-    return df.select("*", tier.alias("credibility_tier"),
-                     score.alias("credibility_score"),
-                     label.alias("credibility_label"))
+    out = _with_credibility_layers(df, url_col)
+    return (out.withColumnsRenamed({"__cred_tier": "credibility_tier",
+                                    "__cred_score": "credibility_score",
+                                    "__cred_label": "credibility_label"})
+            .drop(*_CRED_TMP))
 
 
 # ── DuckDB oracle twin ──────────────────────────────────────────────────
