@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import re
 from typing import Any, Dict, List, Optional
-from urllib.parse import quote, urljoin
+from urllib.parse import quote
 
 Source = str  # 'glassdoor' | 'indeed' | 'linkedin' | 'upwork' | 'generic'
 
@@ -71,10 +71,14 @@ def clean(s: str) -> str:
 
 
 def abs_url(href: str, base: str) -> str:
-    try:
-        return urljoin(base, href)
-    except ValueError:
-        return href
+    """jobs.ts:121-123 — ``new URL(href, base).href``, original href
+    when the join throws (WHATWG semantics via whatwg_urljoin; the
+    RFC-3986 urljoin it replaced dropped empty ';'/'?'/'#' markers and
+    skipped host normalization)."""
+    from .urlfast import whatwg_urljoin
+
+    out = whatwg_urljoin(base, href, require_http=False)
+    return href if out is None else out
 
 
 _SALARY_RE = re.compile(

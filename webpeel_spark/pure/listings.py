@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import re
 from typing import Dict, List, Optional
-from urllib.parse import urljoin
+from .urlfast import whatwg_urljoin
 
 from ..dom import Node, parse_html, select, select_first
 
@@ -106,10 +106,8 @@ def _resolve_url(href: Optional[str], base_url: Optional[str]) -> Optional[str]:
         return None
     if not base_url:
         return href
-    try:
-        return urljoin(base_url, href)
-    except Exception:
-        return href
+    out = whatwg_urljoin(base_url, href, require_http=False)
+    return href if out is None else out
 
 
 def extract_item(el: Node, base_url: Optional[str] = None) -> Dict[str, Optional[str]]:

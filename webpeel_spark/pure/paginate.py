@@ -10,7 +10,7 @@ listing sequences without live crawling)."""
 from __future__ import annotations
 
 from typing import Optional
-from urllib.parse import urljoin
+from .urlfast import whatwg_urljoin
 
 from ..dom import parse_html, select
 
@@ -27,10 +27,7 @@ def _resolve(href: Optional[str], base: str) -> Optional[str]:
     """paginate.ts:106-112."""
     if not href or href == "#" or href.startswith("javascript:"):
         return None
-    try:
-        return urljoin(base, href)
-    except ValueError:
-        return None
+    return whatwg_urljoin(base, href, require_http=False)
 
 
 def find_next_page_url(html: str, current_url: str) -> Optional[str]:

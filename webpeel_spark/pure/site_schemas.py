@@ -11,7 +11,9 @@ from __future__ import annotations
 
 import re
 from typing import Dict, List, Optional
-from urllib.parse import urljoin, urlsplit
+from urllib.parse import urlsplit
+
+from .urlfast import whatwg_urljoin
 
 from ..dom import Node, parse_html, select, select_first
 
@@ -196,10 +198,8 @@ def _resolve_url(href: Optional[str], base_url: Optional[str]) -> Optional[str]:
         return None
     if not base_url:
         return href
-    try:
-        return urljoin(base_url, href)
-    except ValueError:
-        return href
+    out = whatwg_urljoin(base_url, href, require_http=False)
+    return href if out is None else out
 
 
 def _extract_field(el: Node, field: Dict, base_url: Optional[str]):
