@@ -25,9 +25,11 @@ recorded outputs of Node v20's ``new URL`` (curated edge table plus a
 seeded fuzz corpus, regenerable via tools/gen_whatwg_url_fixture.mjs).
 
 Known, documented divergences from Node (outside the pinned corpus):
-- IDNA: Python's ``idna`` codec is IDNA2003; Node uses UTS#46
-  non-transitional.  They agree on ordinary IDN labels (``é.com``)
-  but differ on mapped code points like ``ß`` (ss vs xn--zca).
+- IDNA runs UTS#46 non-transitional via the ``idna`` package's
+  ``uts46_remap`` + per-label punycode (Node's algorithm; round 9 —
+  the stdlib IDNA2003 codec mapped ``faß``→``fass`` where Node emits
+  ``xn--fa-hia``), but CheckBidi/CheckJoiners are skipped (RTL/ZWJ
+  label margins), and without the package it falls back to IDNA2003.
 - Invalid percent-bytes in a host decode with U+FFFD then fail IDNA
   (→ None), where Node's exact failure set differs at the margin.
 """
@@ -211,16 +213,69 @@ def _host_ascii(host: str) -> str:
         o = ord(ch)
         if o <= 0x20 or o == 0x7F or ch in _FORBIDDEN_HOST:
             raise _UrlError("forbidden host code point")
-    if dec.isascii():
+    if dec.isascii() and "xn--" not in dec.lower():
         ascii_host = dec.lower()
     else:
-        try:
-            ascii_host = dec.encode("idna").decode("ascii")
-        except UnicodeError:
-            raise _UrlError("idna failure") from None
+        ascii_host = _domain_to_ascii(dec)
     if _ends_in_number(ascii_host):
         return _ipv4_parse(ascii_host)
     return ascii_host
+
+
+def _domain_to_ascii(dec: str) -> str:
+    """WHATWG domain-to-ASCII with beStrict=false — UTS#46
+    non-transitional mapping (Node's behavior), NOT the stdlib "idna"
+    codec (IDNA2003: maps ``faß``→``fass`` where Node emits
+    ``xn--fa-hia``) and NOT ``idna.encode`` (IDNA2008 protocol checks:
+    rejects ``☃``/``ab--cd``/underscores that Node accepts because
+    UseSTD3ASCIIRules/CheckHyphens/VerifyDnsLength are all off).
+    Per-label: UTS#46 remap, then punycode decode-validate-reencode
+    for ``xn--`` labels (invalid punycode throws, like Node) and plain
+    punycode encode for non-ASCII labels.  Known margin: CheckBidi/
+    CheckJoiners are skipped (RTL/ZWJ label edge cases)."""
+    try:
+        import idna as _idna
+    except ImportError:
+        # fallback: stdlib IDNA2003 (documented divergence on mapped
+        # code points); ASCII input passes through lowercased
+        if dec.isascii():
+            return dec.lower()
+        try:
+            return dec.encode("idna").decode("ascii")
+        except UnicodeError:
+            raise _UrlError("idna failure") from None
+    try:
+        mapped = _idna.uts46_remap(dec, std3_rules=False,
+                                   transitional=False)
+    except _idna.IDNAError:
+        raise _UrlError("idna failure") from None
+    out = []
+    for label in mapped.split("."):
+        if label.startswith("xn--"):
+            # decode-validate-reencode, keeping the xn-- form (Node:
+            # 'xn--abc-' stays 'xn--abc-', never bare 'abc').  Python's
+            # punycode decoder is lenient where Node's throws
+            # ('a' → U+0080), so validity comes from the decoded label:
+            # non-empty, UTS#46-valid, and already in mapped form.
+            try:
+                uni = label[4:].encode("ascii").decode("punycode")
+            except (UnicodeError, OverflowError):
+                raise _UrlError("bad punycode") from None
+            if not uni:
+                raise _UrlError("bad punycode")
+            try:
+                remapped = _idna.uts46_remap(uni, std3_rules=False,
+                                             transitional=False)
+            except _idna.IDNAError:
+                raise _UrlError("bad punycode") from None
+            if remapped != uni:
+                raise _UrlError("bad punycode")
+            out.append("xn--" + uni.encode("punycode").decode("ascii"))
+        elif label.isascii():
+            out.append(label)
+        else:
+            out.append("xn--" + label.encode("punycode").decode("ascii"))
+    return ".".join(out)
 
 
 def _parse_authority(auth: str) -> Tuple[str, str, Optional[int]]:
