@@ -130,13 +130,45 @@ def test_none_cases(base, href):
 
 
 def test_require_http_false_fallback():
-    """link-pairs path: non-http(s) results fall back to the RFC-3986
-    join (documented approximation); http(s) results are identical;
-    an invalid base still drops (Node throws on the base first)."""
+    """link-pairs path: non-special results fall back to the RFC-3986
+    join (documented approximation); special-scheme results
+    (http/https/ftp/ws/wss) are WHATWG-exact; an invalid base still
+    drops (Node throws on the base first)."""
     assert whatwg_urljoin("ftp://a.com/d/", "x", require_http=False) == \
         "ftp://a.com/d/x"
+    assert whatwg_urljoin("ftp://a.com/d/", "/x;", require_http=False) == \
+        "ftp://a.com/x;"  # ftp is special: empty-marker rules apply
     assert whatwg_urljoin("http://a.com/d/", "mailto:a@b",
                           require_http=False) == "mailto:a@b"
     assert whatwg_urljoin("http://a.com/d/", "/x;", require_http=False) == \
         "http://a.com/x;"
     assert whatwg_urljoin("not a url", "x", require_http=False) is None
+    # require_http drops special-but-not-http(s) results like the
+    # reference's ['http:','https:'] protocol filter (metadata.ts:262)
+    assert whatwg_urljoin("ftp://a.com/d/", "x") is None
+    assert whatwg_urljoin("http://a.com/", "ws://b.com/s") is None
+
+
+def test_node_fixture_parity_any_scheme():
+    """require_http=False against every recorded case: all results
+    whose BASE is a special scheme must byte-match Node (this is the
+    production shape — the base is always the page URL).  The only
+    permitted divergence class is a non-special base (mailto:), where
+    the RFC fallback is the documented approximation."""
+    special = ("http://", "https://", "ftp://", "ws://", "wss://",
+               "HTTP://", "FTP://")
+    checked = mismatches = 0
+    for base, href, expected in _load_cases():
+        if not base.lstrip().lower().startswith(
+                tuple(s.lower() for s in special)):
+            continue
+        checked += 1
+        got = whatwg_urljoin(base, href, require_http=False)
+        want = expected
+        if want is None:
+            if got is not None:
+                mismatches += 1
+        elif got != want:
+            mismatches += 1
+    assert checked > 4000
+    assert mismatches == 0

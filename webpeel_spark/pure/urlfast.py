@@ -32,6 +32,13 @@ Known, documented divergences from Node (outside the pinned corpus):
   label margins), and without the package it falls back to IDNA2003.
 - Invalid percent-bytes in a host decode with U+FFFD then fail IDNA
   (→ None), where Node's exact failure set differs at the margin.
+- ``require_http=False`` margins: relative refs against a NON-SPECIAL
+  base (mailto:) and ``//``-authority non-special hrefs use the RFC
+  fallback — unreachable in production, where the base is always the
+  page's http(s) URL.  Absolute non-special hrefs (mailto:, tel:,
+  data:) serialize WHATWG-exact (opaque-path C0 encode, dot-segment
+  removal for path-absolute, empty-marker preservation); ftp/ws/wss
+  are full special-scheme citizens (round 9).
 """
 
 from __future__ import annotations
@@ -44,8 +51,13 @@ from urllib.parse import unquote, urljoin
 
 __all__ = ["whatwg_urljoin"]
 
-_SPECIAL = ("http", "https")
-_DEFAULT_PORT = {"http": 80, "https": 443}
+# WHATWG special schemes minus file (whose host/path semantics differ;
+# file hrefs fall to the documented RFC fallback).  ftp/ws/wss join and
+# serialize exactly like http — authority, default-port drop, dot
+# segments, empty-marker preservation — and real pages do carry ftp
+# links, so the require_http=False path keeps them byte-exact.
+_SPECIAL = ("http", "https", "ftp", "ws", "wss")
+_DEFAULT_PORT = {"http": 80, "https": 443, "ftp": 21, "ws": 80, "wss": 443}
 
 _SCHEME_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+\-.]*:")
 
@@ -409,13 +421,52 @@ def _serialize(scheme: str, userinfo: str, host: str, port,
 
 
 def _fallback(base_url: str, href: str):
-    """require_http=False path for non-http(s) results: plain RFC-3986
+    """require_http=False path for non-special results: plain RFC-3986
     join — a documented approximation (the link-pairs caller keeps any
-    scheme; http(s) results never reach here)."""
+    scheme; special-scheme results never reach here)."""
     try:
         return urljoin(base_url, href)
     except ValueError:
         return None
+
+
+def _encode_c0(s: str) -> str:
+    """C0-control percent-encode set (opaque paths): C0 controls, DEL
+    and non-ASCII — space and other printables stay raw."""
+    if s.isascii() and all(0x1F < ord(ch) < 0x7F for ch in s):
+        return s
+    out = []
+    for ch in s:
+        o = ord(ch)
+        if o <= 0x1F or o >= 0x7F:
+            out.append("".join(f"%{b:02X}" for b in ch.encode("utf-8")))
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+# non-special query encode set (no apostrophe, unlike http/https)
+_NS_QUERY_EXTRA = ' "<>'
+
+
+def _serialize_nonspecial(scheme: str, rest: str):
+    """Absolute non-special href (mailto:, tel:, data:, …) →
+    ``new URL(href).href``: opaque path C0-encoded (spaces raw),
+    path-absolute refs get dot-segment removal, query/fragment keep
+    empty markers and use their encode sets.  ``//``-authority forms
+    return None to signal the caller's RFC fallback (opaque-host
+    parsing margin)."""
+    if rest.startswith("//"):
+        return None
+    path, query, has_q, frag, has_f = _split_ref(rest)
+    if path.startswith("/"):
+        path = _remove_dot_segments(path)
+    out = scheme + ":" + _encode_c0(path)
+    if has_q:
+        out += "?" + _encode_set(query, _NS_QUERY_EXTRA)
+    if has_f:
+        out += "#" + _encode_set(frag, _FRAG_EXTRA)
+    return out
 
 
 def whatwg_urljoin(base_url: str, href: str, require_http: bool = True):
@@ -437,7 +488,14 @@ def whatwg_urljoin(base_url: str, href: str, require_http: bool = True):
         scheme, rest = None, href
 
     if scheme is not None and scheme not in _SPECIAL:
-        return None if require_http else _fallback(base_url, href)
+        if require_http:
+            return None
+        if _parse_base(base_url) is None:
+            # Node parses the base first: an invalid base throws even
+            # for an absolute non-special href
+            return None
+        out = _serialize_nonspecial(scheme, rest)
+        return out if out is not None else _fallback(base_url, href)
 
     base = _parse_base(base_url)
     if base is None:
@@ -454,6 +512,11 @@ def whatwg_urljoin(base_url: str, href: str, require_http: bool = True):
 
     rest = _backslash_fix(rest)
     out_scheme = scheme if scheme is not None else base[1]
+    if require_http and out_scheme not in ("http", "https"):
+        # special-but-not-http(s) result (ftp/ws/wss): the http-only
+        # callers (metadata links/images) drop it like the reference's
+        # protocol filter
+        return None
 
     try:
         if cross_scheme or rest.startswith("//"):
