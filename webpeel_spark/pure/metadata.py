@@ -43,32 +43,129 @@ _ISO_RE = re.compile(
     r"(?:[T ](\d{2}):(\d{2})(?::(\d{2})(?:\.(\d{1,6}))?)?"
     r"(Z|[+-]\d{2}:?\d{2})?)?$"
 )
-_US_DATE_RE = re.compile(r"^(\d{1,2})/(\d{1,2})/(\d{4})$")
-_WORDY_RE = re.compile(r"^([A-Za-z]+)\.?\s+(\d{1,2})(?:st|nd|rd|th)?,?\s+(\d{4})$")
-_WORDY2_RE = re.compile(r"^(\d{1,2})\s+([A-Za-z]+)\.?,?\s+(\d{4})$")
 
+# shared legacy time tail: optional ", " separator, H:MM[:SS[.fff]],
+# optional AM/PM, optional named zone and/or ±hhmm offset — the forms
+# V8's legacy parser accepts after any date ("Jan 5 2024 1:02:03 PM",
+# "... 10:00:00 GMT+0500", "... 10:00 EST")
+_TIME_TAIL = (
+    r"(?:[,]?\s+(?P<th>\d{1,2}):(?P<tm>\d{2})"
+    r"(?::(?P<ts>\d{2})(?:\.(?P<tf>\d{1,6}))?)?"
+    r"(?:\s*(?P<ampm>[AaPp])\.?[Mm]\.?)?"
+    r"(?:\s*(?P<zone>GMT|UTC?|Z|EST|EDT|CST|CDT|MST|MDT|PST|PDT))?"
+    r"(?:\s*(?P<off>[+-]\d{2}:?\d{2}))?)?\s*$")
 
-_RFC2822_RE = re.compile(
-    r"^(?:[A-Za-z]{3},?\s+)?([0-9]{1,2})\s+([A-Za-z]{3,9})\.?\s+([0-9]{2,4})"
-    r"(?:\s+([0-9]{1,2}):([0-9]{2})(?::([0-9]{2}))?"
-    r"(?:\s*(GMT|UTC|Z|[+-][0-9]{4}))?)?\s*$")
-_BARE_YEAR_RE = re.compile(r"^([0-9]{4})$")
-_LOOSE_ISO_RE = re.compile(r"^([0-9]{4})-([0-9]{1,2})-([0-9]{1,2})$")
+# US timezone abbreviations V8's keyword table recognizes
+_ZONE_HOURS = {"GMT": 0, "UT": 0, "UTC": 0, "Z": 0, "EST": -5, "EDT": -4,
+               "CST": -6, "CDT": -5, "MST": -7, "MDT": -6, "PST": -8,
+               "PDT": -7}
+
+# optional leading words (weekday or any token — V8 skips unknown
+# words before the month: 'Foo Aug 15 2023' parses)
+_LEAD = r"^(?:[A-Za-z]+[.,]?\s+)*?"
+
+_US_DATE_RE = re.compile(r"^(\d{1,2})/(\d{1,2})/(\d{4})" + _TIME_TAIL)
+_YMD_SLASH_RE = re.compile(r"^(\d{4})/(\d{1,2})/(\d{1,2})" + _TIME_TAIL)
+_WORDY_RE = re.compile(
+    _LEAD + r"([A-Za-z]+)\.?\s+(\d{1,2})(?:st|nd|rd|th)?,?\s+(\d{4})"
+    + _TIME_TAIL)
+_WORDY2_RE = re.compile(
+    _LEAD + r"(\d{1,2})\s+([A-Za-z]+)\.?,?\s+(\d{2,4})" + _TIME_TAIL)
+_MONTH_YEAR_RE = re.compile(_LEAD + r"([A-Za-z]+)\.?,?\s+(\d{4})"
+                            + _TIME_TAIL)
+_BARE_NUM_RE = re.compile(r"^(\d+)$")
+_LOOSE_ISO_RE = re.compile(r"^(\d{4})-(\d{1,2})-(\d{1,2})" + _TIME_TAIL)
+_EXPANDED_YEAR_RE = re.compile(r"^\+(\d{6})(-.*)$")
 _TWITTER_DATE_RE = re.compile(
     r"^[A-Za-z]{3}\s+([A-Za-z]{3})\s+(\d{1,2})\s+(\d{2}):(\d{2}):(\d{2})"
     r"\s+([+-]\d{4})\s+(\d{4})$")
 
 
-def _parse_js_date(s: str) -> Optional[datetime]:
-    """Parse a date string the way ``new Date(s)`` does for common formats.
+def _make_dt(year: int, month: int, day: int, hour: int = 0,
+             minute: int = 0, sec: int = 0,
+             micro: int = 0) -> Optional[datetime]:
+    """V8 MakeDay/MakeTime semantics: month 1-12 and day 1-31 are hard
+    bounds, but a day past the month's end ROLLS OVER ('2023-02-29' →
+    Mar 1, '2023-02-31' → Mar 3); hour 24 rolls only as 24:00.  Years
+    outside datetime's 1-9999 return None (documented margin — Node
+    serializes year 0 and ±expanded years the stdlib can't hold)."""
+    if not (1 <= month <= 12 and 1 <= day <= 31):
+        return None
+    if not (0 <= minute <= 59 and 0 <= sec <= 59):
+        return None
+    if not (0 <= hour <= 23 or (hour == 24 and minute == 0 and sec == 0)):
+        return None
+    if not (1 <= year <= 9999):
+        return None
+    base = datetime(year, month, 1, tzinfo=timezone.utc)
+    try:
+        return base + timedelta(days=day - 1, hours=hour, minutes=minute,
+                                seconds=sec, microseconds=micro)
+    except OverflowError:
+        return None
 
-    Date-only ISO strings are UTC; date-times without a zone are treated
-    as UTC (the reference runs in UTC containers).  Returns None when JS
-    would yield an Invalid Date (the callers catch & skip).
-    """
+
+def _apply_tail(m, year: int, month: int, day: int) -> Optional[datetime]:
+    """Build a datetime from a date triple plus a _TIME_TAIL match."""
+    h = int(m.group("th")) if m.group("th") else 0
+    mi = int(m.group("tm")) if m.group("tm") else 0
+    s = int(m.group("ts")) if m.group("ts") else 0
+    frac = m.group("tf") or ""
+    micro = int((frac + "000000")[:6]) if frac else 0
+    ampm = m.group("ampm")
+    if ampm:
+        if not 1 <= h <= 12:
+            return None
+        h = h % 12 + (12 if ampm.lower() == "p" else 0)
+    dt = _make_dt(year, month, day, h, mi, s, micro)
+    if dt is None:
+        return None
+    zone, off = m.group("zone"), m.group("off")
+    if zone:
+        dt -= timedelta(hours=_ZONE_HOURS[zone.upper().rstrip()])
+    if off:
+        sign = 1 if off[0] == "+" else -1
+        o = off[1:].replace(":", "")
+        dt -= sign * timedelta(hours=int(o[:2]), minutes=int(o[2:4]))
+    return dt
+
+
+def _month_num(word: str) -> Optional[int]:
+    w = word.lower()
+    full = _MONTHS.get(w)
+    if full:
+        return full
+    # V8 matches keywords by their first 3 chars ('sept' → Sep)
+    return _MONTH_ABBR.get(w[:3]) if len(w) >= 3 else None
+
+
+def _parse_js_date(s: str) -> Optional[datetime]:
+    """Parse a date string the way ``new Date(s)`` does (round 9:
+    parity pinned against tests/golden/jsdate_node.json, TZ=UTC Node
+    recordings — curated formats + seeded fuzz).
+
+    Date-only ISO strings are UTC; date-times without a zone are
+    treated as UTC (the reference runs in UTC containers).  Covers
+    V8's MakeDay day-overflow rollover ('2023-02-29' → Mar 1), bare
+    numeric windowing ('0' → 2000, '12' → Dec 2001, '50' → 1950),
+    skipped leading words, 12h AM/PM and named-US-zone/±hhmm time
+    tails, month-year forms, Y/M/D slashes and +NNNNNN expanded years.
+    Documented margins (all Node-recorded in the fixture, each
+    excluded there by name): years outside datetime's 1-9999, and
+    ``:60`` seconds in legacy forms (V8 re-tokenizes those into
+    year-capture nonsense).  Returns None when JS would yield an
+    Invalid Date (the callers catch & skip)."""
     s = s.strip()
     if not s:
         return None
+    m = _EXPANDED_YEAR_RE.match(s)
+    if m and len(m.group(2)) > 1 and m.group(2)[1].isdigit():
+        # '+002023-08-15…' → ISO expanded year; representable ones
+        # re-parse as the plain 4-digit form
+        year = int(m.group(1))
+        if year > 9999:
+            return None
+        return _parse_js_date(f"{year:04d}{m.group(2)}")
     m = _ISO_RE.match(s)
     if m:
         year, month = int(m.group(1)), int(m.group(2))
@@ -78,12 +175,10 @@ def _parse_js_date(s: str) -> Optional[datetime]:
         sec = int(m.group(6)) if m.group(6) else 0
         frac = m.group(7) or ""
         micro = int((frac + "000000")[:6]) if frac else 0
-        tz = m.group(8)
-        try:
-            dt = datetime(year, month, day, hour, minute, sec, micro,
-                          tzinfo=timezone.utc)
-        except ValueError:
+        dt = _make_dt(year, month, day, hour, minute, sec, micro)
+        if dt is None:
             return None
+        tz = m.group(8)
         if tz and tz != "Z":
             sign = 1 if tz[0] == "+" else -1
             tzs = tz[1:].replace(":", "")
@@ -92,85 +187,71 @@ def _parse_js_date(s: str) -> Optional[datetime]:
         return dt
     m = _US_DATE_RE.match(s)
     if m:
-        try:
-            return datetime(int(m.group(3)), int(m.group(1)), int(m.group(2)),
-                            tzinfo=timezone.utc)
-        except ValueError:
-            return None
+        return _apply_tail(m, int(m.group(3)), int(m.group(1)),
+                           int(m.group(2)))
+    m = _YMD_SLASH_RE.match(s)
+    if m:
+        # '2023/08/15': a first number >31 makes V8 read Y/M/D
+        return _apply_tail(m, int(m.group(1)), int(m.group(2)),
+                           int(m.group(3)))
+    m = _TWITTER_DATE_RE.match(s)
+    if m:
+        # "Wed Oct 10 20:19:24 +0000 2018" (Twitter legacy created_at;
+        # year trails the offset so the wordy chains can't see it)
+        mon = _MONTH_ABBR.get(m.group(1).lower())
+        if mon:
+            dt = _make_dt(int(m.group(7)), mon, int(m.group(2)),
+                          int(m.group(3)), int(m.group(4)),
+                          int(m.group(5)))
+            if dt is None:
+                return None
+            tz = m.group(6)
+            sign = 1 if tz[0] == "+" else -1
+            offs = timedelta(hours=int(tz[1:3]), minutes=int(tz[3:5]))
+            return dt - sign * offs
+        return None
     m = _WORDY_RE.match(s)
     if m:
-        mon = _MONTHS.get(m.group(1).lower()) or _MONTH_ABBR.get(m.group(1).lower()[:3])
+        mon = _month_num(m.group(1))
         if mon:
-            try:
-                return datetime(int(m.group(3)), mon, int(m.group(2)),
-                                tzinfo=timezone.utc)
-            except ValueError:
-                return None
+            return _apply_tail(m, int(m.group(3)), mon, int(m.group(2)))
     m = _WORDY2_RE.match(s)
     if m:
-        mon = _MONTHS.get(m.group(2).lower()) or _MONTH_ABBR.get(m.group(2).lower()[:3])
-        if mon:
-            try:
-                return datetime(int(m.group(3)), mon, int(m.group(1)),
-                                tzinfo=timezone.utc)
-            except ValueError:
-                return None
-    m = _RFC2822_RE.match(s)
-    if m:
-        # RFC 2822/1123 — 'Tue, 15 Aug 2023 10:00:00 GMT' — a format
-        # V8 accepts natively that the chains above miss (review find)
-        mon = (_MONTHS.get(m.group(2).lower())
-               or _MONTH_ABBR.get(m.group(2).lower()[:3]))
+        mon = _month_num(m.group(2))
         if mon:
             year = int(m.group(3))
             if year < 50:
                 year += 2000  # JS two-digit year windowing
             elif year < 100:
                 year += 1900
-            try:
-                dt = datetime(year, mon, int(m.group(1)),
-                              int(m.group(4) or 0), int(m.group(5) or 0),
-                              int(m.group(6) or 0), tzinfo=timezone.utc)
-            except ValueError:
-                return None
-            tz = m.group(7)
-            if tz and tz not in ("GMT", "UTC", "Z"):
-                sign = 1 if tz[0] == "+" else -1
-                offs = timedelta(hours=int(tz[1:3]), minutes=int(tz[3:5]))
-                dt = dt - sign * offs
-            return dt
-    m = _BARE_YEAR_RE.match(s)
+            return _apply_tail(m, year, mon, int(m.group(1)))
+    m = _MONTH_YEAR_RE.match(s)
     if m:
-        # new Date('2021') → 2021-01-01T00:00:00.000Z (ISO year form)
-        try:
-            return datetime(int(m.group(1)), 1, 1, tzinfo=timezone.utc)
-        except ValueError:
+        # 'Aug 2023' → first of the month
+        mon = _month_num(m.group(1))
+        if mon:
+            return _apply_tail(m, int(m.group(2)), mon, 1)
+    m = _BARE_NUM_RE.match(s)
+    if m:
+        # V8's bare-number ladder: '2021' → year; '0'/'00' → 2000;
+        # '12' → Dec 2001 (1-12 read as a month); 13-31 invalid;
+        # 32-49 → 20xx; 50-99 → 19xx; '0000'+ (4+ digits) literal year
+        v = int(m.group(1))
+        if len(m.group(1)) >= 4 or v >= 100:
+            return _make_dt(v, 1, 1)
+        if 1 <= v <= 12:
+            return _make_dt(2001, v, 1)
+        if 13 <= v <= 31:
             return None
+        if v == 0:
+            return _make_dt(2000, 1, 1)
+        return _make_dt(2000 + v if v < 50 else 1900 + v, 1, 1)
     m = _LOOSE_ISO_RE.match(s)
     if m:
-        # '2023-1-5' (single-digit month/day): V8's legacy parser
-        # accepts it; UTC per this module's container assumption
-        try:
-            return datetime(int(m.group(1)), int(m.group(2)),
-                            int(m.group(3)), tzinfo=timezone.utc)
-        except ValueError:
-            return None
-    m = _TWITTER_DATE_RE.match(s)
-    if m:
-        # "Wed Oct 10 20:19:24 +0000 2018" (Twitter legacy created_at;
-        # JS Date parses it natively)
-        mon = _MONTH_ABBR.get(m.group(1).lower())
-        if mon:
-            try:
-                dt = datetime(int(m.group(7)), mon, int(m.group(2)),
-                              int(m.group(3)), int(m.group(4)),
-                              int(m.group(5)), tzinfo=timezone.utc)
-            except ValueError:
-                return None
-            tz = m.group(6)
-            sign = 1 if tz[0] == "+" else -1
-            offs = timedelta(hours=int(tz[1:3]), minutes=int(tz[3:5]))
-            return dt - sign * offs
+        # '2023-1-5' (single-digit month/day, optional loose time):
+        # V8's legacy parser accepts it; UTC per the container rule
+        return _apply_tail(m, int(m.group(1)), int(m.group(2)),
+                           int(m.group(3)))
     return None
 
 
@@ -180,7 +261,10 @@ def js_to_iso(s: str) -> Optional[str]:
     if dt is None:
         return None
     ms = dt.microsecond // 1000
-    return dt.strftime("%Y-%m-%dT%H:%M:%S") + f".{ms:03d}Z"
+    # manual year formatting: strftime %Y drops leading zeros for
+    # years < 1000 on glibc, Node always pads to 4
+    return (f"{dt.year:04d}-{dt.month:02d}-{dt.day:02d}"
+            f"T{dt.hour:02d}:{dt.minute:02d}:{dt.second:02d}.{ms:03d}Z")
 
 
 def js_date_to_locale_en_us(s: str) -> Optional[str]:
