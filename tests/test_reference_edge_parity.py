@@ -579,3 +579,27 @@ class TestStructuralParsers:
         if lp:  # reached the local-pack parser
             assert "rating" not in lp[0]
             assert "review_count" not in lp[0]
+
+
+class TestNumberLocaleParity:
+    """Number(x).toLocaleString('en-US') shim vs recorded Node v20
+    values (round 9): Intl caps fractions at 3 digits, rounds half
+    away from zero on the SHORTEST decimal repr of the double
+    (999.9995 → '1,000' though the binary value is 999.99949…), and
+    keeps the sign through a round-to-zero ('-0.0001' → '-0')."""
+
+    NODE_CASES = [
+        ("1234.5678", "1,234.568"), ("1234.5", "1,234.5"),
+        ("0.125", "0.125"), ("1234567", "1,234,567"), ("12.0", "12"),
+        ("-1234.5678", "-1,234.568"), ("0.00005", "0"),
+        ("-0.5", "-0.5"), ("-0.0001", "-0"), ("1234.0005", "1,234.001"),
+        ("999.9995", "1,000"), ("0.9995", "1"), ("abc", "NaN"),
+        ("1e21", "1,000,000,000,000,000,000,000"), (None, "NaN"),
+        ("449000", "449,000"),
+    ]
+
+    def test_node_values(self):
+        from webpeel_spark.pure.extractors.shared_util import js_number_locale
+
+        for s, want in self.NODE_CASES:
+            assert js_number_locale(s) == want, (s, want, js_number_locale(s))

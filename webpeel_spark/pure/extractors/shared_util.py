@@ -41,8 +41,12 @@ def encode_uri_component(s: str) -> str:
 
 
 def js_number_locale(s) -> str:
-    """JS Number(x).toLocaleString() for the numeric strings these
-    extractors feed it: thousands separators; non-numeric → 'NaN'."""
+    """JS Number(x).toLocaleString('en-US') for the numeric strings
+    these extractors feed it: thousands separators; non-numeric →
+    'NaN'.  Intl's default caps fractions at 3 digits with
+    half-away-from-zero rounding ((1234.5678) → '1,234.568',
+    (0.00005) → '0'), unlike Python's full-precision {:,} (round 9,
+    Node-pinned in test_reference_edge_parity)."""
     try:
         f = float(s)
     except (TypeError, ValueError):
@@ -51,7 +55,19 @@ def js_number_locale(s) -> str:
         return "NaN"
     if f == int(f):
         return f"{int(f):,}"
-    return f"{f:,}"
+    from decimal import ROUND_HALF_UP, Decimal
+
+    # quantize the SHORTEST decimal repr, as Intl does (999.9995 →
+    # '1,000' even though the double is 999.99949…); HALF_UP on the
+    # absolute value = Intl's halfExpand (half away from zero)
+    sign = "-" if f < 0 else ""
+    d = Decimal(repr(abs(f))).quantize(Decimal("0.001"),
+                                       rounding=ROUND_HALF_UP)
+    whole, frac = f"{d:f}".rsplit(".", 1)
+    frac = frac.rstrip("0")
+    body = f"{int(whole):,}.{frac}" if frac else f"{int(whole):,}"
+    # sign survives rounding to zero: (-0.0001) → '-0' like Node
+    return sign + body
 
 
 def js_parse_int_commas(s: str) -> int:
