@@ -13,10 +13,12 @@ def strip_html(text: str) -> str:
     """shared.ts:14-16 — tag strip + 6 entity decodes + trim."""
     if not text:
         return ""
-    return (_TAG_RE.sub("", text)
-            .replace("&amp;", "&").replace("&lt;", "<").replace("&gt;", ">")
-            .replace("&quot;", '"').replace("&#39;", "'")
-            .replace("&nbsp;", " ").strip())
+    from ..jstext import js_trim
+
+    return js_trim(_TAG_RE.sub("", text)
+                   .replace("&amp;", "&").replace("&lt;", "<")
+                   .replace("&gt;", ">").replace("&quot;", '"')
+                   .replace("&#39;", "'").replace("&nbsp;", " "))
 
 
 def try_parse_json(text: str):

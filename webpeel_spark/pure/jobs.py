@@ -60,7 +60,9 @@ def build_search_url(src: Source, kw: str, loc: str) -> str:
     raise ValueError("Cannot build URL for generic source — provide a url")
 
 
-_WS = re.compile(r"\s+")
+from .jstext import JS_WS
+
+_WS = re.compile(JS_WS + "+")
 
 
 def clean(s: str) -> str:

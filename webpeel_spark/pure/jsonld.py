@@ -27,17 +27,18 @@ class JsonLdResult(NamedTuple):
     data: Any
 
 
+from .jstext import js_trim
+
 _TAG_RE = re.compile(r"<[^>]*>")
 
 
 def strip_html(text: Any) -> str:
     if not text or not isinstance(text, str):
         return ""
-    return (
+    return js_trim(
         _TAG_RE.sub("", text)
         .replace("&amp;", "&").replace("&lt;", "<").replace("&gt;", ">")
         .replace("&quot;", '"').replace("&#39;", "'").replace("&nbsp;", " ")
-        .strip()
     )
 
 

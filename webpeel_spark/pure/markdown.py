@@ -17,6 +17,7 @@ import math
 import re
 from typing import Dict, List, Optional, Tuple
 
+from .jstext import JS_NWS, JS_WS, collapse_ws, js_trim
 from ..dom import (Node, parse_html, parse_fragment, select, select_first,
                    document_body, BulkMatcher, PriorityMatcher)
 from .mdemit import node_to_markdown
@@ -25,7 +26,7 @@ from .pruner import prune_content
 MAX_HTML_BYTES = 10 * 1024 * 1024  # markdown.ts:233
 MAX_MARKDOWN_BYTES = 1024 * 1024   # markdown.ts:608
 
-_PARSEINT_RE = re.compile(r"\s*([+-]?[0-9]+)")  # parseInt: ASCII digits
+_PARSEINT_RE = re.compile(rf"{JS_WS}*([+-]?[0-9]+)")  # parseInt: ASCII digits, JS ws-trim
 
 
 def _js_parse_int(s: str):
@@ -470,7 +471,7 @@ def _text_parts(el: Node) -> List[str]:
 # ── quality score (markdown.ts:499-536) ─────────────────────────────────
 
 _FORMATTING_RE = re.compile(r"[#*_\[\]\(\)\-`|>]")
-_HEADING_RE = re.compile(r"^#{1,6}\s", re.M)
+_HEADING_RE = re.compile(rf"^#{{1,6}}{JS_WS}", re.M)
 
 
 def calculate_quality(content: str, original_html: str) -> float:
@@ -523,12 +524,12 @@ def calculate_quality(content: str, original_html: str) -> float:
 # ── htmlToMarkdown (markdown.ts:586-684) ─────────────────────────────────
 
 _TRAIL_CUT_PATTERNS = [re.compile(p, re.I | re.M) for p in (
-    r"^#{1,3}\s*(explore other jobs|discover opportunities beyond)",
-    r"^#{1,3}\s*(jobs with similar titles)",
-    r"^#{1,3}\s*(similar job categories)",
-    r"^#{1,3}\s*(career guide articles)",
-    r"^#{1,3}\s*(similar jobs nearby)",
-    r"^#{1,3}\s*(company and salary information)",
+    rf"^#{{1,3}}{JS_WS}*(explore other jobs|discover opportunities beyond)",
+    rf"^#{{1,3}}{JS_WS}*(jobs with similar titles)",
+    rf"^#{{1,3}}{JS_WS}*(similar job categories)",
+    rf"^#{{1,3}}{JS_WS}*(career guide articles)",
+    rf"^#{{1,3}}{JS_WS}*(similar jobs nearby)",
+    rf"^#{{1,3}}{JS_WS}*(company and salary information)",
 )]
 
 # superset pre-gate: if NO pattern matches anywhere, the in-order loop
@@ -536,7 +537,7 @@ _TRAIL_CUT_PATTERNS = [re.compile(p, re.I | re.M) for p in (
 _TRAIL_CUT_ANY_RE = re.compile(
     "|".join("(?:%s)" % p.pattern for p in _TRAIL_CUT_PATTERNS), re.I | re.M)
 
-_HEADING_PREFIX_RE = re.compile(r"^#{1,6}\s*")
+_HEADING_PREFIX_RE = re.compile(rf"^#{{1,6}}{JS_WS}*")
 
 _CTA_LINE_REGEXES = [re.compile(p, re.I) for p in (
     r"^(is your resume a good match|are you open to new opportunities)\??$",
@@ -548,14 +549,14 @@ _CTA_LINE_REGEXES = [re.compile(p, re.I) for p in (
     r"^\[?(share|follow|flag|report)\]?(\(.*\))?$",
     r"^\[?improve this (question|answer)\]?",
     r"^(sorted by|highest score|trending|date modified|date created)",
-    r"^\[?(edited|answered|asked)\s+[0-9A-Za-z_]+\s+[0-9]",  # JS \w,\d=ASCII
+    rf"^\[?(edited|answered|asked){JS_WS}+[0-9A-Za-z_]+{JS_WS}+[0-9]",  # JS \w,\d=ASCII
     r"^community wiki$",
-    r"^[0-9]+\s*(answers?|votes?|views?)\s*[0-9]*$",
+    rf"^[0-9]+{JS_WS}*(answers?|votes?|views?){JS_WS}*[0-9]*$",
     r"^\[?reset to default\]?",
     r"^\[?(bookmark|save|pin|mute|hide|block)\]?(\(.*\))?$",
     r"^\[?(reply|retweet|repost|quote)\]?(\(.*\))?$",
-    r"^\[?copy\s*(link|url)?\]?(\(.*\))?$",
-    r"^(sign up|log in|create account|join now)\s*(to|for)?",
+    rf"^\[?copy{JS_WS}*(link|url)?\]?(\(.*\))?$",
+    rf"^(sign up|log in|create account|join now){JS_WS}*(to|for)?",
 )]
 
 _CTA_EXACT = {
@@ -627,7 +628,7 @@ def html_to_markdown(html, raw: bool = False, prune: bool = True) -> str:
             # fallback text must come from froot, not the unpruned root
             for el in select(froot, "script, style, noscript, svg, iframe"):
                 el.remove()
-            markdown = re.sub(r"\s+", " ", froot.text()).strip()
+            markdown = js_trim(collapse_ws(froot.text()))
         return _post_markdown(markdown)
 
     cleaned = clean_html(html)
@@ -640,7 +641,7 @@ def html_to_markdown(html, raw: bool = False, prune: bool = True) -> str:
         root = parse_html(cleaned)
         for el in select(root, "script, style, noscript, svg, iframe"):
             el.remove()
-        markdown = re.sub(r"\s+", " ", root.text()).strip()
+        markdown = js_trim(collapse_ws(root.text()))
 
     return _post_markdown(markdown)
 
@@ -709,7 +710,7 @@ def raw_html_to_markdown(html: str) -> str:
     try:
         markdown = node_to_markdown(_conv_root(root))
     except Exception:
-        markdown = re.sub(r"\s+", " ", root.text()).strip()
+        markdown = js_trim(collapse_ws(root.text()))
     return _collapse_blank_runs(markdown).strip()
 
 
@@ -720,16 +721,16 @@ def html_to_text(html: str) -> str:
     parts: List[str] = []
     for el in root.iter_elements():
         if el.tag in ("h1", "h2", "h3", "h4", "h5", "h6", "p", "li"):
-            content = el.text().strip()
+            content = js_trim(el.text())
             if content:
                 parts.append(content + "\n\n")
     text = "".join(parts)
-    if not text.strip():
+    if not js_trim(text):
         body = document_body(root)
         text = body.text() if body is not None else root.text()
     text = re.sub(r"\n{3,}", "\n\n", text)
     text = re.sub(r"[ \t]+", " ", text)
-    return text.strip()
+    return js_trim(text)
 
 
 def estimate_tokens(text: str) -> int:
@@ -747,7 +748,7 @@ def truncate_to_token_budget(content: str, max_tokens: int) -> str:
     found_first_heading = False
     for line in lines:
         line_tokens = estimate_tokens(line)
-        is_heading = re.match(r"^#{1,6}\s", line) is not None
+        is_heading = re.match(rf"^#{{1,6}}{JS_WS}", line) is not None
         if not found_first_heading and is_heading:
             result.append(line)
             current += line_tokens
@@ -770,10 +771,10 @@ def clean_for_ai(markdown: str) -> str:
         markdown,
     )
     result = re.sub(r"\[([^\]]+)\]\([^)]+\)", r"\1", result)
-    result = re.sub(r"^\[[0-9A-Za-z_-]+\]:\s+\S+.*$", "", result, flags=re.M)
+    result = re.sub(rf"^\[[0-9A-Za-z_-]+\]:{JS_WS}+{JS_NWS}.*$", "", result, flags=re.M)
     result = re.sub(r"^https?://\S+$", "", result, flags=re.M)
     result = re.sub(r"<!--[\s\S]*?-->", "", result)
-    result = re.sub(r"\[\s*\]", "", result)
+    result = re.sub(rf"\[{JS_WS}*\]", "", result)
     result = re.sub(r"\[([0-9]+)\]", "", result)
     result = re.sub(r"\n{3,}", "\n\n", result)
     result = re.sub(r"[ \t]+$", "", result, flags=re.M)
@@ -781,11 +782,11 @@ def clean_for_ai(markdown: str) -> str:
 
 
 _LINK_RE = re.compile(r"\[([^\]]+)\]\([^)]+\)")
-_EMPTY_LINK_RE = re.compile(r"\[\s*\]\([^)]+\)")
+_EMPTY_LINK_RE = re.compile(rf"\[{JS_WS}*\]\([^)]+\)")
 _EMPTY_IMG_LINK_RE = re.compile(r"\[\!\[\]\([^)]+\)\]\([^)]+\)")
 _BLANK3_RE = re.compile(r"\n{3,}")
 _TRAIL_WS_RE = re.compile(r"[ \t]+$", re.M)
-_BUTTON_TEXT_RE = re.compile(r"^Button Text\s*$", re.M)
+_BUTTON_TEXT_RE = re.compile(rf"^Button Text{JS_WS}*$", re.M)
 
 
 def clean_markdown_noise(content: str) -> str:

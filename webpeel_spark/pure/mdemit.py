@@ -21,6 +21,8 @@ from __future__ import annotations
 
 import math
 import re
+
+from .jstext import JS_NWS, JS_WS, is_js_blank
 from typing import Optional
 
 from ..dom import Node, VOID_TAGS, parse_html, document_body
@@ -205,7 +207,7 @@ def escape_markdown(text: str) -> str:
 
 # ── blank detection ──────────────────────────────────────────────────────
 
-_BLANK_RE = re.compile(r"^\s*$")
+_BLANK_RE = re.compile(rf"^{JS_WS}*$")
 
 
 def _has_meaningful_or_void(node: Node) -> bool:
@@ -216,17 +218,17 @@ def _has_meaningful_or_void(node: Node) -> bool:
 
 
 def _all_text_blank(node: Node) -> bool:
-    """True iff every text descendant is whitespace-only — equivalent
-    to ``^\\s*$`` over ``node.text()`` without building the string.
-    ``str.isspace()`` and regex ``\\s`` agree on EVERY codepoint in
-    CPython 3 (both call Py_UNICODE_ISSPACE — including U+001C-001F);
-    pinned exhaustively by tests/test_mdemit.py::test_isspace_matches_
-    regex_whitespace_class."""
+    """True iff every text descendant is JS-whitespace-only —
+    equivalent to turndown's ``/^\\s*$/`` over ``node.text()`` without
+    building the string.  JS ``\\s`` ≠ Python ``\\s``/``isspace``
+    (U+FEFF is JS-blank only; U+0085/U+001C-1F Python-blank only), so
+    membership uses the exact ECMA set (jstext.JS_WS_SET, pinned
+    exhaustively by tests/test_jsws_parity.py)."""
     stack = list(node.children)
     while stack:
         c = stack.pop()
         if isinstance(c, str):
-            if not c.isspace() and c:
+            if c and not is_js_blank(c):
                 return False
         else:
             stack.extend(c.children)
@@ -254,7 +256,8 @@ def _join(output: str, replacement: str) -> str:
 
 
 _EDGE_WS_RE = re.compile(
-    r"^(([ \t\r\n]*)(\s*))(?:(?=\S)[\s\S]*\S)?((\s*?)([ \t\r\n]*))$"
+    rf"^(([ \t\r\n]*)({JS_WS}*))(?:(?={JS_NWS})[\s\S]*{JS_NWS})?"
+    rf"(({JS_WS}*?)([ \t\r\n]*))$"
 )
 
 
@@ -364,7 +367,7 @@ class MarkdownEmitter:
         out = self._process(node, in_code=False)
         # Turndown postProcess
         out = re.sub(r"^[\t\r\n]+", "", out)
-        out = re.sub(r"[\t\r\n\s]+$", "", out)
+        out = re.sub(rf"{JS_WS}+$", "", out)
         return out
 
     # .....................................................................
@@ -500,7 +503,7 @@ class MarkdownEmitter:
         if tag == "a" and node.get("href"):
             href = (node.get("href") or "").replace("(", "\\(").replace(")", "\\)")
             title = node.get("title") or ""
-            title = re.sub(r"(\n+\s*)+", "\n", title)
+            title = re.sub(rf"(\n+{JS_WS}*)+", "\n", title)
             title_part = ' "' + title.replace('"', '\\"') + '"' if title else ""
             return "[" + content + "](" + href + title_part + ")"
         if tag in ("em", "i"):

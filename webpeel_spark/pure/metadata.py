@@ -23,6 +23,7 @@ from functools import lru_cache
 from typing import Dict, List, NamedTuple, Optional
 from urllib.parse import urlsplit
 
+from .jstext import JS_WS
 from .urlfast import whatwg_urljoin
 
 from ..dom import Node, parse_html, select, select_first
@@ -525,7 +526,7 @@ class ImageInfo(NamedTuple):
 def _parse_int(v: Optional[str]) -> Optional[int]:
     if not v:
         return None
-    m = re.match(r"^\s*([+-]?[0-9]+)", v)  # JS parseInt: ASCII digits
+    m = re.match(rf"^{JS_WS}*([+-]?[0-9]+)", v)  # JS parseInt: ASCII digits
     return int(m.group(1)) if m else None
 
 
@@ -571,7 +572,7 @@ def extract_images(html: str, base_url: str) -> List[ImageInfo]:
 
     for el in select(root, '[style*="background"]'):
         style = el.get("style") or ""
-        for m in re.finditer(r"url\(['\"]?([^'\")\s]+)['\"]?\)", style):
+        for m in re.finditer(rf"url\(['\"]?([^'\"){JS_WS[1:-1]}]+)['\"]?\)", style):
             absolute = _absolutize(m.group(1), base_url)
             if absolute is None:
                 continue
@@ -582,7 +583,7 @@ def extract_images(html: str, base_url: str) -> List[ImageInfo]:
 
 # ── full metadata (metadata.ts:409-439) ──────────────────────────────────
 
-_HEAD_RE = re.compile(r"<head[\s>][\s\S]*?</head>", re.I)
+_HEAD_RE = re.compile(rf"<head[>{JS_WS[1:-1]}][\s\S]*?</head>", re.I)
 _H1_RE = re.compile(r"<h1[^>]*>([\s\S]*?)</h1>", re.I)
 
 

@@ -18,6 +18,8 @@ from __future__ import annotations
 
 import math
 import re
+
+from .jstext import JS_WS
 from typing import List, NamedTuple, Optional
 
 from ..dom import Node, VOID_TAGS, parse_html, document_body
@@ -127,11 +129,11 @@ _CHROME_ROLES = frozenset(("navigation", "banner", "complementary", "contentinfo
 _WRAPPER_TAGS = frozenset(("div", "section", "table", "tbody", "thead", "tr",
                            "center", "details", "summary"))
 
-_WS_SPLIT = re.compile(r"\s+")
+_WS_SPLIT = re.compile(JS_WS + "+")
 
-_NAV_RE = re.compile(r"<nav(\s[^>]*)?>[\s\S]*?</nav>", re.I)
-_FOOTER_RE = re.compile(r"<footer(\s[^>]*)?>[\s\S]*?</footer>", re.I)
-_ASIDE_RE = re.compile(r"<aside(\s[^>]*)?>[\s\S]*?</aside>", re.I)
+_NAV_RE = re.compile(rf"<nav({JS_WS}[^>]*)?>[\s\S]*?</nav>", re.I)
+_FOOTER_RE = re.compile(rf"<footer({JS_WS}[^>]*)?>[\s\S]*?</footer>", re.I)
+_ASIDE_RE = re.compile(rf"<aside({JS_WS}[^>]*)?>[\s\S]*?</aside>", re.I)
 
 
 class PruneResult(NamedTuple):
@@ -316,8 +318,8 @@ UI_BUTTON_LABELS = re.compile(
 )
 
 _EMPTY_IMAGE_RE = re.compile(r"^\!\[\]\([^)]+\)$")
-_EMPTY_IMAGE_LI_RE = re.compile(r"^[-*+]\s+\!\[\]\([^)]+\)$")
-_HR_RE = re.compile(r"^(\*\s*\*\s*\*|\-\s*\-\s*\-|_\s*_\s*_)$")
+_EMPTY_IMAGE_LI_RE = re.compile(rf"^[-*+]{JS_WS}+\!\[\]\([^)]+\)$")
+_HR_RE = re.compile(rf"^(\*{JS_WS}*\*{JS_WS}*\*|\-{JS_WS}*\-{JS_WS}*\-|_{JS_WS}*_{JS_WS}*_)$")
 
 
 def prune_markdown(markdown: str) -> str:

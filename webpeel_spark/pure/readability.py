@@ -19,6 +19,7 @@ from typing import List, NamedTuple, Optional
 
 from ..dom import Node, parse_html, parse_fragment, select, select_first, document_body
 from .markdown import raw_html_to_markdown
+from .jstext import JS_WS, collapse_ws, js_trim
 from .metadata import clean_concatenated_title, js_to_iso, js_date_to_locale_en_us
 
 NOISE_TAGS = frozenset((
@@ -151,7 +152,7 @@ def _extract_meta(root: Node) -> _PageMeta:
         or _first_text(root, "h1")
         or ""
     )
-    title = clean_concatenated_title(re.sub(r"\s+", " ", title.strip()))
+    title = clean_concatenated_title(collapse_ws(js_trim(title)))
 
     author: Optional[str] = (
         _meta_content(root, 'meta[name="author"]')
@@ -163,7 +164,7 @@ def _extract_meta(root: Node) -> _PageMeta:
         for sel in ('[rel="author"]', '[itemprop="author"]'):
             el = select_first(root, sel)
             if el is not None:
-                text = re.sub(r"\s+", " ", el.text().strip())
+                text = collapse_ws(js_trim(el.text()))
                 if text and 1 < len(text) < 60 and "\n" not in text:
                     author = text
                     break
@@ -173,15 +174,15 @@ def _extract_meta(root: Node) -> _PageMeta:
                     '.article-author', '.entry-author', '[class*="byline"]'):
             el = select_first(root, sel)
             if el is not None:
-                text = re.sub(r"\s+", " ", el.text().strip())
+                text = collapse_ws(js_trim(el.text()))
                 if text and 1 < len(text) < 80 and "\n" not in text:
-                    author = re.sub(r"^by\s+", "", text, flags=re.I).strip()
+                    author = js_trim(re.sub(rf"^by{JS_WS}+", "", text, flags=re.I))
                     break
 
     if author and (len(author.split()) > 8 or re.search(r"database|control|footer|sidebar", author, re.I)):
         author = None
     if author:
-        author = re.sub(r"\s+", " ", author.strip()) or None
+        author = collapse_ws(js_trim(author)) or None
 
     date: Optional[str] = (
         _meta_content(root, 'meta[property="article:published_time"]')
@@ -403,11 +404,11 @@ def calc_reading_time(word_count: int) -> str:
 
 def clean_readability_output(content: str) -> str:
     content = re.sub(r"\[skip to (?:main )?content\]\([^)]*\)", "", content, flags=re.I)
-    content = re.sub(r"^(?:Home|Main)\s*[>›»]\s*.*", "", content, flags=re.M)
+    content = re.sub(rf"^(?:Home|Main){JS_WS}*[>›»]{JS_WS}*.*", "", content, flags=re.M)
     content = re.sub(r"(?:we use cookies|cookie (?:policy|settings|preferences)).*$",
                      "", content, flags=re.I | re.M)
-    content = re.sub(r"^\[.*?\]:\s*#?\s*$", "", content, flags=re.M)
-    content = re.sub(r"(?:---\s*){2,}", "---\n", content)
+    content = re.sub(rf"^\[.*?\]:{JS_WS}*#?{JS_WS}*$", "", content, flags=re.M)
+    content = re.sub(rf"(?:---{JS_WS}*){{2,}}", "---\n", content)
     content = re.sub(r"\n{4,}", "\n\n\n", content)
     return content.strip()
 
@@ -453,11 +454,11 @@ def extract_readable_content(
 
     title = meta.title
     if not title or len(title) < 3:
-        m = re.search(r"^#\s+(.+)$", content, flags=re.M)
+        m = re.search(rf"^#{JS_WS}+(.+)$", content, flags=re.M)
         if m:
             title = m.group(1).strip()
 
-    plain_text = re.sub(r"\s+", " ", _MD_STRIP_RE.sub(" ", content)).strip()
+    plain_text = js_trim(collapse_ws(_MD_STRIP_RE.sub(" ", content)))
     word_count = len([w for w in plain_text.split() if w])
     reading_time = calc_reading_time(word_count)
 
@@ -476,7 +477,7 @@ def extract_readable_content(
     if not starts_with_title and title_line:
         content = title_line + content
     elif starts_with_title and meta_line:
-        content = re.sub(r"^(#\s+.+\n)", lambda m: m.group(1) + meta_line, content, count=1)
+        content = re.sub(rf"^(#{JS_WS}+.+\n)", lambda m: m.group(1) + meta_line, content, count=1)
 
     content = re.sub(r"\n{3,}", "\n\n", content).strip()
     content = clean_readability_output(content)
