@@ -38,8 +38,18 @@ JS_WS_SET = frozenset(
     + "".join(chr(c) for c in range(0x2000, 0x200B)))
 
 
+_ASCII_JS_WS = " \t\n\r\f\v"
+
+
 def is_js_blank(s: str) -> bool:
-    """``/^\\s*$/.test(s)`` with JS semantics (turndown isBlank)."""
+    """``/^\\s*$/.test(s)`` with JS semantics (turndown isBlank).
+    ASCII fast path stays C-level — this runs per text node in the
+    emitter's hot path (JS ws ∩ ASCII is exactly " \\t\\n\\r\\f\\v";
+    \\x1c-\\x1f are Python-only and must NOT count as blank)."""
+    if not s:
+        return True
+    if s.isascii():
+        return not s.strip(_ASCII_JS_WS)
     return all(ch in JS_WS_SET for ch in s)
 
 
