@@ -75,8 +75,22 @@ _USERINFO_EXTRA = ' "<>`{}?#/:;=@[\\]^|'
 _FORBIDDEN_HOST = set('#/:<>?@[\\]^|%')
 
 
+# per-encode-set "needs encoding?" scanners: one C-level regex scan
+# replaces the Python per-char genexpr on the (overwhelmingly common)
+# nothing-to-encode path
+_NEEDS_ENC = {
+    extra: re.compile("[\\x00-\\x20\\x7f-\\U0010ffff"
+                      + re.escape(extra) + "]")
+    for extra in (' "<>`{}', " \"<>'", ' "<>`', ' "<>`{}?#/:;=@[\\]^|')
+}
+
+
 def _encode_set(s: str, extra: str) -> str:
-    if all(0x20 < ord(ch) < 0x7F and ch not in extra for ch in s):
+    scanner = _NEEDS_ENC.get(extra)
+    if scanner is not None:
+        if not scanner.search(s):
+            return s
+    elif all(0x20 < ord(ch) < 0x7F and ch not in extra for ch in s):
         return s
     out = []
     for ch in s:
@@ -376,11 +390,16 @@ def _merge_paths(base_path: str, ref_path: str) -> str:
 # ── base parsing (cached: one base serves every href on a page) ──────────
 
 @lru_cache(maxsize=256)
+@lru_cache(maxsize=512)
 def _parse_base(base_url: str):
     """→ None (invalid base: Node throws before looking at the href),
     or ('nonspecial', scheme) for a valid non-http(s) base, or a
     ('special', scheme, userinfo, host, port, path, query, has_query)
-    tuple for an http(s) base with authority already validated."""
+    tuple for an http(s) base with authority already validated.
+
+    lru_cached: every href on a page joins against the SAME base, so
+    the link/image loops re-parse it ~30× per page otherwise (the
+    result tuples are immutable)."""
     s = _backslash_fix(_clean_input(base_url))
     m = _SCHEME_RE.match(s)
     if not m:
