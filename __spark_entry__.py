@@ -2275,6 +2275,7 @@ def _q_checkpoint_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
         the 47 green queries already prove the oracle dialect agrees
         on.  Driver still red after both ⇒ the err names the column.
     """
+    import json
     import tempfile
 
     from webpeel_spark.plans.checkpoint import (
@@ -2381,7 +2382,55 @@ def _q_checkpoint_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "checkpointed run's committed output "
             f"({', '.join(cols[2:])}): " + "; ".join(diff))
 
-    return progress.select(*cols).orderBy("bucket")
+    # (c) round-9 differential #4 — the decisive one: execute the
+    # DuckDB oracle ITSELF in-process (the planted-envelope oracle is
+    # self-contained SQL, no pre-registered views needed) and compare
+    # the exact rows this query returns against it with plain integer/
+    # string equality.  This reproduces the driver's own Spark-vs-
+    # DuckDB comparison inside the query, where the compare is under
+    # our control: any true value divergence in the driver environment
+    # raises with the exact (bucket, column, spark, duckdb) cells in
+    # ``err``.  Green here + a sixth driver hash-red would leave the
+    # harness's hash canonicalization as the only surviving suspect.
+    # The full evidence is also dumped to CKPT_LINEAGE_DIAG_r09.json
+    # (repo root — the driver commits it), so the next round can read
+    # the driver host's actual values even if ``err`` is truncated.
+    result = progress.select(*cols).orderBy("bucket")
+    spark_rows = [[r[c] if c == "run_id" else
+                   (None if r[c] is None else int(r[c])) for c in cols]
+                  for r in result.collect()]
+    diag: dict = {"spark_rows": spark_rows, "columns": cols}
+    try:
+        import duckdb
+        duck_rows = [[v if isinstance(v, str) else
+                      (None if v is None else int(v)) for v in row]
+                     for row in duckdb.sql(
+                         oracle_sql()["checkpoint_lineage"]).fetchall()]
+        diag["duckdb_rows"] = duck_rows
+        diag["match"] = spark_rows == duck_rows
+    except Exception as exc:  # duckdb missing/failed: report, don't mask
+        diag["duckdb_error"] = f"{type(exc).__name__}: {exc}"
+    try:
+        diag_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "CKPT_LINEAGE_DIAG_r09.json")
+        with open(diag_path, "w") as fh:
+            json.dump(diag, fh, indent=1, sort_keys=True)
+    except OSError:
+        pass  # read-only checkout: the raise below still carries the diff
+    if diag.get("match") is False:
+        cells = []
+        for srow, drow in zip(diag["spark_rows"], diag["duckdb_rows"]):
+            for c, sv, dv in zip(cols, srow, drow):
+                if sv != dv:
+                    cells.append(f"bucket {srow[1]} {c}: "
+                                 f"spark={sv!r} duckdb={dv!r}")
+        cells = cells or [f"row sets differ: spark={len(spark_rows)} "
+                          f"duckdb={len(diag['duckdb_rows'])} rows"]
+        raise RuntimeError(
+            "checkpoint_lineage: in-process DuckDB oracle disagrees "
+            "with the Spark result: " + "; ".join(cells[:20]))
+    return result
 
 
 def _pages_parquet() -> str:

@@ -281,8 +281,13 @@ def cosine_near_duplicate_pairs(df: DataFrame, threshold: float = 0.95,
     by id for the verify step instead of shipping vectors through the
     explode (here they ride along: one less shuffle, fine below ~10^9).
     """
-    first = df.select(vec_col).first()
-    if first is None:
+    # dim + corpus size in ONE control-plane job (was first() + count():
+    # two full-scan jobs on arbitrary upstream lineage)
+    stats = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max(F.size(vec_col)).alias("dim"),
+    ).first()
+    if not stats["n"] or stats["dim"] is None:
         return df.sparkSession.createDataFrame(
             [], "id_a long, id_b long, cosine double"
         )
@@ -290,9 +295,9 @@ def cosine_near_duplicate_pairs(df: DataFrame, threshold: float = 0.95,
 
     from .dedup import _finalize_pairs, capped_bucket_pairs
 
-    dim = len(first[0])
+    dim = int(stats["dim"])
     if bits is None:
-        bits = derive_srp_bits(df.count())
+        bits = derive_srp_bits(int(stats["n"]))
 
     # vectors persist ONCE (narrow table); the exploded bucket table
     # carries only (id, table, bucket) — shipping the vector through
