@@ -442,6 +442,21 @@ def test_ngram_jaccard_boundary_rounding_pair_kept(spark):
         [(1, 2, 0.5)]
 
 
+def test_cosine_near_dups_empty_and_all_null(spark):
+    """The fused dim/count probe (one agg job) must take the empty-
+    result exit both when the corpus is empty and when every vector is
+    NULL (count > 0 but no dim to derive) — the old first()-based probe
+    crashed on len(None) for the all-null case."""
+    from webpeel_spark.operators.similarity import cosine_near_duplicate_pairs
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert cosine_near_duplicate_pairs(empty).count() == 0
+
+    all_null = spark.createDataFrame(
+        [(1, None), (2, None)], "vec_id long, embedding array<float>")
+    assert cosine_near_duplicate_pairs(all_null).count() == 0
+
+
 def test_srp_index_empty_corpus(spark):
     """An empty corpus (upstream filter matched nothing) must yield an
     empty result, not a NoneType crash in srp_index."""
