@@ -822,6 +822,17 @@ def simhash_near_duplicates(df: DataFrame, text_col: str = "text",
        collect_set, degenerate buckets dropped with a REPORTED metric);
     3. exact bit_count verify on the surviving candidates.
 
+    Measured caveat (round-9 soak, BENCH_dedup_scale_r09.json): on a
+    shared-vocabulary corpus the simhash BIT POPULATION is biased
+    (common terms dominate the per-bit sums — per-bit means up to
+    0.955 vs the nominal 0.5), so some band keys hold a constant
+    FRACTION of the corpus at any scale and always exceed the cap;
+    the drop is reported and cost 0.2-0.4% recall on planted one-word
+    edits at 4×/16× bench scale, while minhash (one min per hash over
+    DISTINCT shingles — immune to population bias) measured 1.0.
+    Prefer minhash when recall matters; simhash's advantage is the
+    8-byte fingerprint.
+
     The band plan adapts to corpus size: single-band tables below
     _SIMHASH_SMALL_N docs, Manku pair-tables above — both lossless,
     same output either way.  The size comes from counting the
