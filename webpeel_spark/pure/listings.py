@@ -49,7 +49,15 @@ HEADER_WORDS = {
 
 
 def child_signature(el: Node) -> str:
-    """tag:count pairs of direct children, tag-sorted (extract-listings.ts:44-57)."""
+    """tag:count pairs of direct children, tag-sorted (extract-listings.ts:44-57).
+
+    Collation note: the reference sorts with ``a.localeCompare(b)``
+    (CLDR root) where this uses Python's code-point ``sorted``.  For
+    the alphabet tag names can contain after toLowerCase —
+    ``[a-z0-9-]`` — the two orders coincide (CLDR primary weights run
+    punctuation < digits < letters, same as their code points, and
+    there is no case to differ on), so the signatures are
+    byte-identical; see COVERAGE.md's collation-class audit."""
     counts: Dict[str, int] = {}
     for c in el.element_children():
         counts[c.tag] = counts.get(c.tag, 0) + 1
