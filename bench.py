@@ -152,7 +152,12 @@ def _calibrated(sf: float, cores: int) -> bool:
 # queries whose warm time keeps dropping for several executions (JIT
 # convergence across many short stages) — they always run 4 warm
 # passes and publish the series (see _bench_queries)
-_CONVERGENCE_QUERIES = {"simhash_near_dups"}
+# round-10: ann_lsh_topk + embedding_near_dups joined after the r9
+# driver window read them 2.05x / +17% warm with no code change on
+# those paths — the published 4-run series either shows the regression
+# reproducing at steady state or pins it on the window (r9 verdict #2).
+_CONVERGENCE_QUERIES = {"simhash_near_dups", "ann_lsh_topk",
+                        "embedding_near_dups"}
 
 
 def _bench_queries(spark, sf_dir: str, calibrated: bool = True) -> dict:
@@ -460,6 +465,54 @@ def _scaling(n_pages: int, lo: int = 4, hi: int = 16,
     }
 
 
+_CODEGEN_SIGNATURES = (b"ERROR CodeGenerator", b"grows beyond 64 KB",
+                       b"Whole-stage codegen disabled")
+
+
+def _install_codegen_sentinel() -> dict:
+    """OS-level tee of fd 2 that counts janino codegen failures.
+
+    The 64 KB method-limit failure is a *warning-shaped* catastrophe:
+    Spark logs one stderr line and silently runs the whole stage
+    interpreted — which cost this repo ~25% extraction throughput for
+    six rounds before anyone grepped for it (r9 verdict item #5).  The
+    JVM writes straight to fd 2, so a Python-level sys.stderr hook
+    never sees it; this dup2-pipe tee scans every byte the JVM emits
+    while passing it through unchanged.  The returned dict's ``count``
+    is published as ``codegen_errors`` in the bench JSON — the gate is
+    red if it is ever nonzero.
+    """
+    import threading
+
+    real = os.dup(2)
+    r, w = os.pipe()
+    os.dup2(w, 2)
+    os.close(w)
+    state = {"count": 0, "lines": []}
+
+    def pump() -> None:
+        partial = b""
+        while True:
+            try:
+                chunk = os.read(r, 65536)
+            except OSError:
+                break
+            if not chunk:
+                break
+            os.write(real, chunk)
+            partial += chunk
+            *lines, partial = partial.split(b"\n")
+            for line in lines:
+                if any(sig in line for sig in _CODEGEN_SIGNATURES):
+                    state["count"] += 1
+                    if len(state["lines"]) < 5:
+                        state["lines"].append(
+                            line[:300].decode("utf-8", "replace"))
+
+    threading.Thread(target=pump, daemon=True).start()
+    return state
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
@@ -482,6 +535,8 @@ def main() -> None:
                          "per-task seconds in the artifact")
     args = ap.parse_args()
 
+    codegen = _install_codegen_sentinel()
+
     sf = _sf_of(SF_DIR)
     n_pages = args.pages or max(240, int(PAGES_PER_SF * sf))
 
@@ -503,6 +558,7 @@ def main() -> None:
             "metric": f"extraction_scaling_efficiency_local{lo}_to_local{hi}",
             "value": res["scaling_efficiency"], "unit": "ratio",
             "sf": sf, "detail": res,
+            "codegen_errors": codegen["count"],
         }))
         return
 
@@ -550,6 +606,12 @@ def main() -> None:
     qt = _bench_queries(spark, SF_DIR, calibrated)
     total = round(time.perf_counter() - t_start, 3)
     spark.stop()
+    time.sleep(0.5)  # let the tee thread drain the JVM's last lines
+    if codegen["count"]:
+        sys.stderr.write(
+            "\n*** CODEGEN GATE RED: %d janino failure line(s) in this "
+            "bench's JVM stderr — a stage is running interpreted ***\n%s\n"
+            % (codegen["count"], "\n".join(codegen["lines"])))
 
     timings = {"extract_flagship": ext["sec"]}
     timings.update(qt["warm"])
@@ -567,6 +629,8 @@ def main() -> None:
                        "docs_per_sec": ext["docs_per_sec"],
                        "cores": args.cores},
         "extraction_28k": ext28,
+        "codegen_errors": codegen["count"],
+        "codegen_error_lines": codegen["lines"],
     }))
 
 

@@ -68,6 +68,32 @@ def test_exact_dup_mass_is_one_group(spark):
     assert len(groups) == 1 and groups[0]["dup_count"] == n
 
 
+def test_exact_dup_group_row_size_is_bounded(spark):
+    """A 10^5-copy viral duplicate yields ONE bounded row: exact
+    dup_count, <= max_exemplars ids, the omission reported (r9 verdict
+    item #3 — the old collect_list materialized all 10^5 ids in one
+    reducer array)."""
+    from pyspark.sql import functions as F
+
+    from webpeel_spark.operators.dedup import exact_duplicate_groups
+
+    n = 100_000
+    df = spark.range(n).select(F.col("id").alias("doc_id"),
+                               F.lit(BOILERPLATE).alias("text"))
+    [g] = exact_duplicate_groups(df, max_exemplars=16).collect()
+    assert g["dup_count"] == n
+    assert g["doc_ids"] == list(range(16))      # smallest ids, ascending
+    assert g["omitted_ids"] == n - 16
+    # uniques are never reported, and a custom cap is honored
+    mixed = spark.range(40).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 30, F.lit(BOILERPLATE))
+         .otherwise(F.concat(F.lit("unique "), F.col("id"))).alias("text"))
+    [m] = exact_duplicate_groups(mixed, max_exemplars=5).collect()
+    assert m["dup_count"] == 30 and len(m["doc_ids"]) == 5
+    assert m["omitted_ids"] == 25
+
+
 def test_capped_bucket_pairs_reports_drops(spark):
     """A bucket over the cap is dropped and the drop is reported."""
     from pyspark.sql import functions as F

@@ -80,6 +80,28 @@ class TestNodeParity:
         assert not mismatches, mismatches[:5]
         assert len(STRATEGY_CASES) > 500
 
+    def test_spa_detection_corpus(self):
+        """URL-keyed SPA auto-render table (pipeline.ts:361-401 /
+        ee/spa-detection.ts) vs recorded Node outputs: exact-hostname
+        set + raw-url pattern half, parse-failure skip, IDN/IPv6/
+        trailing-dot/authority-less edges."""
+        from webpeel_spark.pure.engine_ranker import (
+            SPA_DOMAINS, is_spa_url,
+        )
+
+        fixture = os.path.join(os.path.dirname(__file__), "golden",
+                               "spa_detection_node.json")
+        with open(fixture) as f:
+            cases = json.load(f)["cases"]
+        mismatches = [(c["url"], is_spa_url(c["url"]), c["spa"])
+                      for c in cases if is_spa_url(c["url"]) != c["spa"]]
+        assert not mismatches, mismatches[:5]
+        assert len(cases) > 100
+        # every set entry is exercised as a hit in the corpus
+        urls = " ".join(c["url"] for c in cases)
+        for d in SPA_DOMAINS:
+            assert f"//{d}/" in urls
+
     def test_corpus_shape(self):
         # the fixture really exercises the surface: every rule pattern
         # appears as an exact host and with a subdomain prefix
@@ -188,6 +210,32 @@ class TestSparkOperator:
         assert out["https://www.zillow.com/h"]["residential_proxy"] is True
         assert out["https://example.com/"]["forced_mode"] is None
         assert out["https://example.com/"]["residential_proxy"] is False
+
+    def test_spa_likely_column(self, spark):
+        """spa_likely mirrors is_spa_url per row — including the two
+        memo-hostile shapes: pattern hits are path-dependent (same host,
+        different answers), and a pattern substring on an authority-less
+        scheme still counts when the URL parses."""
+        from webpeel_spark.operators.engine_ranker import recommend_engines
+        from webpeel_spark.pure.engine_ranker import is_spa_url
+
+        urls = ["https://www.airbnb.com/rooms/1",   # domain half
+                "https://airbnb.com/rooms/1",        # exact-match miss
+                "https://google.com/travel",         # pattern half
+                "https://google.com/flights",        # same host, no pattern
+                "data:text/html,see google.com/maps",  # authority-less parse
+                "google.com/travel",                 # unparseable → False
+                "https://example.com/"]
+        df = spark.createDataFrame([(u,) for u in urls], "url string")
+        out = {r["url"]: r["spa_likely"]
+               for r in recommend_engines(df).collect()}
+        assert out == {u: is_spa_url(u) for u in urls}
+        assert out["https://www.airbnb.com/rooms/1"] is True
+        assert out["https://airbnb.com/rooms/1"] is False
+        assert out["https://google.com/travel"] is True
+        assert out["https://google.com/flights"] is False
+        assert out["data:text/html,see google.com/maps"] is True
+        assert out["google.com/travel"] is False
 
     def test_hashbang_beats_host_memo(self, spark):
         """The raw-string '#!' check must not be absorbed into the

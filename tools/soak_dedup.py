@@ -161,7 +161,11 @@ def build_embeddings(n_vecs: int, out_path: str):
     noisy = noise_src + 0.02 * rng.standard_normal(noise_src.shape)
     noisy /= np.linalg.norm(noisy, axis=1, keepdims=True)
     cosines = np.sum(noise_src * noisy, axis=1)
-    noise_expected = int(np.sum(np.round(cosines, 4) >= 0.95))
+    # >= 0.9501 (not round-to-4dp >= 0.95): a pair in [0.94995, 0.95)
+    # would otherwise count as expected yet be correctly excluded by
+    # the operator's exact >= 0.95 verify, deflating noise_recall
+    # (r10 ADVICE — matches the module docstring's stated rule)
+    noise_expected = int(np.sum(cosines >= 0.9501))
 
     ids = np.concatenate([
         np.arange(n_vecs, dtype=np.int64),

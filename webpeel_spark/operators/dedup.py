@@ -36,14 +36,47 @@ _MERSENNE = (1 << 31) - 1
 
 
 def exact_duplicate_groups(df: DataFrame, text_col: str = "text",
-                           id_col: str = "doc_id") -> DataFrame:
-    """Groups of byte-identical documents: (content_hash, dup_count, doc_ids)."""
+                           id_col: str = "doc_id",
+                           max_exemplars: int = 16) -> DataFrame:
+    """Groups of byte-identical documents:
+    (content_hash, dup_count, doc_ids, omitted_ids).
+
+    ``dup_count`` is EXACT; ``doc_ids`` holds at most ``max_exemplars``
+    exemplar ids (the smallest, ascending).  The round-1 shape
+    aggregated ALL ids of a group into one ``collect_list`` array — at
+    100 TB a viral boilerplate page (10^7 identical copies) made that a
+    single multi-GB array on one reducer (the same degenerate-bucket
+    failure ``capped_bucket_pairs`` guards against).  A ``slice`` after
+    the collect would not help: the full array still materializes in
+    the aggregation buffer.  Instead the cap is applied BEFORE any
+    array exists, via window functions that stream each hash partition
+    with disk spill:
+
+    * ``count(*)  OVER (PARTITION BY hash)``      — exact group size;
+    * ``row_number OVER (PARTITION BY hash ORDER BY id) <= cap``
+      — keeps the N smallest ids, so the later ``collect_list`` is
+      bounded by ``max_exemplars`` per group.
+
+    The follow-up ``groupBy(content_hash)`` reuses the window's hash
+    partitioning (one shuffle total), and the drop is REPORTED, never
+    silent: ``omitted_ids = dup_count - size(doc_ids)``.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("content_hash")
+    hashed = df.select(
+        F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+    ranked = hashed.select(
+        "content_hash", id_col,
+        F.count("*").over(w).alias("__n"),
+        F.row_number().over(w.orderBy(id_col)).alias("__rn"),
+    ).filter((F.col("__n") > 1) & (F.col("__rn") <= max_exemplars))
     return (
-        df.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
-        .groupBy("content_hash")
-        .agg(F.count("*").alias("dup_count"),
+        ranked.groupBy("content_hash")
+        .agg(F.max("__n").alias("dup_count"),
              F.sort_array(F.collect_list(id_col)).alias("doc_ids"))
-        .filter(F.col("dup_count") > 1)
+        .withColumn("omitted_ids",
+                    F.col("dup_count") - F.size(F.col("doc_ids")))
     )
 
 

@@ -36,6 +36,7 @@ _CHAIN_SCHEMA = StructType([
     StructField("max_timeout_ms", IntegerType()),
     StructField("forced_mode", StringType()),
     StructField("residential_proxy", BooleanType()),
+    StructField("spa_likely", BooleanType()),
 ])
 
 
@@ -54,8 +55,11 @@ def recommend_engines(
     ``render=False, no_domain_api=True`` leaves only simple +
     search-fallback — never empty — but an empty chain stays
     representable), plus the strategies.ts decision tables:
-    ``forced_mode`` ('browser'/'stealth'/NULL, shouldForceBrowser) and
-    ``residential_proxy`` (requiresResidentialProxy).  Option
+    ``forced_mode`` ('browser'/'stealth'/NULL, shouldForceBrowser),
+    ``residential_proxy`` (requiresResidentialProxy), and
+    ``spa_likely`` (the pipeline.ts:361-398 URL-keyed SPA auto-render
+    table: exact-hostname set, then URL-substring patterns — the
+    content-based half is ``has_spa_indicators`` post-fetch).  Option
     semantics match the reference: ``render`` filters only when
     explicitly ``False``.
     """
@@ -63,7 +67,8 @@ def recommend_engines(
     @F.pandas_udf(_CHAIN_SCHEMA)
     def _rank(urls: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
         from webpeel_spark.pure.engine_ranker import (
-            _whatwg_hostname, build_fallback_chain,
+            SPA_DOMAINS, SPA_URL_PATTERNS, _whatwg_hostname,
+            build_fallback_chain, is_spa_url,
             requires_residential_proxy, should_force_browser,
         )
 
@@ -87,17 +92,31 @@ def recommend_engines(
                         hit = (names, names[0], top["quality"],
                                top["speed"], top["max_timeout_ms"],
                                should_force_browser(base),
-                               requires_residential_proxy(base))
+                               requires_residential_proxy(base),
+                               host in SPA_DOMAINS)
                     else:
                         hit = (names, None, None, None, None,
                                should_force_browser(base),
-                               requires_residential_proxy(base))
+                               requires_residential_proxy(base),
+                               host in SPA_DOMAINS)
                     memo[host] = hit
                 forced = "browser" if "#!" in url else hit[5]
-                rows.append(hit[:5] + (forced, hit[6]))
+                # SPA: the domain half is host-memoized; the pattern
+                # half tests the RAW url (path-dependent) so it runs
+                # per row — plain substring checks.  host=='' is the
+                # one ambiguous case (unparseable vs authority-less):
+                # defer to is_spa_url, which re-checks parseability
+                # exactly like the reference's try/catch.
+                if hit[7]:
+                    spa = True
+                elif any(p in url for p in SPA_URL_PATTERNS):
+                    spa = True if host else is_spa_url(url)
+                else:
+                    spa = False
+                rows.append(hit[:5] + (forced, hit[6], spa))
             yield pd.DataFrame(rows, columns=[
                 "chain", "engine", "quality", "speed", "max_timeout_ms",
-                "forced_mode", "residential_proxy"])
+                "forced_mode", "residential_proxy", "spa_likely"])
 
     rec = F.col("__rec")
     return (
@@ -109,5 +128,6 @@ def recommend_engines(
         .withColumn("max_timeout_ms", rec["max_timeout_ms"])
         .withColumn("forced_mode", rec["forced_mode"])
         .withColumn("residential_proxy", rec["residential_proxy"])
+        .withColumn("spa_likely", rec["spa_likely"])
         .drop("__rec")
     )

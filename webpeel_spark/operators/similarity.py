@@ -292,7 +292,11 @@ def cosine_near_duplicate_pairs(df: DataFrame, threshold: float = 0.95,
         F.count(F.lit(1)).alias("n"),
         F.max(F.size(vec_col)).alias("dim"),
     ).first()
-    if not stats["n"] or stats["dim"] is None:
+    # dim <= 0 guard (r10 ADVICE): `max(size(col))` is NULL for an
+    # all-null vector column only under ANSI/sizeOfNull=false semantics
+    # (true on the pinned Spark 4.1.2); Spark 3.x defaults return -1,
+    # which must also take the empty exit, not build hyperplanes.
+    if not stats["n"] or stats["dim"] is None or stats["dim"] <= 0:
         return df.sparkSession.createDataFrame(
             [], "id_a long, id_b long, cosine double"
         )

@@ -44,6 +44,9 @@ __all__ = [
     "build_fallback_chain",
     "should_force_browser",
     "requires_residential_proxy",
+    "SPA_DOMAINS",
+    "SPA_URL_PATTERNS",
+    "is_spa_url",
 ]
 
 # ── baseline engine table (engine-ranker.ts:84-133) ──────────────────────
@@ -303,6 +306,51 @@ def should_force_browser(url: str) -> Optional[str]:
         if _host_matches(hostname, domain):
             return "stealth"
     return None
+
+
+# ── SPA auto-render tables (pipeline.ts:361-398, ee/spa-detection.ts) ────
+# The render decision's URL-keyed half: exact-hostname set + URL-substring
+# patterns, checked BEFORE any fetch (the content-based half,
+# has_spa_indicators, lives in operators/extract.py and runs after).
+# This is the core pipeline's DEFAULT list (pipeline.ts:361-388) — the
+# always-available npm-path table; the ee hook (spa-detection.ts:1)
+# returns the same set minus the two polymarket entries, so the default
+# is the superset.  Unlike DOMAIN_RULES there is NO suffix matching:
+# the reference calls SPA_DOMAINS.has(hostname) — exact match only
+# ("google.com" does not hit "www.google.com").
+
+SPA_DOMAINS = frozenset({
+    "www.google.com", "flights.google.com",
+    "www.airbnb.com", "www.booking.com", "www.expedia.com",
+    "www.kayak.com", "www.skyscanner.com", "www.tripadvisor.com",
+    "www.indeed.com", "www.glassdoor.com",
+    "www.zillow.com",
+    "polymarket.com", "www.polymarket.com",
+    "app.webpeel.dev",
+})
+
+# /google\.com\/travel/ etc. contain no metacharacters beyond the
+# escaped dot, so RegExp.test(ctx.url) reduces to substring containment
+# on the RAW url string (pipeline.ts:383-387, :398).
+SPA_URL_PATTERNS = (
+    "google.com/travel", "google.com/maps", "google.com/shopping",
+)
+
+
+def is_spa_url(url: str) -> bool:
+    """URL-keyed SPA auto-render decision (pipeline.ts:393-401).
+
+    Precedence: exact hostname in ``SPA_DOMAINS``, else any
+    ``SPA_URL_PATTERNS`` regex against the RAW url.  Both checks sit
+    inside the reference's ``try { new URL(ctx.url) … }`` — an
+    unparseable URL skips detection entirely (including the pattern
+    test), so ``_parse_base`` failure returns False here.
+    """
+    if _parse_base(url) is None:
+        return False
+    if _whatwg_hostname(url) in SPA_DOMAINS:
+        return True
+    return any(p in url for p in SPA_URL_PATTERNS)
 
 
 def requires_residential_proxy(url: str) -> bool:

@@ -53,11 +53,19 @@ def child_signature(el: Node) -> str:
 
     Collation note: the reference sorts with ``a.localeCompare(b)``
     (CLDR root) where this uses Python's code-point ``sorted``.  For
-    the alphabet tag names can contain after toLowerCase —
-    ``[a-z0-9-]`` — the two orders coincide (CLDR primary weights run
-    punctuation < digits < letters, same as their code points, and
-    there is no case to differ on), so the signatures are
-    byte-identical; see COVERAGE.md's collation-class audit."""
+    the common tag alphabet after toLowerCase — ``[a-z0-9-]`` — the
+    two orders coincide (CLDR primary weights run punctuation < digits
+    < letters, same as their code points, and there is no case to
+    differ on), so the signatures are byte-identical there.  Exception
+    (r10 ADVICE): dom/fastparse's tokenizer admits tag names matching
+    ``[a-zA-Z][-.a-zA-Z0-9:_]*``, so namespaced/custom tags like
+    ``svg:use`` or ``foo_bar`` keep ``:``/``_``/``.`` — characters
+    where the orders diverge (code points place ``:``/``_`` after
+    digits; CLDR root puts punctuation before digits).  Such tags are
+    outside the byte-identity claim; they only perturb signature
+    ORDER, and signatures_are_similar is order-insensitive (set
+    Jaccard), so grouping is unaffected — see COVERAGE.md's
+    collation-class audit."""
     counts: Dict[str, int] = {}
     for c in el.element_children():
         counts[c.tag] = counts.get(c.tag, 0) + 1
