@@ -763,16 +763,19 @@ def _q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables=6 (round-7 sweep, BENCH.md): explode/shuffle volume scales
     with the table count, and the sf0.1 interleaved sweep measured
     medians 3.8/4.5/5.7 s for 4/6/8 tables with IDENTICAL result rows.
-    6 is the minimum that also keeps the THEORETICAL recall at the 0.95
-    cosine boundary essentially unchanged (1-(1-p^bits)^tables with
-    p=1-acos(0.95)/pi ≈ 0.90, bits≈7 → 0.98 at 6 vs 0.99 at 8; 4
-    tables would drop it to 0.92 — fast but not recall-equivalent for
-    real near-boundary pairs at 100 TB).  The operator DEFAULT stays 8
-    (conservative for unknown corpora).  NOTE: the 6-vs-8 EMPIRICAL
-    result-identity was verified only on this corpus's structurally-
-    colliding planted pairs (cosine 1.0 collides in every table by
-    construction); near-threshold recall at 6 tables rests on the
-    closed-form bound above, not on a measured boundary corpus."""
+    At this corpus's bits (≈8 for the 2k+ sf0.01/sf0.1 vectors) the
+    closed-form boundary recall 1-(1-p^bits)^tables is ≥0.96 at 6
+    tables, so 6 is the cost/recall knee HERE.  Round-10 closed the
+    r9 measurement gap: the soak now plants pairs at construction-
+    exact cosines in [0.94, 0.96] and measured 0.82 (6 tables) vs
+    0.91 (8) at 33k vectors / bits=13 — fixed table counts DO lose
+    boundary recall as bits grows with n, exactly as the formula
+    predicts (BENCH_dedup_scale_r10.json).  The operator default is
+    therefore ADAPTIVE (tables=None → derive_srp_tables holds a 0.9
+    boundary-recall target as n grows); this registry query pins
+    tables=6 because its oracle is a brute-force scan and the planted
+    sf-corpus pairs sit at cosine 1.0 (structurally table-count-
+    invariant)."""
     from webpeel_spark.operators.similarity import cosine_near_duplicate_pairs
 
     return cosine_near_duplicate_pairs(_aug_embeddings(spark, sf_dir),

@@ -325,6 +325,36 @@ def test_embedding_near_dups_banded_tables(spark):
     assert derive_srp_bits(10**12, hi=24) == 24
 
 
+def test_derive_srp_tables_holds_boundary_recall():
+    """tables = ln(1-R)/ln(1-p^bits): grows with bits so the recall
+    target at the cosine threshold survives corpus growth (round-10
+    soak: fixed 6 tables measured 0.82 at bits=13 vs 0.91 with 8)."""
+    import math
+
+    from webpeel_spark.operators.similarity import derive_srp_tables
+
+    # closed-form spot values at threshold 0.95, R=0.9
+    assert derive_srp_tables(0, bits=10) == 6
+    assert derive_srp_tables(0, bits=12) == 8
+    assert derive_srp_tables(0, bits=14) == 10
+    # monotone in bits, clamped at both ends
+    ts = [derive_srp_tables(0, bits=b) for b in range(4, 25)]
+    assert ts == sorted(ts)
+    assert derive_srp_tables(0, bits=4) == 4            # lo clamp
+    assert derive_srp_tables(0, bits=24) == 29          # deep-bits growth
+    assert derive_srp_tables(0, bits=24, hi=16) == 16   # hi clamp
+    # bits=None derives from n like the operator does
+    from webpeel_spark.operators.similarity import derive_srp_bits
+    n = 33_000
+    assert derive_srp_tables(n) == derive_srp_tables(
+        0, bits=derive_srp_bits(n))
+    # the derived count actually meets the target at the threshold
+    for b in (10, 13, 17):
+        t = derive_srp_tables(0, bits=b)
+        p = 1 - math.acos(0.95) / math.pi
+        assert 1 - (1 - p ** b) ** t >= 0.9
+
+
 def test_ivf_topk_recall(spark):
     """IVF-ANN: nprobe=all cells reproduces the exact top-k; a small
     nprobe keeps high recall on clustered data."""

@@ -28,11 +28,15 @@ Corpus per scale M (deterministic, numpy seed 42; base unit = the
   not silent loss.
 
 Embeddings per scale: M × 2,000 unit-norm gaussian vectors (dim 64),
-plus 1% scaled clones (cosine exactly 1.0 — structural recall 1.0)
-and 1% noise near-dups (v + 0.02·g renormalized, cosine ≈ 0.987;
-exact cosine recorded at construction, only pairs ≥ 0.9501 counted as
-expected).  Random gaussian pairs at dim 64 sit 7σ+ below the 0.95
-gate, so false positives are structurally absent.
+plus 1% scaled clones (cosine exactly 1.0 — structural recall 1.0),
+1% noise near-dups (v + 0.02·g renormalized, cosine ≈ 0.987; exact
+cosine recorded at construction, only pairs ≥ 0.9501 counted as
+expected), and — round 10 — 1% NEAR-THRESHOLD pairs with construction-
+exact cosines uniform in [0.94, 0.96] (the 0.95±1e-4 band excluded),
+measured at BOTH tables=6 and tables=8 so the table-count sizing rule
+carries boundary-region recall, not just the saturated cosine-1.0 /
+0.987 cohorts.  Random gaussian pairs at dim 64 sit 7σ+ below the
+0.95 gate, so false positives are structurally absent.
 
 Expectations asserted (everything else is reported, not gated):
 minhash recall = 1.0 on planted word-edit pairs (band miss prob
@@ -64,6 +68,7 @@ BASE_DOCS = 5000       # the sf0.1 bench documents table size
 BASE_VECS = 2000       # the sf0.1 bench embeddings table size
 CLONE_OFFSET = 10_000_000
 NOISE_OFFSET = 20_000_000
+BOUNDARY_OFFSET = 30_000_000
 VARIANT_OFFSET = 50_000_000
 VARIANT_CLUSTER = 3000  # > minhash bucket_cap (2000): must be dropped+reported
 
@@ -167,19 +172,50 @@ def build_embeddings(n_vecs: int, out_path: str):
     # (r10 ADVICE — matches the module docstring's stated rule)
     noise_expected = int(np.sum(cosines >= 0.9501))
 
+    # Near-THRESHOLD cohort (r9 verdict #6): the clone cohort proves
+    # structural recall at cosine 1.0 and the noise cohort sits at
+    # ~0.987 where SRP collision probability is still near-saturated;
+    # neither measures the 0.95-boundary region where table count
+    # actually matters.  Plant pairs with construction-exact cosines
+    # uniform in [0.94, 0.96]: w = c·v + sqrt(1-c²)·u with u ⊥ v.
+    # Expectation is computed from the STORED float32 vectors with the
+    # operator's own formula (float64 dot / norms), and targets within
+    # 1e-4 of 0.95 are nudged out so float32 rounding can never flip a
+    # pair across the gate.
+    n_boundary = n_planted
+    b_src = base[2 * n_planted:2 * n_planted + n_boundary]
+    c_tgt = 0.94 + 0.02 * rng.random(n_boundary)
+    c_tgt = np.where(np.abs(c_tgt - 0.95) < 1e-4,
+                     c_tgt + np.where(c_tgt >= 0.95, 2e-4, -2e-4), c_tgt)
+    g = rng.standard_normal(b_src.shape)
+    u = g - np.sum(g * b_src, axis=1, keepdims=True) * b_src
+    u /= np.linalg.norm(u, axis=1, keepdims=True)
+    b_vec = (c_tgt[:, None] * b_src
+             + np.sqrt(1.0 - c_tgt ** 2)[:, None] * u).astype(np.float32)
+    s32 = b_src.astype(np.float32).astype(np.float64)
+    w32 = b_vec.astype(np.float64)
+    cos32 = (np.sum(s32 * w32, axis=1)
+             / (np.linalg.norm(s32, axis=1) * np.linalg.norm(w32, axis=1)))
+    boundary = {
+        "n": n_boundary,
+        "expected_idx": set(np.nonzero(cos32 >= 0.95)[0].tolist()),
+        "cosines": cos32,
+    }
+
     ids = np.concatenate([
         np.arange(n_vecs, dtype=np.int64),
         np.arange(n_planted, dtype=np.int64) + CLONE_OFFSET,
         np.arange(n_planted, dtype=np.int64) + NOISE_OFFSET,
+        np.arange(n_boundary, dtype=np.int64) + BOUNDARY_OFFSET,
     ])
     vecs = np.concatenate([base.astype(np.float32), clones,
-                           noisy.astype(np.float32)])
+                           noisy.astype(np.float32), b_vec])
     tbl = pa.table({
         "vec_id": pa.array(ids, pa.int64()),
         "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
     })
     pq.write_table(tbl, out_path)
-    return n_planted, noise_expected
+    return n_planted, noise_expected, boundary
 
 
 def _timed(fn):
@@ -201,11 +237,12 @@ def run_scale(spark, scale: int, tmpdir: str, largest: bool) -> dict:
     docs_path = os.path.join(tmpdir, f"docs_{scale}.parquet")
     vecs_path = os.path.join(tmpdir, f"vecs_{scale}.parquet")
     n_planted, meta = build_docs(n_docs, docs_path, with_variant_cluster=largest)
-    n_clones, noise_expected = build_embeddings(n_vecs, vecs_path)
+    n_clones, noise_expected, boundary = build_embeddings(n_vecs, vecs_path)
 
     docs = spark.read.parquet(docs_path)
     vecs = spark.read.parquet(vecs_path)
-    res = {"scale": scale, "n_docs": meta["n_rows"], "n_vecs": n_vecs + 2 * n_clones}
+    res = {"scale": scale, "n_docs": meta["n_rows"],
+           "n_vecs": n_vecs + 2 * n_clones + boundary["n"]}
 
     planted_found = (
         lambda out: out.filter((F.col("id_b") - F.col("id_a") == 9)
@@ -239,26 +276,49 @@ def run_scale(spark, scale: int, tmpdir: str, largest: bool) -> dict:
         "recall": round(found / n_planted, 4), "metrics": sh_metrics,
     }
 
-    emb_metrics: dict = {}
-    out, wall = _timed(lambda: cosine_near_duplicate_pairs(
-        vecs, threshold=0.95, tables=6, metrics=emb_metrics))
-    clone_found = out.filter((F.col("id_b") >= CLONE_OFFSET)
-                             & (F.col("id_b") < NOISE_OFFSET)
-                             & (F.col("id_b") - F.col("id_a") == CLONE_OFFSET)
-                             ).count()
-    noise_found = out.filter((F.col("id_b") >= NOISE_OFFSET)
-                             & (F.col("id_b") - F.col("id_a")
-                                == NOISE_OFFSET - n_clones)).count()
-    res["embedding"] = {
-        "wall_sec": wall,
-        "vecs_per_sec": round((n_vecs + 2 * n_clones) / wall, 1),
-        "pairs": out.count(),
-        "clones": n_clones, "clones_found": clone_found,
-        "clone_recall": round(clone_found / n_clones, 4),
-        "noise_expected": noise_expected, "noise_found": noise_found,
-        "noise_recall": round(noise_found / max(noise_expected, 1), 4),
-        "metrics": emb_metrics,
-    }
+    # 6- vs 8-table A/B (r9 verdict #6): same corpus, same process, so
+    # the table count is the only variable.  "embedding" stays the
+    # 6-table production config (growth/gates read it); "embedding_t8"
+    # carries the extra-tables measurement.
+    n_total_vecs = n_vecs + 2 * n_clones + boundary["n"]
+    for key, n_tables in (("embedding", 6), ("embedding_t8", 8)):
+        emb_metrics: dict = {}
+        out, wall = _timed(lambda: cosine_near_duplicate_pairs(
+            vecs, threshold=0.95, tables=n_tables, metrics=emb_metrics))
+        out = out.localCheckpoint(eager=True)  # one materialization, 4 readers
+        clone_found = out.filter(
+            (F.col("id_b") >= CLONE_OFFSET)
+            & (F.col("id_b") < NOISE_OFFSET)
+            & (F.col("id_b") - F.col("id_a") == CLONE_OFFSET)).count()
+        noise_found = out.filter(
+            (F.col("id_b") >= NOISE_OFFSET)
+            & (F.col("id_b") < BOUNDARY_OFFSET)
+            & (F.col("id_b") - F.col("id_a")
+               == NOISE_OFFSET - n_clones)).count()
+        b_rows = out.filter(
+            (F.col("id_b") >= BOUNDARY_OFFSET)
+            & (F.col("id_b") < VARIANT_OFFSET)
+            & (F.col("id_b") - F.col("id_a")
+               == BOUNDARY_OFFSET - 2 * n_clones)).select("id_b").collect()
+        b_found_idx = {int(r["id_b"]) - BOUNDARY_OFFSET for r in b_rows}
+        expected = boundary["expected_idx"]
+        b_hits = len(b_found_idx & expected)
+        false_admits = len(b_found_idx - expected)
+        res[key] = {
+            "tables": n_tables, "wall_sec": wall,
+            "vecs_per_sec": round(n_total_vecs / wall, 1),
+            "pairs": out.count(),
+            "clones": n_clones, "clones_found": clone_found,
+            "clone_recall": round(clone_found / n_clones, 4),
+            "noise_expected": noise_expected, "noise_found": noise_found,
+            "noise_recall": round(noise_found / max(noise_expected, 1), 4),
+            "boundary_planted": boundary["n"],
+            "boundary_expected": len(expected),
+            "boundary_found": b_hits,
+            "boundary_recall": round(b_hits / max(len(expected), 1), 4),
+            "boundary_false_admits": false_admits,
+            "metrics": emb_metrics,
+        }
     return res
 
 
@@ -300,6 +360,13 @@ def main() -> None:
                 f"clone recall {r['embedding']['clone_recall']}"
             assert r["embedding"]["noise_recall"] >= 0.8, \
                 f"noise recall {r['embedding']['noise_recall']}"
+            # the exact >= threshold verify must never admit a planted
+            # below-boundary pair, at either table count; boundary
+            # RECALL is reported, not gated (it is the measurement)
+            for key in ("embedding", "embedding_t8"):
+                assert r[key]["boundary_false_admits"] == 0, \
+                    f"{key} admitted below-threshold pairs at scale " \
+                    f"{r['scale']}"
         largest = results[-1]
         assert largest["minhash"]["metrics"].get("dropped_buckets", 0) > 0, \
             "variant cluster did not trip the minhash bucket cap report"

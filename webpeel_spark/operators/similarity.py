@@ -200,6 +200,44 @@ def derive_srp_bits(n: int, target_bucket: int = 8,
     return max(lo, min(hi, math.ceil(math.log2(n / target_bucket))))
 
 
+def derive_srp_tables(n: int, threshold: float = 0.95,
+                      bits: Optional[int] = None,
+                      target_recall: float = 0.9,
+                      lo: int = 4, hi: int = 32) -> int:
+    """Table-count sizing for a boundary-recall target.
+
+    ``derive_srp_bits`` grows bits ~ log2(n) to keep the bucket join
+    O(n) — but per-table collision probability for a pair AT the
+    cosine threshold is p^bits with p = 1 - acos(threshold)/π, so a
+    FIXED table count silently loses boundary recall as the corpus
+    grows.  Round-10 soak measurement (BENCH_dedup_scale_r10.json,
+    planted pairs with construction-exact cosines in [0.94, 0.96]):
+    at 33k vectors (bits=13) recall at the 0.95 gate was 0.8155 with
+    6 tables vs 0.9107 with 8 — within noise of the closed-form
+    1-(1-p^bits)^tables prediction (0.822 / 0.900); at 8.2k vectors
+    (bits=11, only 39 expected pairs) both measured 1.0.  The fixed-
+    tables cliff is real and the formula predicts it.
+
+    This inverts the formula: tables = ln(1-R) / ln(1-p^bits),
+    clamped to [lo, hi].  At threshold 0.95 / R=0.9: 6 tables at
+    bits=10, 8 at bits=12, 10 at bits=14 — the cost of holding
+    recall grows only ~linearly in bits while the bucket join stays
+    O(n) per table.  Pairs above the threshold saturate much earlier
+    (the 0.987-cosine cohort measured 0.98+ even at 6 tables); the
+    target is honest for the WORST pair the threshold admits."""
+    import math
+
+    if bits is None:
+        bits = derive_srp_bits(n)
+    p = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+    p_table = p ** bits
+    if p_table >= 1.0:
+        return lo
+    miss = 1.0 - p_table
+    tables = math.ceil(math.log(1.0 - target_recall) / math.log(miss))
+    return max(lo, min(hi, tables))
+
+
 # ── IVF (inverted-file) ANN — the k-means-cell scale path ──────────────
 
 def _l2_normalize(col: Column) -> Column:
@@ -258,7 +296,8 @@ def cosine_near_duplicate_pairs(df: DataFrame, threshold: float = 0.95,
                                 vec_col: str = "embedding",
                                 id_col: str = "vec_id",
                                 bits: Optional[int] = None,
-                                tables: int = 8, seed: int = 13,
+                                tables: Optional[int] = None,
+                                seed: int = 13,
                                 bucket_cap: int = 5000,
                                 metrics: Optional[dict] = None,
                                 materialize: bool = True) -> DataFrame:
@@ -284,7 +323,13 @@ def cosine_near_duplicate_pairs(df: DataFrame, threshold: float = 0.95,
     The one remaining knob at that scale is swapping the ``persist``
     for a written table (same note as the minhash signature cache).
     Measured at 4×/16× bench scale with planted ground truth in
-    BENCH_dedup_scale_r09.json (clone recall 1.0, sub-linear wall).
+    BENCH_dedup_scale_r10.json: clone recall 1.0, sub-linear wall,
+    and — new in round 10 — NEAR-THRESHOLD recall on pairs planted at
+    cosine [0.94, 0.96]: 0.82 (6 tables) vs 0.91 (8) at 33k vectors,
+    matching the closed-form 1-(1-p^bits)^tables.  ``tables=None``
+    (default) therefore derives the count from the corpus size via
+    ``derive_srp_tables`` so boundary recall holds as bits grows with
+    n; pass an explicit ``tables`` to pin cost instead.
     """
     # dim + corpus size in ONE control-plane job (was first() + count():
     # two full-scan jobs on arbitrary upstream lineage)
@@ -307,6 +352,11 @@ def cosine_near_duplicate_pairs(df: DataFrame, threshold: float = 0.95,
     dim = int(stats["dim"])
     if bits is None:
         bits = derive_srp_bits(int(stats["n"]))
+    if tables is None:
+        # hold boundary recall as bits grows with n (round-10 soak:
+        # fixed tables lose recall at the threshold as the corpus
+        # scales — see derive_srp_tables)
+        tables = derive_srp_tables(int(stats["n"]), threshold, bits)
 
     # vectors persist ONCE (narrow table); the exploded bucket table
     # carries only (id, table, bucket) — shipping the vector through
