@@ -52,25 +52,30 @@ def exact_duplicate_groups(df: DataFrame, text_col: str = "text",
     array exists, via window functions that stream each hash partition
     with disk spill:
 
-    * ``count(*)  OVER (PARTITION BY hash)``      — exact group size;
+    * ``count(*)  OVER (PARTITION BY hash)``      — exact group size,
+      frame-less (streams each hash group, no sort);
+    * filter ``__n > 1`` BETWEEN the two windows — uniques (the bulk
+      of any real corpus) never reach the sort;
     * ``row_number OVER (PARTITION BY hash ORDER BY id) <= cap``
       — keeps the N smallest ids, so the later ``collect_list`` is
       bounded by ``max_exemplars`` per group.
 
-    The follow-up ``groupBy(content_hash)`` reuses the window's hash
-    partitioning (one shuffle total), and the drop is REPORTED, never
-    silent: ``omitted_ids = dup_count - size(doc_ids)``.
+    The second window and the follow-up ``groupBy(content_hash)``
+    reuse the first window's hash partitioning (one shuffle total),
+    and the drop is REPORTED, never silent:
+    ``omitted_ids = dup_count - size(doc_ids)``.
     """
     from pyspark.sql import Window
 
     w = Window.partitionBy("content_hash")
     hashed = df.select(
         F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
-    ranked = hashed.select(
-        "content_hash", id_col,
-        F.count("*").over(w).alias("__n"),
-        F.row_number().over(w.orderBy(id_col)).alias("__rn"),
-    ).filter((F.col("__n") > 1) & (F.col("__rn") <= max_exemplars))
+    ranked = (
+        hashed.withColumn("__n", F.count("*").over(w))
+        .filter(F.col("__n") > 1)
+        .withColumn("__rn", F.row_number().over(w.orderBy(id_col)))
+        .filter(F.col("__rn") <= max_exemplars)
+    )
     return (
         ranked.groupBy("content_hash")
         .agg(F.max("__n").alias("dup_count"),
