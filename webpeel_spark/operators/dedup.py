@@ -249,7 +249,10 @@ def _collapse_exact_groups(df: DataFrame, text_col: str, id_col: str):
     # (one representative text per group) output over
     # spark.sql.shuffle.partitions, so an explicit repartition
     # ahead of it would just shuffle every text twice
-    groups = hashed.select("id", "__g").persist()
+    from ..plans.materialize import cache_intermediate
+
+    groups = cache_intermediate(hashed.select("id", "__g"),
+                                "exact_collapse_groups")
     docs = (
         hashed.groupBy("__g")
         .agg(F.min_by(F.struct("id", "__text"), F.col("id")).alias("__r"))
@@ -352,9 +355,13 @@ def minhash_near_duplicates(
         )
         .withColumn("sig", minhash_signature(F.col("shingles"), num_hashes, seed,
                                              pre_hashed=True))
-        .persist()  # consumed 3× below (banding + both verify sides); at
-        # 10^12 rows write signatures to a table instead of caching
     )
+    from ..plans.materialize import cache_intermediate
+
+    # consumed 3x below (banding + both verify sides); at 10^12 rows
+    # set SPARK_GRAFT_SPILL_DIR so the signatures land in a written
+    # table instead of the executor cache (plans/materialize.py)
+    sigs = cache_intermediate(sigs, "minhash_sigs")
 
     banded = sigs.select(
         "id",
@@ -448,7 +455,10 @@ def ngram_jaccard_pairs(
                         lambda s: F.xxhash64(s))
         ).alias("sh"),
         (F.col(block_col) if block_col else F.lit(0)).alias("blk"),
-    ).withColumn("n", F.size("sh")).persist()
+    ).withColumn("n", F.size("sh"))
+    from ..plans.materialize import cache_intermediate
+
+    base = cache_intermediate(base, "minhash_shingles")
     cached_base = base  # `base` is rebound below; unpersist THIS frame
 
     if size_blocking and 1e-4 < min_jaccard < 1:
@@ -884,7 +894,9 @@ def simhash_near_duplicates(df: DataFrame, text_col: str = "text",
         sigs = simhash_signatures(docs, text_col="__text", id_col="id")
     else:
         sigs = simhash_signatures(df, text_col, id_col)
-    sigs = sigs.persist()
+    from ..plans.materialize import cache_intermediate
+
+    sigs = cache_intermediate(sigs, "simhash_sigs")
     # materializes the signature UDF exactly once; banding + the
     # candidate self-join below all reuse the cached (id, simhash)
     # rows (narrow: 2 longs/row)

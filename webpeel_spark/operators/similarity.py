@@ -320,8 +320,9 @@ def cosine_near_duplicate_pairs(df: DataFrame, threshold: float = 0.95,
     rides the explode/candidate stages, and the verify step joins the
     float arrays back BY ID from the narrow persisted vector table —
     vectors are stored once and never shuffle through the pair-dedupe.
-    The one remaining knob at that scale is swapping the ``persist``
-    for a written table (same note as the minhash signature cache).
+    At that scale set ``SPARK_GRAFT_SPILL_DIR`` and the vector + bucket
+    intermediates are written tables instead of executor cache
+    (plans/materialize.py — the knob every LSH operator shares).
     Measured at 4×/16× bench scale with planted ground truth in
     BENCH_dedup_scale_r10.json: clone recall 1.0, sub-linear wall,
     and — new in round 10 — NEAR-THRESHOLD recall on pairs planted at
@@ -363,15 +364,17 @@ def cosine_near_duplicate_pairs(df: DataFrame, threshold: float = 0.95,
     # the explode would store it ``tables``× and, worse, shuffle the
     # float arrays through the candidate pair-dedupe (the same
     # array-through-dropDuplicates cost that dominated ngram_jaccard)
-    vecs = fan_out(df.select(
+    from ..plans.materialize import cache_intermediate
+
+    vecs = cache_intermediate(fan_out(df.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v")
-    )).persist()
-    buckets = vecs.select(
+    )), "srp_vectors")
+    buckets = cache_intermediate(vecs.select(
         "id",
         F.posexplode(
             srp_multi_bucket_udf(dim, bits, tables, seed)(F.col("v"))
         ).alias("table", "bucket"),
-    ).persist()  # consumed 3× in capped_bucket_pairs (sizes + two sides)
+    ), "srp_buckets")  # consumed 3× in capped_bucket_pairs (sizes + two sides)
 
     candidates = capped_bucket_pairs(buckets, ["table", "bucket"],
                                      bucket_cap, metrics=metrics)
