@@ -33,7 +33,7 @@ from __future__ import annotations
 from typing import Dict, List, Optional
 
 from .urlfast import _parse_authority, _parse_base, _SCHEME_RE, _UrlError, \
-    _backslash_fix, _clean_input
+    _clean_input
 
 __all__ = [
     "ENGINE_DEFAULTS",
@@ -186,19 +186,29 @@ def _apply_overrides(base: dict, overrides: dict) -> dict:
     return out
 
 
-def _whatwg_hostname(url: str) -> str:
-    """``new URL(url).hostname`` — '' when Node would throw
-    (engine-ranker.ts:422-427 catches and proceeds with no overrides).
+# WHATWG forbidden host code points (opaque hosts): any of these in a
+# non-special host makes ``new URL`` throw.  Tab/LF/CR are stripped by
+# input preprocessing and '/', '?', '#' terminate the authority before
+# this check; ':' and '@' are consumed by the port/userinfo splits.
+_OPAQUE_FORBIDDEN = frozenset("\x00 <>[]^|\\")
 
-    Reuses the urlfast WHATWG parser for http(s); other schemes get a
-    best-effort authority parse (the shipped DOMAIN_RULES are all web
-    domains, so only http(s) parity is load-bearing)."""
+
+def _whatwg_host_or_none(url: str):
+    """``new URL(url).hostname``, or None when Node would throw.
+
+    http(s)/ftp/ws(s) reuse the urlfast WHATWG parser; non-special
+    schemes follow the opaque-host rules — NO backslash conversion,
+    forbidden host code points are a parse failure, case is PRESERVED,
+    C0 controls / DEL / non-ASCII percent-encode (UTF-8).  The
+    round-10 SPA fuzz fixture pins exactly these divergences
+    (``foo://WWW.ZILLOW.COM`` keeps its case; ``foo://host\\x`` throws
+    where the old best-effort parse folded the backslash)."""
     base = _parse_base(url)
     if base is None:
-        return ""
+        return None
     if base[0] == "special":
         return base[3]
-    s = _backslash_fix(_clean_input(url))
+    s = _clean_input(url)
     m = _SCHEME_RE.match(s)
     rest = s[m.end():]
     if not rest.startswith("//"):
@@ -209,11 +219,41 @@ def _whatwg_hostname(url: str) -> str:
         i = rest.find(d)
         if i != -1 and i < end:
             end = i
-    try:
-        _userinfo, host, _port = _parse_authority(rest[:end])
-    except _UrlError:
-        return ""
-    return host
+    auth = rest[:end]
+    at = auth.rfind("@")
+    hostport = auth[at + 1:] if at != -1 else auth
+    if hostport.startswith("["):
+        try:
+            _userinfo, host, _port = _parse_authority(hostport)
+        except _UrlError:
+            return None
+        return host
+    ci = hostport.find(":")
+    host_str = hostport if ci == -1 else hostport[:ci]
+    port_str = "" if ci == -1 else hostport[ci + 1:]
+    if port_str:
+        if not (port_str.isascii() and port_str.isdigit()):
+            return None
+        if int(port_str) > 65535:
+            return None
+    if any(c in _OPAQUE_FORBIDDEN for c in host_str):
+        return None
+    out = []
+    for c in host_str:
+        o = ord(c)
+        if o <= 0x1F or o >= 0x7F:
+            out.append("".join(f"%{b:02X}" for b in c.encode("utf-8")))
+        else:
+            out.append(c)
+    return "".join(out)
+
+
+def _whatwg_hostname(url: str) -> str:
+    """``new URL(url).hostname`` — '' when Node would throw
+    (engine-ranker.ts:422-427 catches and proceeds with no
+    overrides, so throw and empty-host coincide for rule lookup)."""
+    host = _whatwg_host_or_none(url)
+    return host if host is not None else ""
 
 
 def build_fallback_chain(
@@ -344,11 +384,14 @@ def is_spa_url(url: str) -> bool:
     ``SPA_URL_PATTERNS`` regex against the RAW url.  Both checks sit
     inside the reference's ``try { new URL(ctx.url) … }`` — an
     unparseable URL skips detection entirely (including the pattern
-    test), so ``_parse_base`` failure returns False here.
+    test), and for non-special schemes "unparseable" includes opaque-
+    host failures (forbidden host code points, bad ports) that the
+    None-aware host parse surfaces.
     """
-    if _parse_base(url) is None:
+    host = _whatwg_host_or_none(url)
+    if host is None:
         return False
-    if _whatwg_hostname(url) in SPA_DOMAINS:
+    if host in SPA_DOMAINS:
         return True
     return any(p in url for p in SPA_URL_PATTERNS)
 
