@@ -45,8 +45,8 @@ def _vectors(spark):
 
 
 def _run_all(spark):
-    from webpeel_spark.operators.dedup import minhash_near_duplicates, \
-        simhash_near_duplicates
+    from webpeel_spark.operators.dedup import connected_components, \
+        minhash_near_duplicates, simhash_near_duplicates
     from webpeel_spark.operators.similarity import \
         cosine_near_duplicate_pairs
 
@@ -58,7 +58,13 @@ def _run_all(spark):
     emb = {(r["id_a"], r["id_b"]): round(r["cosine"], 6)
            for r in cosine_near_duplicate_pairs(
                vecs, threshold=0.99, tables=6).collect()}
-    return mh, sh, emb
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long")
+    verts = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 10, 11, 99)], "id long")
+    cc = {(r["id"], r["cluster"])
+          for r in connected_components(edges, verts).collect()}
+    return mh, sh, emb, cc
 
 
 def test_spill_mode_matches_persist_mode(spark, tmp_path, monkeypatch):
@@ -79,6 +85,9 @@ def test_spill_mode_matches_persist_mode(spark, tmp_path, monkeypatch):
     assert any(n.startswith("simhash_sigs") for n in written)
     assert any(n.startswith("srp_vectors") for n in written)
     assert any(n.startswith("srp_buckets") for n in written)
+    # the iterative path takes the RELIABLE-checkpoint branch
+    assert any(n.startswith("cc_labels_init") for n in written)
+    assert any(n.startswith("cc_labels_r0") for n in written)
     for n in written:
         assert any(f.endswith(".parquet") or f == "_SUCCESS"
                    for f in os.listdir(spill / n))

@@ -536,25 +536,30 @@ def connected_components(edges: DataFrame, vertices: DataFrame,
     sym = edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")) \
         .unionByName(edges.select(F.col("id_b").alias("src"),
                                   F.col("id_a").alias("dst")))
-    # localCheckpoint (not persist) per round: iterative plans otherwise
+    # checkpoint (not persist) per round: iterative plans otherwise
     # grow one join-layer of LINEAGE per round, and past ~10 rounds the
     # driver dies just materializing the plan tree.  Checkpointing
-    # truncates lineage so every round's plan is constant-size.  (On a
-    # real cluster with executor churn, swap for reliable checkpoint().)
-    labels = vertices.select(F.col(id_col).alias("id"),
-                             F.col(id_col).alias("label")).localCheckpoint()
+    # truncates lineage so every round's plan is constant-size.
+    # checkpoint_intermediate = localCheckpoint here; the RELIABLE
+    # variant (parquet round-trip, survives executor churn) when
+    # SPARK_GRAFT_SPILL_DIR is set — plans/materialize.py.
+    from ..plans.materialize import checkpoint_intermediate
+
+    labels = checkpoint_intermediate(
+        vertices.select(F.col(id_col).alias("id"),
+                        F.col(id_col).alias("label")), "cc_labels_init")
     changed = 0
-    for _ in range(max_iterations):
+    for _round in range(max_iterations):
         neighbor_min = (
             sym.join(labels, sym.src == labels.id)
             .groupBy("dst").agg(F.min("label").alias("nlabel"))
         )
-        new_labels = (
+        new_labels = checkpoint_intermediate(
             labels.join(neighbor_min, labels.id == neighbor_min.dst, "left")
             .select(labels.id,
                     F.least("label", F.coalesce("nlabel", "label"))
-                    .alias("label"))
-            .localCheckpoint()
+                    .alias("label")),
+            f"cc_labels_r{_round}",
         )
         changed = (
             new_labels.alias("n").join(labels.alias("o"), "id")

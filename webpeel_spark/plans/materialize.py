@@ -43,6 +43,13 @@ def spill_dir() -> str | None:
     return os.environ.get(_SPILL_ENV) or None
 
 
+def _write_roundtrip(df: DataFrame, prefix: str, name: str) -> DataFrame:
+    path = os.path.join(
+        prefix, f"{name}_{os.getpid()}_{next(_counter)}")
+    df.write.mode("error").parquet(path)
+    return df.sparkSession.read.parquet(path)
+
+
 def cache_intermediate(df: DataFrame, name: str) -> DataFrame:
     """Materialize a multiply-consumed intermediate.
 
@@ -55,7 +62,23 @@ def cache_intermediate(df: DataFrame, name: str) -> DataFrame:
     prefix = spill_dir()
     if not prefix:
         return df.persist()
-    path = os.path.join(
-        prefix, f"{name}_{os.getpid()}_{next(_counter)}")
-    df.write.mode("error").parquet(path)
-    return df.sparkSession.read.parquet(path)
+    return _write_roundtrip(df, prefix, name)
+
+
+def checkpoint_intermediate(df: DataFrame, name: str) -> DataFrame:
+    """Lineage-truncating materialization for ITERATIVE algorithms.
+
+    ``localCheckpoint(eager=True)`` by default — blocks live on
+    executors, so a lost executor loses the checkpoint and the
+    truncated lineage cannot recompute it (acceptable single-machine,
+    fatal on a churning cluster).  With ``SPARK_GRAFT_SPILL_DIR`` set
+    this becomes the reliable equivalent: a parquet write + read-back,
+    which truncates lineage just the same but survives any executor
+    loss (the per-iteration labels of connected_components are narrow
+    two-column tables, so the write cost is small relative to the
+    iteration's join).
+    """
+    prefix = spill_dir()
+    if not prefix:
+        return df.localCheckpoint(eager=True)
+    return _write_roundtrip(df, prefix, name)
