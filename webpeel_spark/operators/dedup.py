@@ -94,7 +94,12 @@ def dedup_exact(df: DataFrame, text_col: str = "text",
     uniform).
     """
     if order_col is None:
-        return df.dropDuplicates([text_col])
+        # dedupe on the 16-byte md5, not the raw text: dropDuplicates
+        # shuffles rows keyed by the dedupe column, and sorting /
+        # comparing multi-KB text keys is the cost — the hash key is
+        # what the order_col path below already relies on
+        return (df.withColumn("__h", F.md5(F.col(text_col)))
+                .dropDuplicates(["__h"]).drop("__h"))
     return (
         df.withColumn("__h", F.md5(F.col(text_col)))
         .groupBy("__h")
