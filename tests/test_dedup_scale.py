@@ -513,6 +513,42 @@ def test_cosine_near_dups_empty_and_all_null(spark):
     assert cosine_near_duplicate_pairs(all_null).count() == 0
 
 
+def test_partitioned_index_prunes_probe_scan(spark, tmp_path):
+    """write_partitioned_index: an IVF probe over the written index is
+    a partition-PRUNED parquet scan (the __cell IN-filter reaches
+    PartitionFilters), and results match the in-memory index."""
+    import numpy as np
+
+    from webpeel_spark.operators.similarity import (
+        ivf_index, ivf_topk, write_partitioned_index,
+    )
+
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((200, 16)).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(200)],
+        "vec_id long, embedding array<float>")
+    assigned, centroids = ivf_index(df, k=8)
+    q = [float(x) for x in vecs[7]]
+
+    mem = [(r["vec_id"], round(r["cosine"], 6))
+           for r in ivf_topk(assigned, centroids, q, topk=5).collect()]
+
+    stored = write_partitioned_index(
+        assigned, str(tmp_path / "ivf"), "__cell")
+    got_df = ivf_topk(stored, centroids, q, topk=5)
+    got = [(r["vec_id"], round(r["cosine"], 6)) for r in got_df.collect()]
+    assert got == mem
+
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    scan = plan[plan.index("PartitionFilters"):]
+    assert "__cell" in scan[:scan.index("]")]
+    # the written layout really is one directory per cell
+    cells = [p.name for p in (tmp_path / "ivf").iterdir()
+             if p.name.startswith("__cell=")]
+    assert len(cells) == 8
+
+
 def test_srp_index_empty_corpus(spark):
     """An empty corpus (upstream filter matched nothing) must yield an
     empty result, not a NoneType crash in srp_index."""

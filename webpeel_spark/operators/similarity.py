@@ -275,6 +275,27 @@ def ivf_index(df: DataFrame, k: Optional[int] = None,
     return assigned, centroids
 
 
+def write_partitioned_index(df: DataFrame, path: str,
+                            partition_col: str) -> DataFrame:
+    """Materialize an ANN index as cell-partitioned parquet and return
+    the read-back frame — the FAISS-IVF layout expressed as storage.
+
+    ``ivf_index`` / ``srp_index`` docstrings have always described
+    this shape ("write assigned partitioned by __cell, each query
+    scans only nprobe cell-partitions"); this makes it one call.  A
+    probe over the returned frame (``ivf_topk`` / ``srp_lsh_topk``
+    with ``indexed=True``) compiles to a partition-PRUNED scan: the
+    ``__cell``/``__bucket`` IN-filter lands in the FileSourceScan's
+    PartitionFilters, so only the probed directories are listed and
+    read — ~nprobe/k of the corpus touches disk, no re-hashing, and
+    the index is shared across queries, jobs, and restarts (the
+    repeated-lookup shape a cached in-session frame cannot give a
+    100 TB deployment).  Pinned by a plan-shape test.
+    """
+    df.write.partitionBy(partition_col).mode("error").parquet(path)
+    return df.sparkSession.read.parquet(path)
+
+
 def ivf_topk(assigned: DataFrame, centroids, query_vec: Sequence[float],
              topk: int = 10, nprobe: int = 4,
              vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
