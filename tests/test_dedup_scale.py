@@ -548,6 +548,17 @@ def test_partitioned_index_prunes_probe_scan(spark, tmp_path):
              if p.name.startswith("__cell=")]
     assert len(cells) == 8
 
+    # same shape for the SRP index (__bucket partitioning)
+    from webpeel_spark.operators.similarity import srp_index, srp_lsh_topk
+
+    srp_stored = write_partitioned_index(
+        srp_index(df, bits=6), str(tmp_path / "srp"), "__bucket")
+    srp_df = srp_lsh_topk(srp_stored, q, k=5, bits=6, indexed=True)
+    plan = srp_df._jdf.queryExecution().executedPlan().toString()
+    scan = plan[plan.index("PartitionFilters"):]
+    assert "__bucket" in scan[:scan.index("]")]
+    assert srp_df.count() <= 5
+
 
 def test_srp_index_empty_corpus(spark):
     """An empty corpus (upstream filter matched nothing) must yield an

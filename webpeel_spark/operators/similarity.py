@@ -98,10 +98,10 @@ def srp_index(df: DataFrame, vec_col: str = "embedding",
     """Materialize the SRP bucket column ONCE as an index table.
 
     For a query workload, write this out partitioned by ``__bucket``
-    (``.write.partitionBy("__bucket")``) so each probe is a partition-
-    pruned scan instead of re-hashing the corpus per query — the
-    round-1 exposure recomputed buckets for every query, which is the
-    wrong shape for repeated lookups."""
+    (``write_partitioned_index(indexed, path, "__bucket")``) so each
+    probe is a partition-pruned scan instead of re-hashing the corpus
+    per query — the round-1 exposure recomputed buckets for every
+    query, which is the wrong shape for repeated lookups."""
     first = (df.select(vec_col)
              .where(F.col(vec_col).isNotNull()).first())
     if first is None:
