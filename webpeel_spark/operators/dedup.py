@@ -64,6 +64,12 @@ def exact_duplicate_groups(df: DataFrame, text_col: str = "text",
     reuse the first window's hash partitioning (one shuffle total),
     and the drop is REPORTED, never silent:
     ``omitted_ids = dup_count - size(doc_ids)``.
+
+    Residual skew caveat: a 10^7-copy group still streams through ONE
+    task (window semantics), but as narrow (hash, id) rows — ~50 B
+    each, spill-backed — so it is a slow task, not an OOM; bounding
+    the WALL of that task too would take a salted two-level top-N
+    (3 shuffles) that this reporting query does not justify.
     """
     from pyspark.sql import Window
 
