@@ -165,7 +165,8 @@ def minhash_signature(col, num_hashes: int = 32, seed: int = 7,
 def capped_bucket_pairs(keyed: DataFrame, key_cols: List[str],
                         bucket_cap: int,
                         metrics: Optional[dict] = None,
-                        extra_cols: Optional[List[str]] = None) -> DataFrame:
+                        extra_cols: Optional[List[str]] = None,
+                        pair_filter: Optional[Column] = None) -> DataFrame:
     """Candidate pairs from a (id, *key_cols) table without any array agg.
 
     The round-1 shape — ``groupBy(keys).agg(collect_set(id))`` then an
@@ -184,6 +185,17 @@ def capped_bucket_pairs(keyed: DataFrame, key_cols: List[str],
 
     Returns (id_a, id_b) distinct with id_a < id_b, plus ``extra_cols``
     from each side suffixed _a/_b.
+
+    ``pair_filter`` (r11, guide §2.3 — shuffle fewer bytes): a
+    deterministic per-pair predicate over id/extra columns, applied to
+    the raw self-join output BEFORE the pair-dedupe exchange.  For a
+    verify predicate that needs only carried scalars (simhash's
+    ``bit_count(xor) <= h``), this moves verification map-side: only
+    true pairs reach the dedupe shuffle.  Measured at sf1.0 the
+    simhash banding emits 87.2M raw candidate rows that dedupe to
+    646k verified pairs — filtering first shuffles ~13M rows instead
+    of 87M.  ``filter ∘ distinct ≡ distinct ∘ filter`` for a
+    deterministic per-row predicate, so results are identical.
     """
     extra = extra_cols or []
     sizes = keyed.groupBy(*key_cols).agg(F.count("*").alias("__n"))
@@ -203,11 +215,12 @@ def capped_bucket_pairs(keyed: DataFrame, key_cols: List[str],
                      *[F.col(c).alias(f"{c}_a") for c in extra])
     y = small.select(*key_cols, F.col("id").alias("id_b"),
                      *[F.col(c).alias(f"{c}_b") for c in extra])
+    out = x.join(y, key_cols).filter(F.col("id_a") < F.col("id_b"))
+    if pair_filter is not None:
+        out = out.filter(pair_filter)
     return (
-        x.join(y, key_cols)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b",
-                *[f"{c}_a" for c in extra], *[f"{c}_b" for c in extra])
+        out.select("id_a", "id_b",
+                   *[f"{c}_a" for c in extra], *[f"{c}_b" for c in extra])
         .dropDuplicates(["id_a", "id_b"])
     )
 
@@ -426,20 +439,37 @@ def ngram_jaccard_pairs(
     size_blocking: bool = True,
     materialize: bool = True,
 ) -> DataFrame:
-    """Exact pairwise n-gram Jaccard with LOSSLESS size-band blocking.
+    """Exact pairwise n-gram Jaccard via an inverted shingle index.
 
-    J(A,B) ≥ t forces t ≤ |A|/|B| ≤ 1/t, so qualifying pairs sit in the
-    same or adjacent bands of band(n) = floor(ln n / ln(1/t)).  Each doc
-    probes its own band and band+1 (an equi-join key — no cross join,
-    no |block|² row explosion across size bands), so the result is the
-    EXACT all-pairs answer, which is what the DuckDB oracle computes.
+    r11 plan shape (guide §2.3/§8 — shuffle narrow keys, never
+    payloads): the overlap |A∩B| is COUNTED on an inverted index —
+    explode (id, n, blk, shingle-hash), self-join on (blk, hash),
+    count shared hashes per (id_a, id_b) — instead of joining whole
+    size-band blocks and shipping both shingle ARRAYS for every
+    size-compatible pair.  The old band join was quadratic in block
+    size (measured 121 s at sf1.0, where one lang×band block holds
+    ~15k docs → ~10⁸ array-carrying pairs); the index join only ever
+    materializes pairs that actually SHARE a shingle (30.5M narrow
+    4-int rows at sf1.0), and jaccard = i/(n_a+n_b-i) needs no
+    array_intersect at all.  Sets are distinct-hash arrays, so the
+    shared-hash count equals the old ``size(array_intersect)`` exactly
+    and the output is row-identical (oracle-verified).
 
-    Still quadratic within (block_col × size-band) blocks — that is
-    inherent to exact pairwise verification; minhash_near_duplicates is
-    the sub-quadratic scale path and uses this only on its candidate
-    set.  Size-ratio pruning runs on two int columns before any array
-    intersect; shingles are xxhash64-hashed so the intersect compares
-    bigints, not strings.
+    Pairs sharing zero shingles have J = 0 and cannot pass a positive
+    rounded threshold, so the index path requires min_jaccard > 1e-4;
+    the legacy lossless size-band block join remains for the
+    degenerate t ≈ 0 configuration (band(n) = floor(ln n / ln(1/t)),
+    probe own band and band+1 — exact, but all-pairs within bands).
+
+    Worst case is still inherently quadratic — this is exact pairwise
+    verification: a shingle shared by m docs contributes C(m,2) joined
+    rows.  That strictly improves on the block join (byte-identical
+    docs share every shingle AND land in one size band), but a viral
+    boilerplate SHINGLE still fans out; minhash_near_duplicates (whose
+    exact-collapse + capped buckets bound that case) remains the
+    sub-quadratic scale path.  Size-ratio pruning runs on two int
+    columns before the overlap agg, with the same t_eff slack the
+    rounded output filter requires.
     """
     import math
 
@@ -471,6 +501,33 @@ def ngram_jaccard_pairs(
 
     base = cache_intermediate(base, "minhash_shingles")
     cached_base = base  # `base` is rebound below; unpersist THIS frame
+
+    if min_jaccard > 1e-4:
+        # inverted-index overlap count (see docstring): every row past
+        # this point is (blk, hash, id, n) — 4 scalars, no arrays
+        tok = base.select("id", "n", "blk", F.explode("sh").alias("s"))
+        a = tok.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"),
+                       "blk", "s")
+        b = tok.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"),
+                       "blk", "s")
+        overlaps = (
+            a.join(b, ["blk", "s"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            # same lossless two-int prune as below (t_eff slack): cuts
+            # the agg input, never a qualifying pair
+            .filter((F.col("n_a") >= F.col("n_b") * t_eff)
+                    & (F.col("n_b") >= F.col("n_a") * t_eff))
+            .groupBy("id_a", "id_b", "n_a", "n_b")
+            .agg(F.count(F.lit(1)).alias("__i"))
+        )
+        inter = F.col("__i")
+        union = F.col("n_a") + F.col("n_b") - inter
+        out = (
+            overlaps.withColumn("jaccard", F.round(inter / union, 4))
+            .filter(F.col("jaccard") >= min_jaccard)
+            .select("id_a", "id_b", "jaccard")
+        )
+        return _finalize_pairs(out, cached_base, materialize=materialize)
 
     if size_blocking and 1e-4 < min_jaccard < 1:
         log_r = math.log(1.0 / t_eff)
@@ -942,10 +999,19 @@ def simhash_near_duplicates(df: DataFrame, text_col: str = "text",
     # of the already-cached sigs rows, so the multi-consumer self-join
     # never re-runs the SimHash UDF
 
+    hamming = F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b")))
+    # the popcount verify needs only the two carried simhash scalars,
+    # so it runs as the map-side pair_filter BEFORE the pair-dedupe
+    # exchange (r11: the biased-bit buckets emit 87M raw candidate
+    # rows at sf1.0 that verify down to 646k pairs — shuffling the
+    # unverified volume through dropDuplicates was the operator's
+    # dominant cost).  Identical output: the predicate is a
+    # deterministic function of the pair, so filter∘distinct ≡
+    # distinct∘filter.
     candidates = capped_bucket_pairs(keyed, ["band", "key"], bucket_cap,
                                      metrics=metrics,
-                                     extra_cols=["simhash"])
-    hamming = F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b")))
+                                     extra_cols=["simhash"],
+                                     pair_filter=hamming <= max_hamming)
     rep_pairs = (
         candidates.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
