@@ -585,3 +585,42 @@ def test_salted_key_agg_tolerates_map_columns(spark):
         df, "k", {"n": ("count", "*"), "s": ("sum", "v")},
         hot_keys=["k1"], k=4).collect()}
     assert out == {"k1": (2, 3), "k2": (1, 3)}
+
+
+def test_word_shingles_zip_construction_parity(spark):
+    """r11: word_shingles builds shingles via arrays_zip of k shifted
+    slices (4x cheaper than per-position slice at sf1.0).  The strings
+    must be byte-identical to the legacy per-position construction on
+    every edge shape: n < k, n == k, multi-whitespace runs, unicode
+    words, k=1, k=5."""
+    from pyspark.sql import functions as F
+
+    from webpeel_spark.operators.dedup import word_shingles
+
+    def legacy(col, k):
+        words = F.split(F.lower(F.trim(col)), r"\s+")
+        n = F.size(words)
+        idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
+        shingle = F.transform(
+            idx, lambda i: F.concat_ws(" ", F.slice(words, i, k)))
+        return F.array_distinct(
+            F.when(n >= k, shingle)
+            .otherwise(F.array(F.concat_ws(" ", words))))
+
+    texts = [
+        "", " ", "one", "one two", "one two three",
+        "one two three four five six seven",
+        "  Leading  and   trailing   runs  ",
+        "repeat repeat repeat repeat repeat",
+        "中文 测试 句子 更多 词", "Ümlaut wörds hérе tóo",
+        "tab\tand\nnewline separated words here",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+    for k in (1, 2, 3, 5):
+        rows = df.select(
+            F.array_sort(word_shingles(F.col("text"), k)).alias("new"),
+            F.array_sort(legacy(F.col("text"), k)).alias("old"),
+        ).collect()
+        for r in rows:
+            assert r["new"] == r["old"], (k, r)
