@@ -353,6 +353,12 @@ def test_derive_srp_tables_holds_boundary_recall():
         t = derive_srp_tables(0, bits=b)
         p = 1 - math.acos(0.95) / math.pi
         assert 1 - (1 - p ** b) ** t >= 0.9
+    # r11 (ADVICE): p^bits underflow (threshold <= cos(pi/2), or huge
+    # bits) makes the miss probability exactly 1.0 — the guard returns
+    # hi instead of dividing by log(1.0) == 0
+    assert derive_srp_tables(1000, threshold=-1.0) == 32
+    assert derive_srp_tables(1000, threshold=0.5, bits=2000) == 32
+    assert derive_srp_tables(1000, threshold=0.0, bits=4, hi=16) == 16
 
 
 def test_ivf_topk_recall(spark):

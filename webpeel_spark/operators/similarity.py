@@ -234,6 +234,12 @@ def derive_srp_tables(n: int, threshold: float = 0.95,
     if p_table >= 1.0:
         return lo
     miss = 1.0 - p_table
+    # r11 (ADVICE): p_table can underflow to ~0 (threshold <= cos(pi/2)
+    # or huge bits), making miss == 1.0 and log(miss) == 0 — the target
+    # recall is then unreachable at any table count, so return hi (the
+    # max) instead of dividing by zero.
+    if miss >= 1.0 or p_table < 1e-15:
+        return hi
     tables = math.ceil(math.log(1.0 - target_recall) / math.log(miss))
     return max(lo, min(hi, tables))
 
@@ -387,9 +393,17 @@ def cosine_near_duplicate_pairs(df: DataFrame, threshold: float = 0.95,
     # array-through-dropDuplicates cost that dominated ngram_jaccard)
     from ..plans.materialize import cache_intermediate
 
+    # __nrm: the per-vector L2 norm, computed ONCE here rather than
+    # twice per verified pair (r11, guide §1.2 per-task work): the
+    # verify join's cosine previously evaluated three interpreted
+    # higher-order aggregates per candidate pair (dot + both norms,
+    # 3 × dim lambda steps over 434k sf1.0 candidates — measured as
+    # the operator's dominant cost).  The norm is the identical
+    # expression on the identical vector, so dot/(nrm_a*nrm_b) is
+    # bit-for-bit the old dot/(norm(a)*norm(b)) — oracle-checked.
     vecs = cache_intermediate(fan_out(df.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v")
-    )), "srp_vectors")
+    )).withColumn("__nrm", _norm(F.col("v"))), "srp_vectors")
     buckets = cache_intermediate(vecs.select(
         "id",
         F.posexplode(
@@ -399,12 +413,15 @@ def cosine_near_duplicate_pairs(df: DataFrame, threshold: float = 0.95,
 
     candidates = capped_bucket_pairs(buckets, ["table", "bucket"],
                                      bucket_cap, metrics=metrics)
-    left = vecs.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"))
-    right = vecs.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+    left = vecs.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"),
+                       F.col("__nrm").alias("__nrm_a"))
+    right = vecs.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"),
+                        F.col("__nrm").alias("__nrm_b"))
     out = (
         candidates.join(left, "id_a").join(right, "id_b")
         .withColumn("cosine", F.round(
-            cosine_similarity_col(F.col("v_a"), F.col("v_b")), 4))
+            _dot(F.col("v_a"), F.col("v_b"))
+            / (F.col("__nrm_a") * F.col("__nrm_b")), 4))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
