@@ -231,6 +231,13 @@ def _whatwg_host_or_none(url: str):
     ci = hostport.find(":")
     host_str = hostport if ci == -1 else hostport[:ci]
     port_str = "" if ci == -1 else hostport[ci + 1:]
+    if not host_str and (at != -1 or ci != -1):
+        # r11 (ADVICE, verified against node v20): an empty opaque host
+        # is only parseable BARE ('foo:///x', 'foo://') — with an '@'
+        # anywhere in the authority (even empty userinfo, 'foo://@/x')
+        # or any ':' after it (even an empty port, 'foo://:/x') Node
+        # throws host-missing, so detection must be skipped.
+        return None
     if port_str:
         if not (port_str.isascii() and port_str.isdigit()):
             return None
