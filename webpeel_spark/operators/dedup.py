@@ -308,26 +308,43 @@ def _expand_group_pairs(rep_pairs: DataFrame, groups: DataFrame,
     rows keep the (id, group) map and rep_pairs instead (this expansion
     exists so the operator's OUTPUT is the same set a naive engine
     would produce, which is what the exact oracles check).
+
+    r11 plan shape (guide §3.1): the joins run against the
+    NON-SINGLETON groups only — a singleton's representative expands
+    to itself, which the left-join + coalesce fallback supplies
+    without touching any table.  On a mostly-unique corpus the dup
+    tables are tiny (110 rows vs the 50k-row full map at sf1.0), so
+    the four shuffled expansion joins become two broadcastable left
+    joins against the 646k-row simhash rep_pairs.  The expansion
+    SEMANTICS are unchanged: every rep id matched exactly once per
+    side before (inner join on the full map), and matches exactly
+    once now (dup-table hit, or the coalesce identity fallback).
     """
+    sizes = groups.groupBy("__g").agg(F.count("*").alias("__gn"))
+    dup_members = (groups.join(sizes.filter(F.col("__gn") > 1), "__g")
+                   .select("id", "__g"))
+    reps = dup_members.groupBy("__g").agg(F.min("id").alias("__rep"))
+    rep_members = dup_members.join(reps, "__g") \
+        .select(F.col("__rep"), F.col("id").alias("__member"))
     within = (
-        groups.alias("ga").join(groups.alias("gb"), "__g")
+        dup_members.alias("ga").join(dup_members.alias("gb"), "__g")
         .filter(F.col("ga.id") < F.col("gb.id"))
         .select(F.col("ga.id").alias("id_a"), F.col("gb.id").alias("id_b"),
                 F.lit(within_value).alias(value_col))
     )
-    rep_g = groups.withColumnRenamed("id", "rep_id")
     cross = (
         rep_pairs
-        .join(rep_g.select(F.col("rep_id").alias("id_a"),
-                           F.col("__g").alias("g_a")), "id_a")
-        .join(rep_g.select(F.col("rep_id").alias("id_b"),
-                           F.col("__g").alias("g_b")), "id_b")
-        .join(groups.select(F.col("__g").alias("g_a"),
-                            F.col("id").alias("m_a")), "g_a")
-        .join(groups.select(F.col("__g").alias("g_b"),
-                            F.col("id").alias("m_b")), "g_b")
-        .select(F.least("m_a", "m_b").alias("id_a"),
-                F.greatest("m_a", "m_b").alias("id_b"), value_col)
+        .join(rep_members.select(F.col("__rep").alias("id_a"),
+                                 F.col("__member").alias("__m_a")),
+              "id_a", "left")
+        .join(rep_members.select(F.col("__rep").alias("id_b"),
+                                 F.col("__member").alias("__m_b")),
+              "id_b", "left")
+        .select(F.least(F.coalesce("__m_a", "id_a"),
+                        F.coalesce("__m_b", "id_b")).alias("id_a"),
+                F.greatest(F.coalesce("__m_a", "id_a"),
+                           F.coalesce("__m_b", "id_b")).alias("id_b"),
+                value_col)
     )
     return cross.unionByName(within)
 
