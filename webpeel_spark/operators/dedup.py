@@ -177,7 +177,9 @@ def capped_bucket_pairs(keyed: DataFrame, key_cols: List[str],
                         bucket_cap: int,
                         metrics: Optional[dict] = None,
                         extra_cols: Optional[List[str]] = None,
-                        pair_filter: Optional[Column] = None) -> DataFrame:
+                        pair_filter: Optional[Column] = None,
+                        pair_project: Optional[List[Column]] = None
+                        ) -> DataFrame:
     """Candidate pairs from a (id, *key_cols) table without any array agg.
 
     The round-1 shape — ``groupBy(keys).agg(collect_set(id))`` then an
@@ -207,6 +209,15 @@ def capped_bucket_pairs(keyed: DataFrame, key_cols: List[str],
     646k verified pairs — filtering first shuffles ~13M rows instead
     of 87M.  ``filter ∘ distinct ≡ distinct ∘ filter`` for a
     deterministic per-row predicate, so results are identical.
+
+    ``pair_project`` (r11): aliased columns computed from the raw join
+    row (ids + extras) that REPLACE the ``extra_cols`` in the output,
+    evaluated before the dedupe exchange.  Lets a caller shuffle a
+    derived scalar (simhash's 4-byte hamming) instead of the inputs it
+    derives from (two 8-byte signatures) — guide §2.3, narrower rows
+    through the exchange.  Deterministic projections only: the value
+    must be a function of the pair so the arbitrary dedupe survivor is
+    well-defined.
     """
     extra = extra_cols or []
     sizes = keyed.groupBy(*key_cols).agg(F.count("*").alias("__n"))
@@ -229,11 +240,12 @@ def capped_bucket_pairs(keyed: DataFrame, key_cols: List[str],
     out = x.join(y, key_cols).filter(F.col("id_a") < F.col("id_b"))
     if pair_filter is not None:
         out = out.filter(pair_filter)
-    return (
-        out.select("id_a", "id_b",
-                   *[f"{c}_a" for c in extra], *[f"{c}_b" for c in extra])
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    if pair_project is not None:
+        out = out.select("id_a", "id_b", *pair_project)
+    else:
+        out = out.select("id_a", "id_b",
+                         *[f"{c}_a" for c in extra], *[f"{c}_b" for c in extra])
+    return out.dropDuplicates(["id_a", "id_b"])
 
 
 def _finalize_pairs(out: DataFrame, *cached: DataFrame,
@@ -1039,12 +1051,14 @@ def simhash_near_duplicates(df: DataFrame, text_col: str = "text",
     candidates = capped_bucket_pairs(keyed, ["band", "key"], bucket_cap,
                                      metrics=metrics,
                                      extra_cols=["simhash"],
-                                     pair_filter=hamming <= max_hamming)
-    rep_pairs = (
-        candidates.withColumn("hamming", hamming)
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
-    )
+                                     pair_filter=hamming <= max_hamming,
+                                     pair_project=[hamming.alias("hamming")])
+    # the popcount already ran as pair_filter and rides the dedupe as
+    # the projected 4-byte hamming (not the two 8-byte signatures) —
+    # functionally dependent on the pair, so the dedupe survivor is
+    # deterministic and the output identical (same-window A/B:
+    # 7.61 -> 6.92 s at sf1.0)
+    rep_pairs = candidates.select("id_a", "id_b", "hamming")
     if not collapse_exact:
         return _finalize_pairs(rep_pairs, sigs,
                                materialize=materialize)
