@@ -630,3 +630,62 @@ def test_word_shingles_zip_construction_parity(spark):
         ).collect()
         for r in rows:
             assert r["new"] == r["old"], (k, r)
+
+
+def test_ngram_inverted_index_matches_bruteforce(spark):
+    """r11: the inverted-index overlap count must reproduce the exact
+    all-pairs shingle Jaccard (round-4 comparison, lossless size prune)
+    on a mixed corpus — near-dup clusters, exact dups, shared
+    boilerplate shingles, short docs below k words — both blocked and
+    unblocked."""
+    import itertools
+    import random
+
+    from pyspark.sql import functions as F
+
+    from webpeel_spark.operators.dedup import ngram_jaccard_pairs
+
+    rng = random.Random(11)
+    vocab = [f"tok{i}" for i in range(60)]
+    rows = []
+    for i in range(90):
+        base = rng.randrange(12)
+        words = [vocab[(base * 5 + j) % len(vocab)]
+                 for j in range(8 + base % 5)]
+        if rng.random() < 0.4:  # mutate → near-dup, not exact
+            words[rng.randrange(len(words))] = rng.choice(vocab)
+        if rng.random() < 0.2:
+            words += ["shared", "boilerplate", "tail"]
+        rows.append((i, " ".join(words), "g%d" % (i % 2)))
+    rows += [(90, "tiny", "g0"), (91, "two words", "g1"),
+             (92, rows[0][1], rows[0][2])]  # exact dup of doc 0
+
+    def shingles(text):
+        ws = text.lower().split()
+        if len(ws) >= 3:
+            return {" ".join(ws[i:i + 3]) for i in range(len(ws) - 2)}
+        return {" ".join(ws)}
+
+    def brute(t, blocked):
+        exp = set()
+        for (ia, ta, ba), (ib, tb, bb) in itertools.combinations(rows, 2):
+            if blocked and ba != bb:
+                continue
+            sa, sb = shingles(ta), shingles(tb)
+            inter = len(sa & sb)
+            # HALF_UP on the shortest decimal repr = Spark F.round on
+            # a double (python's built-in round is banker's)
+            from decimal import ROUND_HALF_UP, Decimal
+            j = float(Decimal(repr(inter / (len(sa) + len(sb) - inter)))
+                      .quantize(Decimal("0.0001"), ROUND_HALF_UP))
+            if j >= t:
+                exp.add((ia, ib, j))
+        return exp
+
+    df = spark.createDataFrame(rows, "doc_id long, text string, blk string")
+    for t, blocked in ((0.35, True), (0.5, False), (0.9, False)):
+        got = {(r["id_a"], r["id_b"], r["jaccard"]) for r in
+               ngram_jaccard_pairs(
+                   df, min_jaccard=t,
+                   block_col="blk" if blocked else None).collect()}
+        assert got == brute(t, blocked), (t, blocked)
